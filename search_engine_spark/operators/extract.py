@@ -1,0 +1,89 @@
+"""pages → docs extraction (operators E1-E9 + T1-T3 of SURVEY.md §2).
+
+One vectorized ``mapInPandas`` pass over the ``html`` binary column runs the
+reference-parity parser + stemmer per Arrow batch (no per-row Python at the
+Spark API layer; the hot loop is a C-accelerated bytes scan per document and
+an lru_cache-memoized stemmer — the Zipf distribution makes the distinct
+token set per batch tiny).
+
+Scale notes: the extraction is embarrassingly parallel (narrow map), so
+throughput scales with executors; there is no shuffle in this phase.  The
+``text`` invariant (byte-identical extracted text per url vs the reference
+parser, BASELINE.json) is checkable with ``text_invariant_violations``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark import schemas
+from search_engine_spark.functions.htmlparse import extracted_text, parse_html
+from search_engine_spark.functions.tokenize import doc_terms
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out: dict[str, list] = {
+            "url": [], "warc_ts": [], "text": [], "title": [], "terms": [],
+            "flags": [], "n_title_terms": [], "word_count": [], "title_len": [],
+            "english": [], "links": [],
+        }
+        for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+            res = parse_html(bytes(html))
+            terms, flags, n_title = doc_terms(res)
+            out["url"].append(url)
+            out["warc_ts"].append(ts)
+            out["text"].append(extracted_text(res).decode("utf-8", "replace"))
+            out["title"].append(res.title_chunk.decode("utf-8", "replace"))
+            out["terms"].append(terms)
+            out["flags"].append(flags)
+            out["n_title_terms"].append(n_title)
+            out["word_count"].append(len(res.words) + len(res.title_words))
+            out["title_len"].append(len(res.title_words))
+            out["english"].append(res.english)
+            out["links"].append([u.decode("utf-8", "replace") for u, _ in res.links])
+        yield pd.DataFrame(out)
+
+
+def extract_docs(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, html, ...) → docs (schemas.DOCS)."""
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        _extract_batches, schema=schemas.DOCS
+    )
+
+
+def text_invariant_violations(pages: DataFrame) -> DataFrame:
+    """Rows where the engine's extracted text differs from pages.text —
+    the per-row byte-identity invariant (must be empty)."""
+    docs = extract_docs(pages).select("url", "warc_ts", F.col("text").alias("engine_text"))
+    return (
+        pages.select("url", "warc_ts", "text")
+        .join(docs, ["url", "warc_ts"])
+        .filter(F.col("text") != F.col("engine_text"))
+    )
+
+
+def dedup_first_wins(docs: DataFrame) -> DataFrame:
+    """URL dedup, first fetch wins (reference: URLTable.AddURL first-wins,
+    HashBlob.h:105-116; Bloom-filter S2 is replaced by exact dedup).
+
+    Scale: a window over url is a hash shuffle on url; AQE handles skewed
+    hosts. At 10^12 docs this is the standard dedup shuffle — no driver work.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").asc(), F.col("text").asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def drop_overlong_titles(docs: DataFrame) -> DataFrame:
+    """Docs with >=40 title words are never indexed (Indexer.hpp:404-406)."""
+    return docs.filter(F.col("title_len") < 40)

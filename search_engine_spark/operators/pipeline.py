@@ -1,0 +1,75 @@
+"""Checkpointed, resumable index-build pipeline (SURVEY.md §3.1 Spark
+lifecycle).
+
+Phases, each writing one catalog table and a lineage record:
+
+  p1_docs      pages → extract UDF → docs            (narrow map)
+  p2_docids    dedup first-wins + dense doc ids      (url shuffle)
+  p3_docmeta   docmeta                               (narrow)
+  p4_postings  posexplode + (term,doc_id) agg        (term,doc shuffle)
+  p5_stats     index_stats                           (tiny agg)
+  p6_packed    salted pack + shuffle-merge into
+               term-sharded physical postings        (see merge.py)
+
+Resume: a phase whose output table exists (complete _SUCCESS) is skipped,
+so a killed build continues from the last durable phase — the reference has
+no equivalent (its chunks are never merged; csolver re-reads everything,
+SURVEY.md §2.4 A6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from search_engine_spark.operators import build as B
+from search_engine_spark.operators import docids, extract
+from search_engine_spark.sources.catalog import IndexCatalog
+
+
+def run_build(
+    spark: SparkSession,
+    pages: DataFrame,
+    warehouse: str,
+    num_shards: int = 32,
+    salt_buckets: int = 16,
+    force: bool = False,
+    pack: bool = True,
+) -> IndexCatalog:
+    cat = IndexCatalog(spark, warehouse)
+
+    if force:
+        for t in ("docs", "docmeta", "postings", "index_stats", "postings_packed"):
+            cat.drop(t)
+
+    if not cat.exists("docs"):
+        docs = extract.extract_docs(pages)
+        docs = extract.drop_overlong_titles(docs)
+        docs = extract.dedup_first_wins(docs)
+        docs = docids.assign_doc_ids(docs)
+        cat.write("docs", docs)
+        cat.log_phase("p1_docs", cat.read("docs"))
+
+    docs = cat.read("docs")
+
+    if not cat.exists("docmeta"):
+        cat.write("docmeta", B.build_docmeta(docs))
+        cat.log_phase("p3_docmeta", cat.read("docmeta"))
+
+    if not cat.exists("postings"):
+        cat.write("postings", B.build_postings(docs))
+        cat.log_phase("p4_postings", cat.read("postings"))
+
+    if not cat.exists("index_stats"):
+        cat.write(
+            "index_stats",
+            B.build_index_stats(cat.read("docmeta"), cat.read("postings")),
+        )
+        cat.log_phase("p5_stats", cat.read("index_stats"))
+
+    if pack and not cat.exists("postings_packed"):
+        from search_engine_spark.operators import merge
+
+        merge.pack_and_merge(cat, num_shards=num_shards, salt_buckets=salt_buckets)
+        cat.log_phase("p6_packed", cat.read("postings_packed"))
+
+    return cat

@@ -1,0 +1,245 @@
+"""AST → DataFrame compiler: the logical (exhaustive, join-based) query path.
+
+Each AST node evaluates to a DataFrame(doc_id, score) with deterministic
+float semantics (fixed-structure additions — never a shuffle-order-dependent
+reduction over >2 addends; see SURVEY.md §7.2 'Deterministic scores'):
+
+* Word   → union of body stem and '@'-title stem postings; score is the
+           sum of the two independent BM25 terms (ISROr X4 semantics).
+* Phrase → positional adjacency over positions arrays, pure JVM expressions
+           (`F.filter` + `array_contains` chain — Lucene-PhraseQuery-like,
+           ISRPhrase X7, isr.cpp:571-598); phrase df/tf computed at query
+           time, scored as a single BM25 term.
+* And    → inner join on doc_id, score = l + r    (ISRAnd X3)
+* Or     → full outer join, score = l + r         (ISROr X4)
+* Not    → left-anti join                         (ISRContainer X6, the
+           *intended* semantics — the reference's NOT is unfinished)
+* OrSyn  → original + SYN_WEIGHT * synonym scores (X5/R6)
+
+Scale: only the query terms' postings are touched (partition-prunable by
+term shard in the packed layout; this logical path filters + broadcasts the
+per-term df map).  The final top-k is Spark's TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.plans import bm25
+from search_engine_spark.plans.query_ast import (
+    And, Expr, Not, Or, OrSyn, Phrase, Word, compile_query,
+)
+
+
+def _collect_keys(expr: Expr) -> set[str]:
+    if isinstance(expr, Word):
+        return {expr.stem, "@" + expr.stem}
+    if isinstance(expr, Phrase):
+        ks: set[str] = set()
+        for s in expr.effective_stems:
+            ks.add(s)
+            ks.add("@" + s)
+        return ks
+    if isinstance(expr, (And, Or)):
+        return _collect_keys(expr.left) | _collect_keys(expr.right)
+    if isinstance(expr, Not):
+        return _collect_keys(expr.child)
+    if isinstance(expr, OrSyn):
+        ks = _collect_keys(expr.original)
+        for s in expr.synonyms:
+            ks |= _collect_keys(s)
+        return ks
+    raise TypeError(type(expr))
+
+
+class QueryEngine:
+    """BM25 top-k over the logical postings tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        postings: DataFrame,
+        docmeta: DataFrame,
+        n_docs: int,
+        avgdl: float,
+        k1: float = bm25.K1,
+        b: float = bm25.B,
+    ):
+        self.spark = spark
+        self.postings = postings
+        self.docmeta = docmeta
+        self.n_docs = int(n_docs)
+        self.avgdl = float(avgdl)
+        self.k1 = k1
+        self.b = b
+
+    @classmethod
+    def from_catalog(cls, cat) -> "QueryEngine":
+        stats = cat.read("index_stats").collect()[0]
+        return cls(
+            cat.spark,
+            cat.read("postings"),
+            cat.read("docmeta"),
+            stats["n_docs"],
+            stats["avgdl"],
+        )
+
+    # -- scored postings for just this query's keys --------------------------
+    def _scored(self, keys: set[str]) -> DataFrame:
+        filt = self.postings.filter(F.col("term").isin(*keys)).select(
+            "term", "doc_id", "tf", "positions"
+        )
+        dfmap = filt.groupBy("term").agg(F.count("*").alias("df"))
+        dl = self.docmeta.select("doc_id", "dl")
+        return (
+            filt.join(F.broadcast(dfmap), "term")
+            .join(dl, "doc_id")
+            .withColumn(
+                "score",
+                bm25.idf_col(F.col("df"), self.n_docs)
+                * bm25.weight_col(F.col("tf"), F.col("dl"), self.avgdl, self.k1, self.b),
+            )
+        )
+
+    # -- node evaluation ------------------------------------------------------
+    def _eval(self, expr: Expr, scored: DataFrame) -> DataFrame:
+        if isinstance(expr, Word):
+            return (
+                scored.filter(F.col("term").isin(expr.stem, "@" + expr.stem))
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("score"))  # ≤2 addends: order-free
+            )
+        if isinstance(expr, Phrase):
+            body = self._eval_phrase(expr.effective_stems, scored, decorated=False)
+            title = self._eval_phrase(expr.effective_stems, scored, decorated=True)
+            return self._combine_or(body, title)
+        if isinstance(expr, And):
+            if isinstance(expr.right, Not):  # a & -b → anti join fast path
+                left = self._eval(expr.left, scored)
+                excl = self._eval(expr.right.child, scored)
+                return left.join(excl, "doc_id", "left_anti")
+            if isinstance(expr.left, Not):
+                right = self._eval(expr.right, scored)
+                excl = self._eval(expr.left.child, scored)
+                return right.join(excl, "doc_id", "left_anti")
+            l = self._eval(expr.left, scored).withColumnRenamed("score", "_sl")
+            r = self._eval(expr.right, scored).withColumnRenamed("score", "_sr")
+            return l.join(r, "doc_id").select(
+                "doc_id", (F.col("_sl") + F.col("_sr")).alias("score")
+            )
+        if isinstance(expr, Or):
+            return self._combine_or(
+                self._eval(expr.left, scored), self._eval(expr.right, scored)
+            )
+        if isinstance(expr, Not):
+            # bare NOT: all docs minus matches, score 0 (defined semantics)
+            excl = self._eval(expr.child, scored)
+            return (
+                self.docmeta.select("doc_id")
+                .join(excl, "doc_id", "left_anti")
+                .withColumn("score", F.lit(0.0))
+            )
+        if isinstance(expr, OrSyn):
+            acc = self._eval(expr.original, scored)
+            for syn in expr.synonyms:
+                s = self._eval(syn, scored).withColumn(
+                    "score", F.col("score") * F.lit(expr.weight)
+                )
+                acc = self._combine_or(acc, s)
+            return acc
+        raise TypeError(type(expr))
+
+    @staticmethod
+    def _combine_or(l: DataFrame, r: DataFrame) -> DataFrame:
+        l = l.withColumnRenamed("score", "_sl")
+        r = r.withColumnRenamed("score", "_sr")
+        return l.join(r, "doc_id", "full_outer").select(
+            "doc_id",
+            (
+                F.coalesce(F.col("_sl"), F.lit(0.0))
+                + F.coalesce(F.col("_sr"), F.lit(0.0))
+            ).alias("score"),
+        )
+
+    def _eval_phrase(
+        self, stems: list[str], scored: DataFrame, decorated: bool
+    ) -> DataFrame:
+        keys = [("@" + s if decorated else s) for s in stems]
+        cols = None
+        for i, key in enumerate(keys):
+            p = scored.filter(F.col("term") == key)
+            if i == 0:
+                p = p.select("doc_id", F.col("positions").alias("_p0"), "dl")
+            else:
+                p = p.select("doc_id", F.col("positions").alias(f"_p{i}"))
+            cols = p if cols is None else cols.join(p, "doc_id")
+        if cols is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+
+        # starts: positions p in _p0 with p+i present in _pi for all i>0.
+        # NB: lambdas passed to F.filter must be strictly single-parameter —
+        # PySpark treats a second parameter (even a default) as the index arg.
+        def _contains_at(i: int):
+            col = F.col(f"_p{i}")
+
+            def f(p):
+                return F.array_contains(col, p + i)
+
+            return f
+
+        def _and(a, b):
+            def f(p):
+                return a(p) & b(p)
+
+            return f
+
+        cond = None
+        for i in range(1, len(keys)):
+            c = _contains_at(i)
+            cond = c if cond is None else _and(cond, c)
+        if cond is None:  # single-term phrase
+            tf_col = F.size(F.col("_p0"))
+        else:
+            tf_col = F.size(F.filter(F.col("_p0"), cond))
+        matches = cols.select(
+            "doc_id", "dl", tf_col.cast("double").alias("_ptf")
+        ).filter(F.col("_ptf") > 0)
+
+        # phrase df computed at query time, then broadcast back as a scalar
+        matches = matches.persist()
+        phrase_df = matches.count()
+        if phrase_df == 0:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        idf = bm25.idf(phrase_df, self.n_docs)
+        return matches.select(
+            "doc_id",
+            (
+                F.lit(idf)
+                * bm25.weight_col(F.col("_ptf"), F.col("dl"), self.avgdl, self.k1, self.b)
+            ).alias("score"),
+        )
+
+    # -- public API ------------------------------------------------------------
+    def search_ast(self, ast: Expr | None, k: int = 10) -> DataFrame:
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score double, url string, title string"
+        )
+        if ast is None:
+            return empty
+        keys = _collect_keys(ast)
+        if not keys:
+            return empty
+        scored = self._scored(keys).persist()
+        result = self._eval(ast, scored)
+        return (
+            result.join(self.docmeta.select("doc_id", "url", "title"), "doc_id")
+            .select("doc_id", "score", "url", "title")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    def search(self, query: str, k: int = 10, synonyms: bool = False) -> DataFrame:
+        return self.search_ast(compile_query(query, synonyms=synonyms), k=k)

@@ -1,0 +1,54 @@
+"""SparkSession construction with the engine's standard tuning.
+
+Local defaults mirror what the cluster config would be per-executor:
+AQE on (runtime skew-join + partition coalescing), Arrow on (every custom
+kernel is a vectorized pandas UDF), shuffle partitions sized to cores.
+On a real cluster the same builder is used by the spark-submit jobs in
+jobs/ with --master from the environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "search-engine-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    # Make the package importable on executors regardless of driver cwd.
+    # On a real cluster, jobs/ ship an engine zip via spark-submit --py-files;
+    # in local mode the worker processes inherit PYTHONPATH.
+    from pathlib import Path
+
+    pkg_root = str(Path(__file__).resolve().parents[1])
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(":"):
+        os.environ["PYTHONPATH"] = f"{pkg_root}:{pp}" if pp else pkg_root
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, cpus)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,85 @@
+"""Table catalog: Iceberg-style append/overwrite semantics over parquet.
+
+On a production cluster these writes are Iceberg
+(``df.writeTo("idx.postings").append()``, snapshot-per-merge-pass,
+partition-by term shard, min/max column stats for data skipping).  This
+sandbox has no Iceberg runtime jar, so the catalog provides the same
+contract on plain parquet directories: atomic-enough phase outputs gated
+on Spark's ``_SUCCESS`` marker, partitioned layouts, and phase
+checkpoint/resume by output existence.  The engine code only talks to this
+interface, so swapping the backend for Iceberg is a one-module change.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IndexCatalog:
+    def __init__(self, spark: SparkSession, warehouse: str | Path):
+        self.spark = spark
+        self.warehouse = Path(warehouse)
+        self.warehouse.mkdir(parents=True, exist_ok=True)
+
+    def path(self, table: str) -> Path:
+        return self.warehouse / table
+
+    def exists(self, table: str) -> bool:
+        # complete only if the writer finished (Spark drops _SUCCESS last)
+        return (self.path(table) / "_SUCCESS").exists()
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(str(self.path(table)))
+
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(str(self.path(table)))
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self.path(table), ignore_errors=True)
+
+    # --- lineage + metrics sidecars (north-rule requirement) ---------------
+
+    def log_phase(self, phase: str, df_out: DataFrame, extra: dict | None = None) -> None:
+        """Record per-partition output row counts for a completed phase.
+
+        Reads back the just-written table so the numbers describe the
+        durable output, not a recomputation.  Appended as JSON lines —
+        cheap, append-only, and human-auditable.
+        """
+        per_part = [
+            {"partition_id": r["pid"], "rows": r["rows"]}
+            for r in df_out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        ]
+        rec = {
+            "phase": phase,
+            "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+            "partitions": per_part,
+            "total_rows": sum(p["rows"] for p in per_part),
+            **(extra or {}),
+        }
+        lineage = self.warehouse / "lineage.jsonl"
+        with lineage.open("a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def lineage_records(self) -> list[dict]:
+        p = self.warehouse / "lineage.jsonl"
+        if not p.exists():
+            return []
+        return [json.loads(line) for line in p.read_text().splitlines() if line]

@@ -1,0 +1,72 @@
+"""Index correctness (SURVEY.md §5.2 layer 4): the Spark-built postings,
+docmeta and stats must equal the brute-force pure-Python oracle index built
+from the same pages, plus the per-row text invariant."""
+
+from pyspark.sql import functions as F
+
+
+def test_text_invariant(spark, pages_path):
+    from search_engine_spark.operators.extract import text_invariant_violations
+
+    pages = spark.read.parquet(pages_path)
+    assert text_invariant_violations(pages).count() == 0
+
+
+def test_docmeta_matches_oracle(catalog, oracle):
+    meta = {r["doc_id"]: r for r in catalog.read("docmeta").collect()}
+    assert len(meta) == oracle.n_docs
+    for doc_id, d in enumerate(oracle.docs):
+        m = meta[doc_id]
+        assert m["url"] == d["url"]
+        assert m["dl"] == oracle.dl[doc_id]
+        assert m["title"] == d["title"]
+
+
+def test_stats_match_oracle(catalog, oracle):
+    stats = catalog.read("index_stats").collect()[0]
+    assert stats["n_docs"] == oracle.n_docs
+    assert abs(stats["avgdl"] - oracle.avgdl) < 1e-9
+    assert stats["total_postings"] == sum(
+        len(v) for v in oracle.postings.values()
+    )
+
+
+def test_postings_match_oracle(catalog, oracle):
+    rows = catalog.read("postings").collect()
+    got = {(r["term"], r["doc_id"]): (r["tf"], list(r["positions"])) for r in rows}
+    exp = {
+        (t, d): (len(ps), ps)
+        for t, dp in oracle.postings.items()
+        for d, ps in dp.items()
+    }
+    assert len(got) == len(exp)
+    assert got == exp
+
+
+def test_dedup_first_wins(catalog, pages_rows):
+    urls = [r["url"] for r in pages_rows]
+    assert len(urls) > len(set(urls)), "fixture must contain duplicate urls"
+    meta = catalog.read("docmeta")
+    assert meta.count() == meta.select("url").distinct().count()
+
+
+def test_doc_ids_dense_and_sorted_by_url(catalog):
+    rows = catalog.read("docmeta").orderBy("doc_id").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert ids == list(range(len(rows)))
+    urls = [r["url"] for r in rows]
+    assert urls == sorted(urls)
+
+
+def test_title_terms_decorated(catalog):
+    post = catalog.read("postings")
+    n_title = post.filter(F.col("term").startswith("@")).count()
+    assert n_title > 0
+
+
+def test_lineage_written(catalog):
+    recs = catalog.lineage_records()
+    phases = {r["phase"] for r in recs}
+    assert {"p1_docs", "p3_docmeta", "p4_postings", "p5_stats"} <= phases
+    for r in recs:
+        assert r["total_rows"] == sum(p["rows"] for p in r["partitions"])

@@ -1,0 +1,42 @@
+"""Rank-identity (SURVEY.md §5.2 layer 5; the north-rule correctness gate):
+engine top-10 (doc_id, score) must equal the frozen pure-Python BM25 oracle
+rank-identically on the full query set, ties broken (score DESC, doc_id ASC).
+"""
+
+import pytest
+
+from search_engine_spark.sources.queryset import QUERIES
+
+
+def _run(engine, oracle, q, k=10, synonyms=False):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in engine.search(q, k=k, synonyms=synonyms).collect()
+    ]
+    exp = [(d, s) for d, s, _, _ in oracle.topk(q, k=k, synonyms=synonyms)]
+    assert [d for d, _ in got] == [d for d, _ in exp], (
+        f"query {q!r}: docs {got} vs {exp}"
+    )
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (
+            f"query {q!r} doc {gd}: score {gs} vs {es}"
+        )
+
+
+@pytest.mark.parametrize("qid,q", QUERIES)
+def test_rank_identity(engine, oracle, qid, q):
+    _run(engine, oracle, q)
+
+
+@pytest.mark.parametrize("q", ["connection", "search engine", "apple"])
+def test_rank_identity_with_synonyms(engine, oracle, q):
+    _run(engine, oracle, q, synonyms=True)
+
+
+def test_nonempty_results_for_head_terms(engine):
+    assert engine.search("search").count() > 0
+    assert engine.search("w0").count() > 0
+
+
+def test_stopword_query_empty(engine):
+    assert engine.search("the of and").count() == 0
