@@ -1,38 +1,101 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2 (+ training-data-pipeline extras), each with an exactly
+mirrored DuckDB oracle in `oracle_sql()`.  Implementations live in
+search_engine_spark/driver_queries.py.
+
+Two additional rows-only entries (no SQL oracle — they exercise the
+reference-parity HTML parser + nonstandard stemmer, which are not
+SQL-expressible) run the REAL engine end-to-end on the deterministic
+synthetic pages corpus: full index build + BM25 top-k.  Their correctness
+is separately enforced by the pytest rank-identity suite
+(tests/test_rank_identity.py) against a frozen pure-Python oracle.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+_ENGINE_CORPUS_DOCS = 300
+
+
+def _ensure_pythonpath(spark: SparkSession) -> None:
+    """Make the package importable inside executor workers of a session we
+    did not create (the driver's) — addPyFile a package zip, i.e. the
+    runtime equivalent of spark-submit --py-files."""
+    from search_engine_spark.session import ship_package
+
+    ship_package(spark)
+
+
+def _engine_catalog(spark: SparkSession):
+    """Build (or reuse) the real-engine index over the synthetic pages
+    corpus; warehouse cached under /tmp keyed by corpus size."""
+    _ensure_pythonpath(spark)
+    from search_engine_spark.operators.pipeline import run_build
+    from search_engine_spark.sources.pages import cached_pages
+
+    wh = f"/tmp/se_entry_wh_n{_ENGINE_CORPUS_DOCS}"
+    pages = spark.read.parquet(str(cached_pages(_ENGINE_CORPUS_DOCS)))
+    return run_build(spark, pages, wh, pack=False)
+
+
+def _engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: HTML extraction → stemmed postings → BM25 top-10
+    for the query 'search engine' (implicit AND + title decoration)."""
+    from search_engine_spark.plans.executor import QueryEngine
+
+    eng = QueryEngine.from_catalog(_engine_catalog(spark))
+    return eng.search("search engine", k=10)
+
+
+def _engine_postings_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine postings for a fixed stem, demonstrating @-title decoration
+    and position arrays from the reference-parity analyzer."""
+    from pyspark.sql import functions as F
+
+    cat = _engine_catalog(spark)
+    return (
+        cat.read("postings")
+        .filter(F.col("term").isin("search", "@search"))
+        .select("term", "doc_id", "tf", F.size("positions").alias("n_positions"))
+    )
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: conjunctive BM25 top-10 over the sf0.001 documents table."""
+    _ensure_pythonpath(spark)
+    from search_engine_spark.driver_queries import q_bm25_and
+
+    return q_bm25_and(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from search_engine_spark.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def g(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_pythonpath(spark)
+            return fn(spark, sf_dir)
+
+        return g
+
+    out = {name: wrap(fn) for name, (fn, _) in QUERIES.items()}
+    out["engine_bm25_topk"] = _engine_bm25_topk
+    out["engine_postings_sample"] = _engine_postings_sample
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from search_engine_spark.driver_queries import QUERIES
+
+    return {name: sql for name, (_, sql) in QUERIES.items()}

@@ -1,0 +1,634 @@
+"""Driver-contract queries: each entry implements one operator family from
+SURVEY.md §2 (or a training-data-pipeline extra) over the driver's testdata
+tables, with an exactly-mirrored DuckDB oracle SQL.
+
+Conventions that make the driver's order-insensitive value-hash compare work:
+* every computed column is aliased identically on both sides;
+* floating scores are rounded to 4 decimals on both sides AND ordering ties
+  are broken by ids, so top-k sets match even across libm ulp differences;
+* positions are 1-based on both sides (DuckDB generate_subscripts is
+  1-based; Spark posexplode pos+1).
+
+The *plain analyzer* used here (lowercase, split on [^a-z0-9]+) exists so the
+whole pipeline is expressible in ANSI SQL for the oracle; the engine's real
+analyzer (reference-parity parser + stemmer) is exercised by the pages-based
+entries (rows-only checks) and the pytest rank-identity suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.plans import bm25
+
+K1, B = bm25.K1, bm25.B
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = """
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text),
+                            '[^a-z0-9]+'), x -> x <> ''), 1) AS pos
+  FROM documents
+)"""
+
+_BM25_CORE_SQL = _TOKS_SQL + """,
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.term, tf.doc_id,
+         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+)"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, pos) with 1-based pos — plain analyzer."""
+    arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(arr).alias("p0", "term"))
+        .select("doc_id", "term", (F.col("p0") + 1).cast("long").alias("pos"))
+    )
+
+
+def _tf(spark, sf_dir) -> DataFrame:
+    return _tokens(spark, sf_dir).groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def _dl(spark, sf_dir) -> DataFrame:
+    return _tokens(spark, sf_dir).groupBy("doc_id").agg(F.count("*").alias("dl"))
+
+
+def _scored(spark, sf_dir) -> DataFrame:
+    """Mirror of the oracle's `scored` CTE, built from engine scoring exprs."""
+    tf = _tf(spark, sf_dir)
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "score",
+            bm25.idf_col(F.col("df"), n_docs)
+            * bm25.weight_col(F.col("tf"), F.col("dl"), avgdl),
+        )
+        .select("term", "doc_id", "score")
+    )
+
+
+def _r4(c) -> F.Column:
+    return F.round(c, 4)
+
+
+# ---------------------------------------------------------------------------
+# S/A: index build surface (postings, df, doclen, stats)
+# ---------------------------------------------------------------------------
+
+def q_postings(spark, sf_dir):
+    """A1: group-by-(term,doc_id) posting construction with positions."""
+    return _tokens(spark, sf_dir).groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.min("pos").alias("first_pos"),
+    )
+
+
+SQL_POSTINGS = f"""WITH {_TOKS_SQL}
+SELECT term, doc_id, count(*) AS tf, min(pos) AS first_pos
+FROM toks GROUP BY term, doc_id"""
+
+
+def q_term_df(spark, sf_dir):
+    """X1: per-term document frequency."""
+    return _tf(spark, sf_dir).groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+SQL_TERM_DF = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term"""
+
+
+def q_doclen(spark, sf_dir):
+    """X2/docmeta: BM25 doc length per doc."""
+    return _dl(spark, sf_dir).select("doc_id", F.col("dl").cast("long").alias("dl"))
+
+
+SQL_DOCLEN = f"""WITH {_TOKS_SQL}
+SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id"""
+
+
+def q_index_stats(spark, sf_dir):
+    """A7: corpus stats (exact at oracle scale)."""
+    toks = _tokens(spark, sf_dir)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    return dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        _r4(F.avg("dl")).alias("avgdl"),
+    ).crossJoin(
+        toks.agg(
+            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.count("*").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+SQL_INDEX_STATS = f"""WITH {_TOKS_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)
+SELECT (SELECT count(*) FROM dl) AS n_docs,
+       (SELECT round(avg(dl), 4) FROM dl) AS avgdl,
+       (SELECT count(DISTINCT term) FROM toks) AS n_terms,
+       (SELECT count(*) FROM toks) AS total_tokens"""
+
+
+# ---------------------------------------------------------------------------
+# X/R: BM25 query execution (single, AND, OR, NOT, phrase, top-k)
+# ---------------------------------------------------------------------------
+
+def _topk_sql(select_core: str, k: int = 10) -> str:
+    return f"""{select_core}
+ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def q_bm25_single(spark, sf_dir):
+    """X1+R7/R8: single-term BM25 top-10."""
+    s = _scored(spark, sf_dir).filter(F.col("term") == "merge")
+    return (
+        s.select("doc_id", _r4("score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_BM25_SINGLE = f"""WITH {_BM25_CORE_SQL}
+{_topk_sql("SELECT doc_id, round(score, 4) AS score FROM scored WHERE term = 'merge'")}"""
+
+
+def q_bm25_and(spark, sf_dir):
+    """X3: conjunction = inner join on doc_id, score = sum."""
+    s = _scored(spark, sf_dir)
+    a = s.filter(F.col("term") == "merge").select("doc_id", F.col("score").alias("sa"))
+    b = s.filter(F.col("term") == "join").select("doc_id", F.col("score").alias("sb"))
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", _r4(F.col("sa") + F.col("sb")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_BM25_AND = f"""WITH {_BM25_CORE_SQL},
+a AS (SELECT doc_id, score AS sa FROM scored WHERE term = 'merge'),
+b AS (SELECT doc_id, score AS sb FROM scored WHERE term = 'join')
+{_topk_sql("SELECT a.doc_id AS doc_id, round(a.sa + b.sb, 4) AS score FROM a JOIN b ON a.doc_id = b.doc_id")}"""
+
+
+def q_bm25_or(spark, sf_dir):
+    """X4: disjunction = full outer join, coalesced sum."""
+    s = _scored(spark, sf_dir)
+    a = s.filter(F.col("term") == "merge").select("doc_id", F.col("score").alias("sa"))
+    b = s.filter(F.col("term") == "join").select("doc_id", F.col("score").alias("sb"))
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            _r4(
+                F.coalesce(F.col("sa"), F.lit(0.0))
+                + F.coalesce(F.col("sb"), F.lit(0.0))
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_BM25_OR = f"""WITH {_BM25_CORE_SQL},
+a AS (SELECT doc_id, score AS sa FROM scored WHERE term = 'merge'),
+b AS (SELECT doc_id, score AS sb FROM scored WHERE term = 'join')
+{_topk_sql("SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, round(coalesce(a.sa, 0.0) + coalesce(b.sb, 0.0), 4) AS score FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id")}"""
+
+
+def q_bm25_not(spark, sf_dir):
+    """X6: anti-join NOT (the reference's unfinished operator, done right)."""
+    s = _scored(spark, sf_dir)
+    a = s.filter(F.col("term") == "merge").select("doc_id", "score")
+    b = s.filter(F.col("term") == "join").select("doc_id")
+    return (
+        a.join(b, "doc_id", "left_anti")
+        .select("doc_id", _r4("score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_BM25_NOT = f"""WITH {_BM25_CORE_SQL},
+a AS (SELECT doc_id, score FROM scored WHERE term = 'merge'),
+b AS (SELECT doc_id FROM scored WHERE term = 'join')
+{_topk_sql("SELECT doc_id, round(score, 4) AS score FROM a WHERE doc_id NOT IN (SELECT doc_id FROM b)")}"""
+
+
+def q_bm25_phrase(spark, sf_dir):
+    """X7: positional adjacency ('merge join'), phrase-tf BM25, query-time df."""
+    toks = _tokens(spark, sf_dir)
+    a = toks.filter(F.col("term") == "merge").select("doc_id", F.col("pos").alias("pa"))
+    b = toks.filter(F.col("term") == "join").select("doc_id", F.col("pos").alias("pb"))
+    starts = (
+        a.join(b, "doc_id")
+        .filter(F.col("pb") == F.col("pa") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("ptf"))
+    )
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    starts = starts.persist()
+    pdf = starts.count()
+    return (
+        starts.join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "ptf",
+            _r4(
+                F.lit(bm25.idf(pdf, stats["n"]))
+                * bm25.weight_col(F.col("ptf"), F.col("dl"), float(stats["avgdl"]))
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_BM25_PHRASE = f"""WITH {_TOKS_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+starts AS (
+  SELECT a.doc_id AS doc_id, count(*) AS ptf
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'merge' AND b.term = 'join'
+  GROUP BY a.doc_id
+),
+pdf AS (SELECT count(*) AS pdf FROM starts)
+{_topk_sql('''SELECT s.doc_id AS doc_id, s.ptf AS ptf,
+       round(ln((stats.n_docs - pdf.pdf + 0.5) / (pdf.pdf + 0.5) + 1.0)
+             * (s.ptf * (1.2 + 1.0))
+             / (s.ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 4) AS score
+FROM starts s JOIN dl ON s.doc_id = dl.doc_id CROSS JOIN stats CROSS JOIN pdf''')}"""
+
+
+def q_topk_tf(spark, sf_dir):
+    """R8: bounded top-k by raw tf (TakeOrderedAndProject)."""
+    return (
+        _tf(spark, sf_dir)
+        .filter(F.col("term") == "scan")
+        .select("doc_id", F.col("tf").cast("long").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_TOPK_TF = f"""WITH {_TOKS_SQL}
+SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'scan'
+GROUP BY doc_id ORDER BY tf DESC, doc_id ASC LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline extras: dedup, similarity, text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5-hash group-by, keeper = min doc_id."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """SELECT md5(text) AS text_md5, min(doc_id) AS keeper,
+count(*) AS n_copies FROM documents GROUP BY md5(text)"""
+
+
+def q_dedup_first_wins(spark, sf_dir):
+    """S2/E9: first-wins dedup via window (events: first per user+type)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+SQL_DEDUP_FIRST_WINS = """SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events) WHERE rn = 1"""
+
+
+_SHINGLES_SQL = _TOKS_SQL + """,
+shingles AS (
+  SELECT DISTINCT a.doc_id AS doc_id,
+         a.term || ' ' || b.term || ' ' || c.term AS sh
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+)"""
+
+
+def _shingles(spark, sf_dir):
+    t = _tokens(spark, sf_dir)
+    a = t.select("doc_id", F.col("pos").alias("p"), F.col("term").alias("t1"))
+    b = t.select("doc_id", (F.col("pos") - 1).alias("p"), F.col("term").alias("t2"))
+    c = t.select("doc_id", (F.col("pos") - 2).alias("p"), F.col("term").alias("t3"))
+    return (
+        a.join(b, ["doc_id", "p"]).join(c, ["doc_id", "p"])
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "t1", "t2", "t3").alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup detection: 3-gram shingle Jaccard via shared-shingle join
+    (the sparse trick — never materializes the full pair matrix)."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("da"), "sh")
+    b = sh.select(F.col("doc_id").alias("db"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb")), "db")
+        .select(
+            "da", "db",
+            _r4(
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), F.col("da").asc(), F.col("db").asc())
+        .limit(20)
+    )
+
+
+SQL_NGRAM_JACCARD = f"""WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT da, db,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+ORDER BY jaccard DESC, da ASC, db ASC LIMIT 20"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash signatures (4 salted md5 min-hashes over 3-gram shingles) —
+    the signature stage of MinHash-LSH dedup."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + ":"), F.col("sh")))).alias(f"sig{i}")
+        for i in range(4)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+SQL_MINHASH_SIGNATURE = f"""WITH {_SHINGLES_SQL}
+SELECT doc_id,
+       min(md5('0:' || sh)) AS sig0,
+       min(md5('1:' || sh)) AS sig1,
+       min(md5('2:' || sh)) AS sig2,
+       min(md5('3:' || sh)) AS sig3
+FROM shingles GROUP BY doc_id"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH banding: candidate pairs agreeing on any of the 4 signature bands
+    (band size 1) — the bucket-join stage of MinHash-LSH."""
+    sig = q_minhash_signature(spark, sf_dir)
+    pieces = []
+    for i in range(4):
+        s = sig.select("doc_id", F.col(f"sig{i}").alias("band"))
+        a = s.select(F.col("doc_id").alias("da"), "band")
+        b = s.select(F.col("doc_id").alias("db"), "band")
+        pieces.append(
+            a.join(b, "band").filter(F.col("da") < F.col("db")).select("da", "db")
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+SQL_MINHASH_LSH_PAIRS = f"""WITH {_SHINGLES_SQL},
+sig AS (
+  SELECT doc_id,
+         min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
+         min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sig0 AS band FROM sig UNION ALL
+  SELECT doc_id, sig1 FROM sig UNION ALL
+  SELECT doc_id, sig2 FROM sig UNION ALL
+  SELECT doc_id, sig3 FROM sig
+)
+SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id"""
+
+
+_EN_STOPS = "('the','a','an','and','or','of','to','in','is','it','for','on')"
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token count, mean token length, stopword ratio,
+    and an en/other language-ID heuristic from the stopword ratio."""
+    toks = _tokens(spark, sf_dir)
+    stops = [s.strip("'") for s in _EN_STOPS.strip("()").split(",")]
+    per = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        _r4(F.avg(F.length("term"))).alias("mean_tok_len"),
+        _r4(
+            F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0)) / F.count("*")
+        ).alias("stop_ratio"),
+    )
+    return per.select(
+        "doc_id", "n_tokens", "mean_tok_len", "stop_ratio",
+        (F.col("stop_ratio") >= 0.05).alias("pred_en"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""WITH {_TOKS_SQL}
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(length(term)), 4) AS mean_tok_len,
+       round(sum(CASE WHEN term IN {_EN_STOPS} THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS stop_ratio,
+       (round(sum(CASE WHEN term IN {_EN_STOPS} THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) >= 0.05) AS pred_en
+FROM toks GROUP BY doc_id"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over the normalized token stream."""
+    toks = _tokens(spark, sf_dir)
+    # collect_list order is not shuffle-stable: collect (pos, term) structs,
+    # array_sort by pos, then project terms — deterministic on any plan.
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "term"))),
+        lambda s: s["term"],
+    )
+    return toks.groupBy("doc_id").agg(
+        F.md5(F.concat_ws(" ", ordered)).alias("fp")
+    )
+
+
+SQL_FINGERPRINT = f"""WITH {_TOKS_SQL}
+SELECT doc_id, md5(string_agg(term, ' ' ORDER BY pos)) AS fp
+FROM toks GROUP BY doc_id"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Similarity search: brute-force cosine top-10 neighbors of vec 0
+    (F.zip_with dot product + aggregate norms, all JVM-side)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )  # accumulate in float64 on both sides (oracle casts to DOUBLE[])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = emb.filter(F.col("vec_id") != 0)
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            _r4(dot / (nrm("embedding") * nrm("qv"))).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+SQL_ANN_COSINE_TOPK = """WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+), q AS (SELECT embedding AS qv FROM emb WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id,
+       round(list_dot_product(e.embedding, q.qv)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+FROM emb e CROSS JOIN q WHERE e.vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+def q_events_window(spark, sf_dir):
+    """Streaming-style tumbling 1h window aggregation (batch equivalent of
+    the structured-streaming path)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _r4(F.sum("value")).alias("total"),
+        )
+    )
+
+
+SQL_EVENTS_WINDOW = """SELECT time_bucket(INTERVAL '1 hour', ts) AS win, event_type,
+count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_json(spark, sf_dir):
+    """Scalar-function surface: JSON extraction + arithmetic."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_sum"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_EVENTS_JSON = """SELECT event_type,
+CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+count(*) AS n FROM events GROUP BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "postings": (q_postings, SQL_POSTINGS),
+    "term_df": (q_term_df, SQL_TERM_DF),
+    "doclen": (q_doclen, SQL_DOCLEN),
+    "index_stats": (q_index_stats, SQL_INDEX_STATS),
+    "bm25_single": (q_bm25_single, SQL_BM25_SINGLE),
+    "bm25_and": (q_bm25_and, SQL_BM25_AND),
+    "bm25_or": (q_bm25_or, SQL_BM25_OR),
+    "bm25_not": (q_bm25_not, SQL_BM25_NOT),
+    "bm25_phrase": (q_bm25_phrase, SQL_BM25_PHRASE),
+    "topk_tf": (q_topk_tf, SQL_TOPK_TF),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_first_wins": (q_dedup_first_wins, SQL_DEDUP_FIRST_WINS),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "events_window": (q_events_window, SQL_EVENTS_WINDOW),
+    "events_json": (q_events_json, SQL_EVENTS_JSON),
+}

@@ -14,6 +14,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Make search_engine_spark importable on executors of an
+    already-running session: zip the package and addPyFile it — the runtime
+    equivalent of spark-submit --py-files (works on any cluster manager)."""
+    import zipfile
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent
+    zip_path = Path("/tmp") / "search_engine_spark_pkg.zip"
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for f in sorted(pkg.rglob("*.py")):
+                z.write(f, f"search_engine_spark/{f.relative_to(pkg)}")
+        tmp.rename(zip_path)
+    spark.sparkContext.addPyFile(str(zip_path))
+
+
 def get_spark(
     app_name: str = "search-engine-spark",
     master: str | None = None,
