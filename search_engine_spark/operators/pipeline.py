@@ -32,6 +32,7 @@ def run_build(
     warehouse: str,
     num_shards: int = 32,
     salt_buckets: int = 16,
+    merge_factor: int | None = None,
     force: bool = False,
     pack: bool = True,
 ) -> IndexCatalog:
@@ -69,7 +70,10 @@ def run_build(
     if pack and not cat.exists("postings_packed"):
         from search_engine_spark.operators import merge
 
-        merge.pack_and_merge(cat, num_shards=num_shards, salt_buckets=salt_buckets)
+        merge.pack_and_merge(
+            cat, num_shards=num_shards, salt_buckets=salt_buckets,
+            merge_factor=merge_factor,
+        )
         cat.log_phase("p6_packed", cat.read("postings_packed"))
 
     return cat

@@ -1,0 +1,288 @@
+"""Block-max WAND top-k over the packed physical index (SURVEY.md §7.1 M4).
+
+The packed layout (operators/merge.py) buckets every term's posting list by
+doc-id range, so query-time top-k distributes the way the reference's
+per-chunk ISR trees + k-way merge did (csolver.cpp:135-152): each bucket is
+an independent, exact top-k task; the global merge is Spark's
+TakeOrderedAndProject.  Within a bucket the kernel is a *vectorized*
+block-max evaluation — instead of the textbook document-at-a-time pointer
+walk (which would be per-row Python), doc space is cut at the union of the
+terms' 128-doc block boundaries, each interval gets the exact block-max
+upper bound Σ_t idf_t·maxw_t(block ∋ interval), and intervals are scored
+in descending-bound order until the bound falls below the running top-k
+threshold.  Pruning is lossless: bounds are exact maxima of the very same
+idf-free weights scored here, and an interval is skipped only when its
+bound is *strictly* below the kth score (ties keep both candidates, so the
+deterministic (score DESC, doc_id ASC) order matches the exhaustive path).
+
+Conjunctive (implicit-AND) queries use rarest-first intersection —
+df-ascending term order, the Spark analogue of the ranker's
+min-tf-term-drives heuristic (Ranker.cpp:79-92) — then exact scoring of
+the surviving candidates.
+
+Anything outside flat AND/OR word queries (phrases need positions, NOT
+needs complements, synonyms need weights) falls back to the exhaustive
+DataFrame executor (plans/executor.py), which is exact for everything.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.plans import bm25
+from search_engine_spark.plans.query_ast import And, Expr, Or, Word, compile_query
+
+
+# ---------------------------------------------------------------------------
+# pure-numpy kernels (unit-testable without Spark)
+# ---------------------------------------------------------------------------
+
+def _weights(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
+             k1: float, b: float) -> np.ndarray:
+    tf = tfs.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls / avgdl))
+
+
+def _topk_select(ids: np.ndarray, scores: np.ndarray, k: int):
+    """Deterministic (score DESC, doc_id ASC) top-k."""
+    if ids.size <= k:
+        order = np.lexsort((ids, -scores))
+        return ids[order], scores[order]
+    kth = -np.partition(-scores, k - 1)[k - 1]
+    mask = scores >= kth  # keep ALL ties at the kth score, then re-rank
+    idsm, sm = ids[mask], scores[mask]
+    order = np.lexsort((idsm, -sm))[:k]
+    return idsm[order], sm[order]
+
+
+def topk_or(terms: list[dict], dls: np.ndarray, start: int, k: int,
+            avgdl: float, k1: float = bm25.K1, b: float = bm25.B):
+    """Disjunctive block-max top-k for one bucket.
+
+    terms: [{ids, tfs, block_last, block_maxw, idf}] — processed in
+    deterministic key order by the caller so float accumulation order is
+    reproducible.
+    """
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0)
+    # intervals: union of all block boundaries → (left, right] doc ranges
+    bounds = np.unique(np.concatenate([t["block_last"] for t in terms]))
+    ubs = np.zeros(bounds.size)
+    for t in terms:
+        bidx = np.searchsorted(t["block_last"], bounds)
+        valid = bidx < t["block_maxw"].size
+        ubs[valid] += t["idf"] * t["block_maxw"][bidx[valid]]
+    order = np.argsort(-ubs, kind="stable")
+
+    best_ids = np.empty(0, np.int64)
+    best_scores = np.empty(0)
+    theta = -np.inf
+    for wi in order:
+        if best_ids.size >= k and ubs[wi] < theta:
+            break  # every remaining interval is bounded below the kth score
+        right = bounds[wi]
+        left = bounds[wi - 1] if wi > 0 else -1
+        cand_ids = []
+        cand_sc = []
+        for t in terms:
+            lo = np.searchsorted(t["ids"], left, side="right")
+            hi = np.searchsorted(t["ids"], right, side="right")
+            if lo == hi:
+                continue
+            ids = t["ids"][lo:hi]
+            w = _weights(t["tfs"][lo:hi], dls[ids - start], avgdl, k1, b)
+            cand_ids.append(ids)
+            cand_sc.append(t["idf"] * w)
+        if not cand_ids:
+            continue
+        ids = np.concatenate(cand_ids)
+        sc = np.concatenate(cand_sc)
+        uids, inv = np.unique(ids, return_inverse=True)
+        acc = np.zeros(uids.size)
+        np.add.at(acc, inv, sc)
+        best_ids = np.concatenate([best_ids, uids])
+        best_scores = np.concatenate([best_scores, acc])
+        best_ids, best_scores = _topk_select(best_ids, best_scores, k)
+        if best_ids.size >= k:
+            theta = best_scores[k - 1] if best_scores.size >= k else -np.inf
+    return best_ids, best_scores
+
+
+def topk_and(stems: list[str], by_key: dict[str, dict], dls: np.ndarray,
+             start: int, k: int, avgdl: float,
+             k1: float = bm25.K1, b: float = bm25.B):
+    """Conjunctive top-k: rarest-first intersection of per-stem (body ∪
+    title) match sets, then exact scoring of survivors."""
+    stem_sets = []
+    for s in stems:
+        parts = [by_key[key]["ids"] for key in (s, "@" + s) if key in by_key]
+        if not parts:
+            return np.empty(0, np.int64), np.empty(0)
+        ids = parts[0] if len(parts) == 1 else np.union1d(parts[0], parts[1])
+        stem_sets.append(ids)
+    stem_sets.sort(key=len)  # rarest first
+    cand = stem_sets[0]
+    for s_ids in stem_sets[1:]:
+        cand = np.intersect1d(cand, s_ids, assume_unique=True)
+        if cand.size == 0:
+            return np.empty(0, np.int64), np.empty(0)
+    scores = np.zeros(cand.size)
+    for key in sorted(by_key):  # deterministic accumulation order
+        t = by_key[key]
+        pos = np.searchsorted(t["ids"], cand)
+        pos_c = np.minimum(pos, t["ids"].size - 1)
+        present = t["ids"][pos_c] == cand
+        if not present.any():
+            continue
+        tf = t["tfs"][pos_c[present]]
+        ids = cand[present]
+        scores[present] += t["idf"] * _weights(tf, dls[ids - start], avgdl, k1, b)
+    return _topk_select(cand, scores, k)
+
+
+# ---------------------------------------------------------------------------
+# routing
+# ---------------------------------------------------------------------------
+
+def route(ast: Expr | None) -> tuple[str, list[str]] | None:
+    """('and'|'or', stems) for flat word-only trees, else None (fallback)."""
+    if ast is None:
+        return None
+    if isinstance(ast, Word):
+        return ("or", [ast.stem])
+
+    def flat(e: Expr, op) -> list[str] | None:
+        if isinstance(e, Word):
+            return [e.stem]
+        if isinstance(e, op):
+            l = flat(e.left, op)
+            r = flat(e.right, op)
+            if l is not None and r is not None:
+                return l + r
+        return None
+
+    for opname, op in (("and", And), ("or", Or)):
+        stems = flat(ast, op)
+        if stems is not None:
+            return (opname, stems)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Spark engine
+# ---------------------------------------------------------------------------
+
+class PackedQueryEngine:
+    """BM25 top-k over postings_packed; falls back to the exhaustive
+    executor for non-flat queries."""
+
+    def __init__(self, spark: SparkSession, packed: DataFrame, doclens: DataFrame,
+                 docmeta: DataFrame, n_docs: int, avgdl: float,
+                 fallback=None, k1: float = bm25.K1, b: float = bm25.B):
+        self.spark = spark
+        self.packed = packed
+        self.doclens = doclens
+        self.docmeta = docmeta
+        self.n_docs = int(n_docs)
+        self.avgdl = float(avgdl)
+        self.k1, self.b = k1, b
+        self.fallback = fallback
+
+    @classmethod
+    def from_catalog(cls, cat) -> "PackedQueryEngine":
+        from search_engine_spark.plans.executor import QueryEngine
+
+        stats = cat.read("index_stats").collect()[0]
+        return cls(
+            cat.spark,
+            cat.read("postings_packed"),
+            cat.read("doclens"),
+            cat.read("docmeta"),
+            stats["n_docs"],
+            stats["avgdl"],
+            fallback=QueryEngine.from_catalog(cat),
+        )
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "doc_id long, score double, url string, title string"
+        )
+
+    def search(self, query: str, k: int = 10, synonyms: bool = False) -> DataFrame:
+        ast = compile_query(query, synonyms=synonyms)
+        r = route(ast)
+        if r is None:
+            if ast is None:
+                return self._empty()
+            if self.fallback is None:
+                raise ValueError("non-flat query and no fallback engine")
+            return self.fallback.search_ast(ast, k=k)
+        mode, stems_all = r
+        # duplicate stems in the query ('apple | apples' → appl twice) score
+        # multiply, matching the exhaustive executor's per-leaf evaluation —
+        # fold the multiplicity into the per-key idf scale.
+        from collections import Counter
+
+        mult = Counter(stems_all)
+        stems = list(dict.fromkeys(stems_all))
+        keys = [key for s in stems for key in (s, "@" + s)]
+
+        # per-key global df → idf (tiny driver-side collect, ≤ 2|q| rows;
+        # the filter prunes to the keys' term-shard partitions)
+        rows = self.packed.filter(F.col("term").isin(keys))
+        dfmap = {
+            r["term"]: r["df"]
+            for r in rows.select("term", "df").distinct().collect()
+        }
+        if mode == "and" and any(
+            s not in dfmap and ("@" + s) not in dfmap for s in stems
+        ):
+            return self._empty()
+        if not dfmap:
+            return self._empty()
+        idf_map = {
+            t: bm25.idf(df, self.n_docs) * mult[t.removeprefix("@")]
+            for t, df in dfmap.items()
+        }
+
+        avgdl, k1, b = self.avgdl, self.k1, self.b
+        kk = k
+        mode_ = mode
+        stems_ = stems
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            start = int(pdf["start"].iloc[0])
+            dls = np.asarray(pdf["dls"].iloc[0], dtype=np.float64)
+            by_key: dict[str, dict] = {}
+            for r in pdf.itertuples(index=False):
+                from search_engine_spark.operators import codec
+
+                by_key[r.term] = {
+                    "ids": codec.decode_docids(bytes(r.doc_ids)),
+                    "tfs": codec.decode_tfs(bytes(r.tfs)),
+                    "block_last": np.asarray(r.block_last, dtype=np.int64),
+                    "block_maxw": np.asarray(r.block_maxw, dtype=np.float64),
+                    "idf": idf_map[r.term],
+                }
+            if mode_ == "and":
+                ids, scores = topk_and(stems_, by_key, dls, start, kk, avgdl, k1, b)
+            else:
+                terms = [by_key[key] for key in sorted(by_key)]
+                ids, scores = topk_or(terms, dls, start, kk, avgdl, k1, b)
+            return pd.DataFrame({"doc_id": ids, "score": scores})
+
+        per_bucket = (
+            rows.join(self.doclens, "bucket")
+            .groupBy("bucket")
+            .applyInPandas(kernel, schema="doc_id long, score double")
+        )
+        return (
+            per_bucket.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .join(self.docmeta.select("doc_id", "url", "title"), "doc_id")
+            .select("doc_id", "score", "url", "title")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )

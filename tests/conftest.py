@@ -41,9 +41,18 @@ def catalog(spark, pages_path, tmp_path_factory):
 
     wh = tmp_path_factory.mktemp("warehouse")
     pages = spark.read.parquet(pages_path)
-    cat = run_build(spark, pages, str(wh), num_shards=8, salt_buckets=4, pack=False)
+    # merge_factor=2 → the merge pass genuinely concatenates partial streams
+    cat = run_build(spark, pages, str(wh), num_shards=8, salt_buckets=4,
+                    merge_factor=2, pack=True)
     yield cat
     shutil.rmtree(wh, ignore_errors=True)
+
+
+@pytest.fixture(scope="session")
+def packed_engine(catalog):
+    from search_engine_spark.plans.wand import PackedQueryEngine
+
+    return PackedQueryEngine.from_catalog(catalog)
 
 
 @pytest.fixture(scope="session")

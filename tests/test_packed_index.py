@@ -1,0 +1,128 @@
+"""Packed physical index correctness (SURVEY.md §5.2 layer 4, M3):
+the salted pack + shuffle-merge must preserve the logical postings exactly,
+and the lineage/metrics + checkpoint/resume contract must hold."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators import codec
+
+
+@pytest.fixture(scope="module")
+def packed_rows(catalog):
+    return {
+        (r["term"], r["bucket"]): r
+        for r in catalog.read("postings_packed").collect()
+    }
+
+
+def test_packed_matches_logical_postings(catalog, packed_rows):
+    logical = {
+        r["term"]: r
+        for r in catalog.read("postings")
+        .groupBy("term")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("p"),
+            F.count("*").alias("df"),
+        )
+        .collect()
+    }
+    # reassemble each term from its (possibly several) bucket rows
+    by_term: dict[str, list] = {}
+    for (term, bucket), r in packed_rows.items():
+        by_term.setdefault(term, []).append(r)
+    assert set(by_term) == set(logical)
+    for term, rows in by_term.items():
+        rows.sort(key=lambda r: r["bucket"])
+        ids, tfs = [], []
+        for r in rows:
+            # each row's delta stream starts absolute → decode standalone
+            ids.append(codec.decode_docids(bytes(r["doc_ids"])))
+            tfs.append(codec.decode_tfs(bytes(r["tfs"])))
+            assert r["df"] == logical[term]["df"]  # global df on every row
+        got_ids = np.concatenate(ids)
+        got_tfs = np.concatenate(tfs)
+        want = logical[term]["p"]
+        assert np.array_equal(got_ids, np.array([x["doc_id"] for x in want]))
+        assert np.array_equal(got_tfs, np.array([x["tf"] for x in want]))
+
+
+def test_block_headers_bound_weights(catalog, packed_rows):
+    from search_engine_spark.plans import bm25
+
+    stats = catalog.read("index_stats").collect()[0]
+    avgdl = float(stats["avgdl"])
+    dl = {r["doc_id"]: r["dl"] for r in catalog.read("docmeta").collect()}
+    checked = 0
+    for r in list(packed_rows.values())[:200]:
+        ids = codec.decode_docids(bytes(r["doc_ids"]))
+        tfs = codec.decode_tfs(bytes(r["tfs"]))
+        last = np.asarray(r["block_last"])
+        maxw = np.asarray(r["block_maxw"])
+        assert int(last[-1]) == int(r["last_docid"])
+        w = np.array([bm25.weight(t, dl[d], avgdl) for d, t in zip(ids, tfs)])
+        bidx = np.searchsorted(last, ids)
+        assert (w <= maxw[bidx] + 1e-12).all()
+        checked += 1
+    assert checked
+
+
+def test_bucket_rows_respect_doc_ranges(catalog, packed_rows):
+    for (term, bucket), r in packed_rows.items():
+        ids = codec.decode_docids(bytes(r["doc_ids"]))
+        assert int(ids[0]) == r["first_docid"]
+        assert int(ids[-1]) == r["last_docid"]
+        assert (np.diff(ids) > 0).all()
+        assert r["n_docs"] == ids.size
+
+
+def test_shard_partitioning(catalog):
+    """term → one shard (df is complete per term) + hive layout on disk."""
+    packed = catalog.read("postings_packed")
+    multi = (
+        packed.groupBy("term")
+        .agg(F.countDistinct("shard").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert multi == 0
+    assert any(p.name.startswith("shard=") for p in catalog.path("postings_packed").iterdir()
+               if p.is_dir())
+
+
+def test_doclens_dense(catalog):
+    meta = {r["doc_id"]: r["dl"] for r in catalog.read("docmeta").collect()}
+    seen = 0
+    for r in catalog.read("doclens").collect():
+        start = r["start"]
+        for i, dl in enumerate(r["dls"]):
+            assert meta[start + i] == dl
+            seen += 1
+    assert seen == len(meta)
+
+
+def test_lineage_records_phases(catalog):
+    phases = {rec["phase"] for rec in catalog.lineage_records()}
+    assert {"p1_docs", "p3_docmeta", "p4_postings", "p5_stats",
+            "p6a_partials", "p6b_doclens", "p6_packed"} <= phases
+    for rec in catalog.lineage_records():
+        assert rec["total_rows"] == sum(p["rows"] for p in rec["partitions"])
+
+
+def test_resume_skips_completed_phases(catalog, spark, pages_path, tmp_path):
+    """Re-running the build over an existing warehouse must not rewrite
+    completed phases (checkpoint resume, north-rule requirement)."""
+    from search_engine_spark.operators.pipeline import run_build
+
+    before = {
+        t: (catalog.path(t) / "_SUCCESS").stat().st_mtime
+        for t in ("docs", "docmeta", "postings", "postings_packed")
+    }
+    pages = spark.read.parquet(pages_path)
+    run_build(spark, pages, str(catalog.warehouse), num_shards=8, salt_buckets=4)
+    after = {
+        t: (catalog.path(t) / "_SUCCESS").stat().st_mtime
+        for t in ("docs", "docmeta", "postings", "postings_packed")
+    }
+    assert before == after

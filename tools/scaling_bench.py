@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north rule: ≥0.8 throughput scaling
+efficiency from N to 4N executors).
+
+This sandbox has no real cluster, so the same jobs run at two parallelism
+levels — local[8] (N) and local[32] (4N) — over the SAME input, each in a
+fresh subprocess (its own JVM), and efficiency is
+
+    eff = (throughput_4N / throughput_N) / 4.
+
+Results are printed as JSON and appended to BENCH/BASELINE.md by
+tools/write_baseline.py.
+
+Usage: python tools/scaling_bench.py [--docs 20000] [--low 8] [--high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run_level(cpus: int, pages: str, docs: int, wh_root: str) -> dict:
+    """Build + query-bench at one parallelism level in a fresh process."""
+    env = {**os.environ, "SPARK_GRAFT_CPUS": str(cpus)}
+    wh = f"{wh_root}/wh_c{cpus}"
+    out = {}
+    r = subprocess.run(
+        [sys.executable, str(REPO / "jobs/build_index.py"),
+         "--pages", pages, "--warehouse", wh, "--force"],
+        env=env, capture_output=True, text=True, cwd=REPO, check=True,
+    )
+    out["build"] = json.loads(r.stdout.strip().splitlines()[-1])
+    r = subprocess.run(
+        [sys.executable, str(REPO / "jobs/query_bench.py"),
+         "--warehouse", wh, "--engine", "packed"],
+        env=env, capture_output=True, text=True, cwd=REPO, check=True,
+    )
+    out["query"] = json.loads(r.stdout.strip().splitlines()[-1])
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+
+    sys.path.insert(0, str(REPO))
+    from search_engine_spark.sources.pages import cached_pages
+
+    pages = str(cached_pages(args.docs))
+    with tempfile.TemporaryDirectory(prefix="se_scale_") as wh_root:
+        low = run_level(args.low, pages, args.docs, wh_root)
+        high = run_level(args.high, pages, args.docs, wh_root)
+
+    tp_low = low["build"]["docs_per_sec"]
+    tp_high = high["build"]["docs_per_sec"]
+    ratio = args.high / args.low
+    eff_build = (tp_high / tp_low) / ratio
+    qtp_low = low["query"]["n_queries"] / low["query"]["total_sec"]
+    qtp_high = high["query"]["n_queries"] / high["query"]["total_sec"]
+    eff_query = (qtp_high / qtp_low) / ratio
+
+    print(json.dumps({
+        "docs": args.docs,
+        "levels": {"N": args.low, "4N": args.high},
+        "build_docs_per_sec": {f"local[{args.low}]": tp_low,
+                               f"local[{args.high}]": tp_high},
+        "build_scaling_efficiency": round(eff_build, 3),
+        "query_qps": {f"local[{args.low}]": round(qtp_low, 3),
+                      f"local[{args.high}]": round(qtp_high, 3)},
+        "query_scaling_efficiency": round(eff_query, 3),
+        "query_p50_sec": {f"local[{args.low}]": low["query"]["p50_sec"],
+                          f"local[{args.high}]": high["query"]["p50_sec"]},
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
