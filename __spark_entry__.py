@@ -46,15 +46,16 @@ def _engine_catalog(spark: SparkSession):
 
     wh = f"/tmp/se_entry_wh_n{_ENGINE_CORPUS_DOCS}"
     pages = spark.read.parquet(str(cached_pages(_ENGINE_CORPUS_DOCS)))
-    return run_build(spark, pages, wh, pack=False)
+    return run_build(spark, pages, wh, pack=True)
 
 
 def _engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full engine path: HTML extraction → stemmed postings → BM25 top-10
-    for the query 'search engine' (implicit AND + title decoration)."""
-    from search_engine_spark.plans.executor import QueryEngine
+    """Full engine path: HTML extraction → stemmed postings → varbyte
+    packed index → block-max WAND BM25 top-10 for the query
+    'search engine' (implicit AND + title decoration)."""
+    from search_engine_spark.plans.wand import PackedQueryEngine
 
-    eng = QueryEngine.from_catalog(_engine_catalog(spark))
+    eng = PackedQueryEngine.from_catalog(_engine_catalog(spark))
     return eng.search("search engine", k=10)
 
 
@@ -68,6 +69,24 @@ def _engine_postings_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.read("postings")
         .filter(F.col("term").isin("search", "@search"))
         .select("term", "doc_id", "tf", F.size("positions").alias("n_positions"))
+    )
+
+
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only check): synthesize deterministic fake
+    media from the documents table, decode + feature-extract via
+    mapInPandas (the codec step is a documented stub; the Spark-side
+    schema/partitioning/batching is the real surface)."""
+    _ensure_pythonpath(spark)
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators import multimodal as M
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    feats = M.extract_features(M.synthesize_media(docs))
+    return feats.select(
+        "media_id", "kind", "width", "height", "n_bytes",
+        F.round(F.element_at("features", 1), 4).alias("f0"),
     )
 
 
@@ -92,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: wrap(fn) for name, (fn, _) in QUERIES.items()}
     out["engine_bm25_topk"] = _engine_bm25_topk
     out["engine_postings_sample"] = _engine_postings_sample
+    out["media_features"] = _media_features
     return out
 
 

@@ -606,6 +606,202 @@ CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
 count(*) AS n FROM events GROUP BY event_type"""
 
 
+def _hash16_col(term_col: str) -> F.Column:
+    """Portable 16-bit token hash: first 4 hex nibbles of md5 — identically
+    computable in DuckDB (which lacks conv()) via nibble arithmetic."""
+    return F.conv(F.substring(F.md5(F.col(term_col)), 1, 4), 16, 10).cast("int")
+
+
+_HASH16_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(term), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(term), 4, 1)) - 1))"
+)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash near-dup fingerprint: tf-weighted per-bit majority vote over
+    a 16-bit token hash (64-bit in the engine via xxhash64; 16-bit here so
+    the oracle can mirror the hash exactly).  All-JVM expressions."""
+    tf = _tf(spark, sf_dir).withColumn("h", _hash16_col("term"))
+    votes = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"c{b}")
+            for b in range(16)
+        ]
+    )
+    sig = None
+    for b in range(16):
+        term = F.when(F.col(f"c{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+SQL_SIMHASH = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+h AS (SELECT doc_id, tf, {_HASH16_SQL} AS h FROM tf),
+votes AS (
+  SELECT doc_id,
+         {", ".join(f"sum(tf * (CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) AS c{b}" for b in range(16))}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"(CASE WHEN c{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))} AS BIGINT) AS simhash
+FROM votes"""
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate candidates: top-20 most-similar
+    vector pairs (brute-force self-join; the scale path is q_ann_ivf's
+    bucketed variant)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    nrm = F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x))
+    emb = emb.select("vec_id", "e", nrm.alias("n"))
+    a = emb.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("n").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("n").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, F.col("va") < F.col("vb"))
+        .select("va", "vb", _r4(dot / (F.col("na") * F.col("nb"))).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("va").asc(), F.col("vb").asc())
+        .limit(20)
+    )
+
+
+SQL_EMBED_NEARDUP = """WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+)
+SELECT a.vec_id AS va, b.vec_id AS vb,
+       round(list_dot_product(a.e, b.e) / (a.n * b.n), 4) AS cos
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+ORDER BY cos DESC, va ASC, vb ASC LIMIT 20"""
+
+
+_LANG_WORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+}
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID n-gram/stopword heuristic: per-language marker-token
+    counts, argmax with fixed tie order en>de>fr, 'und' when no markers."""
+    toks = _tokens(spark, sf_dir)
+    per = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term").isin(*ws), 1).otherwise(0))
+            .cast("long").alias(f"n_{lang}")
+            for lang, ws in _LANG_WORDS.items()
+        ]
+    )
+    en, de, fr = F.col("n_en"), F.col("n_de"), F.col("n_fr")
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), "en")
+        .when((de >= fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return per.select("doc_id", "n_en", "n_de", "n_fr", pred.alias("pred_lang"))
+
+
+def _lang_sum_sql(lang: str) -> str:
+    ws = ",".join(f"'{w}'" for w in _LANG_WORDS[lang])
+    return f"CAST(sum(CASE WHEN term IN ({ws}) THEN 1 ELSE 0 END) AS BIGINT)"
+
+
+SQL_LANG_ID = f"""WITH {_TOKS_SQL},
+per AS (
+  SELECT doc_id, {_lang_sum_sql('en')} AS n_en, {_lang_sum_sql('de')} AS n_de,
+         {_lang_sum_sql('fr')} AS n_fr
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_en, n_de, n_fr,
+       CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+            WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+            WHEN n_fr > 0 THEN 'fr'
+            ELSE 'und' END AS pred_lang
+FROM per"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (alnum runs and single non-alnum marks as separate tokens)."""
+    txt = F.lower(F.col("text"))
+    ws = F.size(F.filter(F.split(txt, r"\s+"), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all(txt, F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """Bucketed (IVF/LSH-style) ANN: coarse partition by the sign pattern of
+    the first two dims, search only the query's bucket — the scale path
+    where brute force (q_ann_cosine_topk) is the accuracy baseline."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    bucket = (
+        (F.element_at("e", 1) > 0).cast("int") * 2
+        + (F.element_at("e", 2) > 0).cast("int")
+    )
+    emb = emb.select("vec_id", "e", bucket.alias("bucket"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qv"), F.col("bucket").alias("qb")
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .select("vec_id", _r4(dot / (nrm("e") * nrm("qv"))).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+SQL_ANN_IVF_TOPK = """WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END
+          + CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings
+), q AS (SELECT e AS qv, bucket AS qb FROM emb WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id,
+       round(list_dot_product(e.e, q.qv)
+             / (sqrt(list_dot_product(e.e, e.e))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+FROM emb e JOIN q ON e.bucket = q.qb
+WHERE e.vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -631,4 +827,9 @@ QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "events_window": (q_events_window, SQL_EVENTS_WINDOW),
     "events_json": (q_events_json, SQL_EVENTS_JSON),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
 }

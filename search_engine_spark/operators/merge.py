@@ -45,6 +45,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, LongType, StructField, StructType,
+)
 
 from search_engine_spark.operators import codec
 from search_engine_spark.plans import bm25
@@ -60,37 +63,82 @@ def shard_col(term_col="term", num_shards: int = 32):
     return F.pmod(F.xxhash64(F.col(term_col)), F.lit(num_shards)).cast("int")
 
 
-# --- vectorized encoders (Arrow batch in, binary out) ----------------------
+# --- vectorized encoders (Arrow batch in, struct out) ----------------------
+# NB: return types are DataType objects, not DDL strings — string types are
+# parsed via the JVM at decoration (import) time, which would make this
+# module unimportable before a SparkSession exists.  One struct-returning
+# UDF per pass (not one scalar UDF per output column) so each posting array
+# crosses the Arrow boundary exactly once; and scalar pandas UDFs (not
+# applyInPandas) so thousands of small per-term groups batch into a few
+# Arrow transfers instead of one pandas round-trip per group.
 
-@pandas_udf("binary")
-def _enc_docids(doc_ids: pd.Series) -> pd.Series:
-    return doc_ids.map(lambda a: codec.encode_docids(np.asarray(a, dtype=np.int64)))
-
-
-@pandas_udf("binary")
-def _enc_tfs(tfs: pd.Series) -> pd.Series:
-    return tfs.map(lambda a: codec.encode_tfs(np.asarray(a, dtype=np.int64)))
-
-
-@pandas_udf("array<long>")
-def _blk_last(doc_ids: pd.Series) -> pd.Series:
-    return doc_ids.map(
-        lambda a: codec.block_headers(
-            np.asarray(a, dtype=np.int64), np.zeros(len(a))
-        )[0]
-    )
+_ENC_T = StructType([
+    StructField("doc_ids", BinaryType()),
+    StructField("tfs", BinaryType()),
+    StructField("block_last", ArrayType(LongType())),
+    StructField("block_maxw", ArrayType(DoubleType())),
+])
 
 
-@pandas_udf("array<double>")
-def _blk_maxw(doc_ids: pd.Series, weights: pd.Series) -> pd.Series:
-    out = []
-    for d, w in zip(doc_ids, weights):
-        out.append(
-            codec.block_headers(
-                np.asarray(d, dtype=np.int64), np.asarray(w, dtype=np.float64)
-            )[1]
-        )
-    return pd.Series(out)
+@pandas_udf(_ENC_T)
+def _enc_posting(ids: pd.Series, tfs: pd.Series, ws: pd.Series) -> pd.DataFrame:
+    rows = []
+    for i, t, w in zip(ids, tfs, ws):
+        ia = np.asarray(i, dtype=np.int64)
+        last, maxw = codec.block_headers(ia, np.asarray(w, dtype=np.float64))
+        rows.append({
+            "doc_ids": codec.encode_docids(ia),
+            "tfs": codec.encode_tfs(np.asarray(t, dtype=np.int64)),
+            "block_last": last,
+            "block_maxw": maxw,
+        })
+    return pd.DataFrame(rows)
+
+
+_MERGED_T = StructType([
+    StructField("n_docs", LongType()),
+    StructField("doc_ids", BinaryType()),
+    StructField("tfs", BinaryType()),
+    StructField("block_last", ArrayType(LongType())),
+    StructField("block_maxw", ArrayType(DoubleType())),
+    StructField("first_docid", LongType()),
+    StructField("last_docid", LongType()),
+])
+
+
+@pandas_udf(_MERGED_T)
+def _merge_parts(parts: pd.Series) -> pd.DataFrame:
+    """Concatenate one term's bucket-ordered partial streams; only the first
+    varbyte group of each appended stream is rewritten (first-gap rebase) —
+    payloads are never decoded."""
+    rows = []
+    for plist in parts:
+        ids_buf = bytearray()
+        tfs_buf = bytearray()
+        blast: list[np.ndarray] = []
+        bmaxw: list[np.ndarray] = []
+        prev_last = None
+        n = 0
+        for p in plist:
+            chunk = bytes(p["doc_ids"])
+            if prev_last is not None:
+                chunk = codec.rebase_first_gap(chunk, prev_last)
+            ids_buf += chunk
+            tfs_buf += bytes(p["tfs"])
+            blast.append(np.asarray(p["block_last"], dtype=np.int64))
+            bmaxw.append(np.asarray(p["block_maxw"], dtype=np.float64))
+            prev_last = int(p["last_docid"])
+            n += int(p["n_docs"])
+        rows.append({
+            "n_docs": n,
+            "doc_ids": bytes(ids_buf),
+            "tfs": bytes(tfs_buf),
+            "block_last": np.concatenate(blast),
+            "block_maxw": np.concatenate(bmaxw),
+            "first_docid": int(plist[0]["first_docid"]),
+            "last_docid": prev_last,
+        })
+    return pd.DataFrame(rows)
 
 
 def pack_partials(
@@ -130,12 +178,13 @@ def pack_partials(
         "bucket",
         F.col("n_docs").alias("df_local"),
         "n_docs",
-        _enc_docids("_ids").alias("doc_ids"),
-        _enc_tfs("_tfs").alias("tfs"),
-        _blk_last("_ids").alias("block_last"),
-        _blk_maxw("_ids", "_ws").alias("block_maxw"),
+        _enc_posting("_ids", "_tfs", "_ws").alias("p"),
         F.element_at("_ids", 1).alias("first_docid"),
         F.element_at("_ids", -1).alias("last_docid"),
+    ).select(
+        "term", "shard", "bucket", "df_local", "n_docs",
+        "p.doc_ids", "p.tfs", "p.block_last", "p.block_maxw",
+        "first_docid", "last_docid",
     )
 
 
@@ -150,48 +199,30 @@ def merge_partials(partials: DataFrame, merge_factor: int) -> DataFrame:
     """
     df_global = partials.groupBy("term").agg(F.sum("df_local").alias("df"))
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket")
-        out_rows = []
-        for (term, shard, mbucket, df), g in pdf.groupby(
-            ["term", "shard", "mbucket", "df"], sort=True
-        ):
-            ids_buf = bytearray()
-            tfs_buf = bytearray()
-            blast: list[np.ndarray] = []
-            bmaxw: list[np.ndarray] = []
-            prev_last = None
-            for r in g.itertuples(index=False):
-                chunk = bytes(r.doc_ids)
-                if prev_last is not None:
-                    chunk = codec.rebase_first_gap(chunk, prev_last)
-                ids_buf += chunk
-                tfs_buf += bytes(r.tfs)
-                blast.append(np.asarray(r.block_last, dtype=np.int64))
-                bmaxw.append(np.asarray(r.block_maxw, dtype=np.float64))
-                prev_last = int(r.last_docid)
-            out_rows.append(
-                {
-                    "term": term,
-                    "shard": int(shard),
-                    "bucket": int(mbucket),
-                    "df": int(df),
-                    "n_docs": int(g["n_docs"].sum()),
-                    "doc_ids": bytes(ids_buf),
-                    "tfs": bytes(tfs_buf),
-                    "block_last": np.concatenate(blast) if blast else np.array([], dtype=np.int64),
-                    "block_maxw": np.concatenate(bmaxw) if bmaxw else np.array([]),
-                    "first_docid": int(g["first_docid"].iloc[0]),
-                    "last_docid": int(prev_last),
-                }
-            )
-        return pd.DataFrame(out_rows)
-
     with_key = partials.join(df_global, "term").withColumn(
         "mbucket", (F.col("bucket") / F.lit(merge_factor)).cast("int")
     )
-    return with_key.groupBy("term", "mbucket").applyInPandas(
-        merge_group, schema=PACKED_SCHEMA
+    # sort_array on array<struct> orders by leading field(s) → bucket order
+    grouped = with_key.groupBy("term", "shard", "mbucket", "df").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "bucket", "n_docs", "doc_ids", "tfs",
+                    "block_last", "block_maxw", "first_docid", "last_docid",
+                )
+            )
+        ).alias("parts")
+    )
+    return grouped.select(
+        "term",
+        "shard",
+        F.col("mbucket").alias("bucket"),
+        "df",
+        _merge_parts("parts").alias("m"),
+    ).select(
+        "term", "shard", "bucket", "df",
+        "m.n_docs", "m.doc_ids", "m.tfs", "m.block_last", "m.block_maxw",
+        "m.first_docid", "m.last_docid",
     )
 
 

@@ -71,18 +71,28 @@ POSTINGS = T.StructType([
     T.StructField("flags", T.IntegerType(), False),
 ])
 
-BLOCK = T.StructType([
-    T.StructField("last_doc_id", T.LongType(), False),
-    T.StructField("max_tf", T.IntegerType(), False),
-    T.StructField("offset", T.IntegerType(), False),  # byte offset into payload
-])
-
+# physical packed layout (operators/merge.py): term-sharded on disk,
+# doc-bucketed rows, varbyte payloads + block-max headers (parallel arrays
+# block_last/block_maxw — one entry per 128-doc block)
 POSTINGS_PACKED = T.StructType([
     T.StructField("term", T.StringType(), False),
     T.StructField("shard", T.IntegerType(), False),
-    T.StructField("df", T.LongType(), False),
-    T.StructField("blocks", T.ArrayType(BLOCK, False), False),
-    T.StructField("payload", T.BinaryType(), False),
+    T.StructField("bucket", T.IntegerType(), False),
+    T.StructField("df", T.LongType(), False),        # GLOBAL df for the term
+    T.StructField("n_docs", T.LongType(), False),    # postings in this row
+    T.StructField("doc_ids", T.BinaryType(), False), # varbyte(delta(ids))
+    T.StructField("tfs", T.BinaryType(), False),     # varbyte(tf-1)
+    T.StructField("block_last", T.ArrayType(T.LongType(), False), False),
+    T.StructField("block_maxw", T.ArrayType(T.DoubleType(), False), False),
+    T.StructField("first_docid", T.LongType(), False),
+    T.StructField("last_docid", T.LongType(), False),
+])
+
+# bucket-aligned dense doc-length rows (the query kernel's forward index)
+DOCLENS = T.StructType([
+    T.StructField("bucket", T.IntegerType(), False),
+    T.StructField("start", T.LongType(), False),
+    T.StructField("dls", T.ArrayType(T.IntegerType(), False), False),
 ])
 
 INDEX_STATS = T.StructType([
