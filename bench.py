@@ -93,15 +93,19 @@ def main() -> None:
     timings["engine_index_build"] = round(build_s, 4)
     docs_per_sec = BENCH_DOCS / build_s
 
-    # ---- real engine: query-set p50 top-10 BM25 latency ---------------------
-    from search_engine_spark.plans.executor import QueryEngine
+    # ---- real engine: query-set p50 top-10 BM25 latency (packed + WAND;
+    # phrase/NOT queries fall back to the exhaustive executor) --------------
+    from search_engine_spark.plans.wand import PackedQueryEngine
     from search_engine_spark.sources.queryset import QUERY_STRINGS
 
-    eng = QueryEngine.from_catalog(cat)
-    eng.postings = eng.postings.cache()
+    eng = PackedQueryEngine.from_catalog(cat)
+    eng.packed = eng.packed.cache()
+    eng.doclens = eng.doclens.cache()
     eng.docmeta = eng.docmeta.cache()
-    _force(eng.postings)
-    _force(eng.docmeta)
+    eng.fallback.postings = eng.fallback.postings.cache()
+    eng.fallback.docmeta = eng.docmeta
+    for df in (eng.packed, eng.doclens, eng.docmeta, eng.fallback.postings):
+        _force(df)
 
     lat = []
     for q in QUERY_STRINGS:

@@ -50,6 +50,13 @@ def main() -> None:
         pages_path = str(cached_pages(args.synth_docs))
 
     pages = spark.read.parquet(pages_path)
+    # extraction is a narrow map: its parallelism = input splits.  Small
+    # synthetic corpora come as one file with few row groups, which would
+    # cap the whole build below the core count; a real 100 TB lake has
+    # plentiful splits and this is a no-op.
+    target = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < target:
+        pages = pages.repartition(target)
     n_pages = pages.count()
     t0 = time.perf_counter()
     cat = run_build(

@@ -26,6 +26,11 @@ def main() -> None:
     ap.add_argument("--synonyms", action="store_true")
     ap.add_argument("--queries", help="file with one query per line "
                     "(default: the frozen reference set)")
+    ap.add_argument("--concurrency", type=int, default=1,
+                    help=">1: submit queries from a thread pool and report "
+                         "QPS (throughput mode); 1: sequential latencies")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="repeat the query set this many times")
     args = ap.parse_args()
 
     from search_engine_spark.session import get_spark, ship_package
@@ -59,8 +64,37 @@ def main() -> None:
 
         queries = QUERY_STRINGS
 
+    workload = queries * args.repeat
+
+    if args.concurrency > 1:
+        # throughput mode: Spark's scheduler interleaves the concurrent
+        # jobs across all cores — this is what scales with cluster size
+        # (single-query latency is scheduling-bound at small corpora)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(q: str) -> float:
+            t0 = time.perf_counter()
+            eng.search(q, k=args.k, synonyms=args.synonyms).collect()
+            return time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=args.concurrency) as ex:
+            lats = list(ex.map(one, workload))
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "job": "query_bench",
+            "engine": args.engine,
+            "mode": "throughput",
+            "concurrency": args.concurrency,
+            "n_queries": len(workload),
+            "wall_sec": round(wall, 4),
+            "qps": round(len(workload) / wall, 4),
+            "p50_sec": round(statistics.median(lats), 4),
+        }))
+        return
+
     lat = {}
-    for q in queries:
+    for q in workload:
         t0 = time.perf_counter()
         eng.search(q, k=args.k, synonyms=args.synonyms).collect()
         lat[q] = round(time.perf_counter() - t0, 4)

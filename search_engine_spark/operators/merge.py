@@ -270,3 +270,5 @@ def pack_and_merge(cat, num_shards: int = 32, salt_buckets: int = 16,
 
     merged = merge_partials(cat.read("postings_partial"), merge_factor)
     cat.write("postings_packed", merged, partition_by=["shard"])
+    cat.set_prop("num_shards", num_shards)
+    cat.set_prop("bucket_width", bucket_width * merge_factor)

@@ -3,8 +3,9 @@ lifecycle).
 
 Phases, each writing one catalog table and a lineage record:
 
-  p1_docs      pages → extract UDF → docs            (narrow map)
-  p2_docids    dedup first-wins + dense doc ids      (url shuffle)
+  p1_docs_raw  pages → extract UDF → docs_raw        (narrow map, no shuffle)
+  p2_docs      fused first-wins dedup + dense doc
+               ids in one range shuffle              (url shuffle)
   p3_docmeta   docmeta                               (narrow)
   p4_postings  posexplode + (term,doc_id) agg        (term,doc shuffle)
   p5_stats     index_stats                           (tiny agg)
@@ -42,13 +43,19 @@ def run_build(
         for t in ("docs", "docmeta", "postings", "index_stats", "postings_packed"):
             cat.drop(t)
 
+    if not cat.exists("docs_raw"):
+        # extraction is a pure narrow map; materializing it FIRST means the
+        # id-assignment range shuffle (whose partitioner samples its input)
+        # scans cheap parquet instead of re-running the extraction UDF
+        raw = extract.extract_docs(pages)
+        raw = extract.drop_overlong_titles(raw)
+        cat.write("docs_raw", raw)
+        cat.log_phase("p1_docs_raw", cat.read("docs_raw"))
+
     if not cat.exists("docs"):
-        docs = extract.extract_docs(pages)
-        docs = extract.drop_overlong_titles(docs)
-        docs = extract.dedup_first_wins(docs)
-        docs = docids.assign_doc_ids(docs)
+        docs = docids.dedup_assign_doc_ids(cat.read("docs_raw"))
         cat.write("docs", docs)
-        cat.log_phase("p1_docs", cat.read("docs"))
+        cat.log_phase("p2_docs", cat.read("docs"))
 
     docs = cat.read("docs")
 

@@ -180,7 +180,7 @@ class PackedQueryEngine:
     executor for non-flat queries."""
 
     def __init__(self, spark: SparkSession, packed: DataFrame, doclens: DataFrame,
-                 docmeta: DataFrame, n_docs: int, avgdl: float,
+                 docmeta: DataFrame, n_docs: int, avgdl: float, num_shards: int,
                  fallback=None, k1: float = bm25.K1, b: float = bm25.B):
         self.spark = spark
         self.packed = packed
@@ -188,6 +188,7 @@ class PackedQueryEngine:
         self.docmeta = docmeta
         self.n_docs = int(n_docs)
         self.avgdl = float(avgdl)
+        self.num_shards = int(num_shards)
         self.k1, self.b = k1, b
         self.fallback = fallback
 
@@ -203,6 +204,7 @@ class PackedQueryEngine:
             cat.read("docmeta"),
             stats["n_docs"],
             stats["avgdl"],
+            num_shards=int(cat.get_prop("num_shards", 32)),
             fallback=QueryEngine.from_catalog(cat),
         )
 
@@ -230,9 +232,20 @@ class PackedQueryEngine:
         stems = list(dict.fromkeys(stems_all))
         keys = [key for s in stems for key in (s, "@" + s)]
 
-        # per-key global df → idf (tiny driver-side collect, ≤ 2|q| rows;
-        # the filter prunes to the keys' term-shard partitions)
-        rows = self.packed.filter(F.col("term").isin(keys))
+        # shard ids of the query keys, computed driver-side with the
+        # Spark-parity xxh64 (functions/hashing.py — no extra Spark job);
+        # the term filter AND the shard filter together give true partition
+        # pruning: only the |q| shard directories are listed/scanned, the
+        # Spark analogue of the reference's per-term dictionary lookup
+        # (HashBlob.h:289-301)
+        from search_engine_spark.functions.hashing import term_shard
+
+        shards = sorted({term_shard(k, self.num_shards) for k in keys})
+
+        # per-key global df → idf (tiny driver-side collect, ≤ 2|q| rows)
+        rows = self.packed.filter(
+            F.col("shard").isin(shards) & F.col("term").isin(keys)
+        )
         dfmap = {
             r["term"]: r["df"]
             for r in rows.select("term", "df").distinct().collect()

@@ -78,6 +78,20 @@ class IndexCatalog:
         with lineage.open("a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    # --- table properties (Iceberg table-properties analogue) --------------
+
+    def set_prop(self, key: str, value) -> None:
+        p = self.warehouse / "properties.json"
+        props = json.loads(p.read_text()) if p.exists() else {}
+        props[key] = value
+        p.write_text(json.dumps(props))
+
+    def get_prop(self, key: str, default=None):
+        p = self.warehouse / "properties.json"
+        if not p.exists():
+            return default
+        return json.loads(p.read_text()).get(key, default)
+
     def lineage_records(self) -> list[dict]:
         p = self.warehouse / "lineage.jsonl"
         if not p.exists():

@@ -194,7 +194,7 @@ def _gen_batch(args: tuple[int, int, int, int]) -> list[dict]:
 
 
 def write_pages_parquet(path: str | Path, n_docs: int, seed: int = SEED,
-                        batch: int = 2000, processes: int | None = None) -> Path:
+                        batch: int = 500, processes: int | None = None) -> Path:
     """Materialize the corpus to one parquet file (pyarrow, no Spark).
 
     Generation is per-doc seeded, so batches are embarrassingly parallel and

@@ -104,7 +104,7 @@ def test_doclens_dense(catalog):
 
 def test_lineage_records_phases(catalog):
     phases = {rec["phase"] for rec in catalog.lineage_records()}
-    assert {"p1_docs", "p3_docmeta", "p4_postings", "p5_stats",
+    assert {"p1_docs_raw", "p2_docs", "p3_docmeta", "p4_postings", "p5_stats",
             "p6a_partials", "p6b_doclens", "p6_packed"} <= phases
     for rec in catalog.lineage_records():
         assert rec["total_rows"] == sum(p["rows"] for p in rec["partitions"])

@@ -8,7 +8,7 @@ import pytest
 from search_engine_spark.sources.queryset import QUERIES
 
 
-def _run(engine, oracle, q, k=10, synonyms=False):
+def _run(engine, oracle, q, k=10, synonyms=False, tol=1e-12):
     got = [
         (r["doc_id"], r["score"])
         for r in engine.search(q, k=k, synonyms=synonyms).collect()
@@ -18,7 +18,7 @@ def _run(engine, oracle, q, k=10, synonyms=False):
         f"query {q!r}: docs {got} vs {exp}"
     )
     for (gd, gs), (ed, es) in zip(got, exp):
-        assert gs == pytest.approx(es, rel=1e-12, abs=1e-12), (
+        assert gs == pytest.approx(es, rel=tol, abs=tol), (
             f"query {q!r} doc {gd}: score {gs} vs {es}"
         )
 
@@ -31,6 +31,14 @@ def test_rank_identity(engine, oracle, qid, q):
 @pytest.mark.parametrize("q", ["connection", "search engine", "apple"])
 def test_rank_identity_with_synonyms(engine, oracle, q):
     _run(engine, oracle, q, synonyms=True)
+
+
+@pytest.mark.parametrize("qid,q", QUERIES)
+def test_rank_identity_packed(packed_engine, oracle, qid, q):
+    """The physical path (varbyte + block-max WAND + fallbacks) must be
+    rank-identical to the oracle too; 1e-9 tolerance absorbs float addition
+    order inside the kernel."""
+    _run(packed_engine, oracle, q, tol=1e-9)
 
 
 def test_nonempty_results_for_head_terms(engine):

@@ -34,13 +34,17 @@ def run_level(cpus: int, pages: str, docs: int, wh_root: str) -> dict:
     out = {}
     r = subprocess.run(
         [sys.executable, str(REPO / "jobs/build_index.py"),
-         "--pages", pages, "--warehouse", wh, "--force"],
+         "--pages", pages, "--warehouse", wh, "--force",
+         # enough doc buckets that the pack groups AND the query kernel
+         # fan out past 4N cores
+         "--salt-buckets", "128", "--merge-factor", "4"],
         env=env, capture_output=True, text=True, cwd=REPO, check=True,
     )
     out["build"] = json.loads(r.stdout.strip().splitlines()[-1])
     r = subprocess.run(
         [sys.executable, str(REPO / "jobs/query_bench.py"),
-         "--warehouse", wh, "--engine", "packed"],
+         "--warehouse", wh, "--engine", "packed",
+         "--concurrency", "16", "--repeat", "3"],
         env=env, capture_output=True, text=True, cwd=REPO, check=True,
     )
     out["query"] = json.loads(r.stdout.strip().splitlines()[-1])
@@ -49,7 +53,7 @@ def run_level(cpus: int, pages: str, docs: int, wh_root: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--docs", type=int, default=100000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     args = ap.parse_args()
@@ -66,8 +70,8 @@ def main() -> None:
     tp_high = high["build"]["docs_per_sec"]
     ratio = args.high / args.low
     eff_build = (tp_high / tp_low) / ratio
-    qtp_low = low["query"]["n_queries"] / low["query"]["total_sec"]
-    qtp_high = high["query"]["n_queries"] / high["query"]["total_sec"]
+    qtp_low = low["query"]["qps"]
+    qtp_high = high["query"]["qps"]
     eff_query = (qtp_high / qtp_low) / ratio
 
     print(json.dumps({
