@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from search_engine_spark.schemas import TLD_CLASSES
+from search_engine_spark.schemas import TLD_CODE
 
 
 def tld_code_col(url_col: str = "url"):
@@ -28,9 +28,10 @@ def tld_code_col(url_col: str = "url"):
     13-way code, 'unknown' otherwise — pure column expressions."""
     host = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
     suffix = F.regexp_extract(host, r"\.([a-z0-9]+)$", 1)
-    expr = F.lit(len(TLD_CLASSES) - 1)  # unknown
-    for i, t in enumerate(TLD_CLASSES[:-1]):
-        expr = F.when(suffix == t, F.lit(i)).otherwise(expr)
+    expr = F.lit(0)  # UNKNOWN = 0 in the reference enum
+    for t, i in TLD_CODE.items():
+        if t != "unknown":
+            expr = F.when(suffix == t, F.lit(i)).otherwise(expr)
     return expr.cast("int")
 
 

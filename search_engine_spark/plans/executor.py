@@ -34,6 +34,25 @@ from search_engine_spark.plans.query_ast import (
 )
 
 
+def _ordered_stems(expr: Expr) -> list[str]:
+    """Leaf stems in left-to-right order (the reference's flattened ISR
+    term order, isr.cpp:656-674 — first term = query intent main term)."""
+    if isinstance(expr, Word):
+        return [expr.stem]
+    if isinstance(expr, Phrase):
+        return list(expr.effective_stems)
+    if isinstance(expr, (And, Or)):
+        return _ordered_stems(expr.left) + _ordered_stems(expr.right)
+    if isinstance(expr, Not):
+        return _ordered_stems(expr.child)
+    if isinstance(expr, OrSyn):
+        out = _ordered_stems(expr.original)
+        for s in expr.synonyms:
+            out += _ordered_stems(s)
+        return out
+    raise TypeError(type(expr))
+
+
 def _collect_keys(expr: Expr) -> set[str]:
     if isinstance(expr, Word):
         return {expr.stem, "@" + expr.stem}
@@ -223,7 +242,8 @@ class QueryEngine:
         )
 
     # -- public API ------------------------------------------------------------
-    def search_ast(self, ast: Expr | None, k: int = 10) -> DataFrame:
+    def search_ast(self, ast: Expr | None, k: int = 10,
+                   static_mode: bool = False) -> DataFrame:
         empty = self.spark.createDataFrame(
             [], "doc_id long, score double, url string, title string"
         )
@@ -234,6 +254,28 @@ class QueryEngine:
             return empty
         scored = self._scored(keys).persist()
         result = self._eval(ast, scored)
+        if static_mode:
+            # heuristic-parity mode (SURVEY §2.7 R2/R3/R7): mix in the
+            # reference's static page-quality score, prune static < 0.25
+            from search_engine_spark.plans import static_score as S
+
+            uq = S.is_utility_query(_ordered_stems(ast))
+            meta = self.docmeta.withColumn("_static", S.static_score_col(uq))
+            result = (
+                result.join(meta, "doc_id")
+                .filter(F.col("_static") >= S.STATIC_THRESHOLD)
+                .select(
+                    "doc_id",
+                    (
+                        F.col("score") * (1.0 - S.STATIC_MIX)
+                        + F.col("_static") * S.STATIC_MIX
+                    ).alias("score"),
+                    "url", "title",
+                )
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k)
+            )
+            return result
         return (
             result.join(self.docmeta.select("doc_id", "url", "title"), "doc_id")
             .select("doc_id", "score", "url", "title")
@@ -241,5 +283,8 @@ class QueryEngine:
             .limit(k)
         )
 
-    def search(self, query: str, k: int = 10, synonyms: bool = False) -> DataFrame:
-        return self.search_ast(compile_query(query, synonyms=synonyms), k=k)
+    def search(self, query: str, k: int = 10, synonyms: bool = False,
+               static_mode: bool = False) -> DataFrame:
+        return self.search_ast(
+            compile_query(query, synonyms=synonyms), k=k, static_mode=static_mode
+        )

@@ -213,8 +213,15 @@ class PackedQueryEngine:
             [], "doc_id long, score double, url string, title string"
         )
 
-    def search(self, query: str, k: int = 10, synonyms: bool = False) -> DataFrame:
+    def search(self, query: str, k: int = 10, synonyms: bool = False,
+               static_mode: bool = False) -> DataFrame:
         ast = compile_query(query, synonyms=synonyms)
+        if static_mode:
+            # static mixing invalidates the BM25-only WAND bounds → the
+            # exhaustive executor is the correct engine for parity mode
+            if self.fallback is None:
+                raise ValueError("static_mode requires the fallback engine")
+            return self.fallback.search_ast(ast, k=k, static_mode=True)
         r = route(ast)
         if r is None:
             if ast is None:

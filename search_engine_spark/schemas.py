@@ -110,9 +110,10 @@ LINEAGE = T.StructType([
     T.StructField("ts", T.TimestampType(), False),
 ])
 
-# reference 13-way TLD enum (HashBlob.h:29-56); order defines the int codes
+# reference 13-way TLD enum (HashBlob.h:30): codes are the enum order —
+# UNKNOWN=0, GOV, EDU, ORG, COM, NET, IO, INFO, BIZ, XYZ, TOP, US, DEV
 TLD_CLASSES = [
-    "com", "org", "net", "edu", "gov", "mil", "int",
-    "io", "co", "us", "uk", "info", "unknown",
+    "unknown", "gov", "edu", "org", "com", "net", "io",
+    "info", "biz", "xyz", "top", "us", "dev",
 ]
 TLD_CODE = {t: i for i, t in enumerate(TLD_CLASSES)}

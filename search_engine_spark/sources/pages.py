@@ -28,7 +28,14 @@ import random
 from pathlib import Path
 
 from search_engine_spark.functions.htmlparse import extracted_text, parse_html
-from search_engine_spark.schemas import TLD_CLASSES
+
+# FROZEN host-suffix pool: the corpus bytes must not change when the TLD
+# schema evolves (cached parquet + goldens key on content) — includes
+# suffixes outside the reference enum (mil/int/co/uk → UNKNOWN class)
+_HOST_TLDS = [
+    "com", "org", "net", "edu", "gov", "mil", "int",
+    "io", "co", "us", "uk", "info",
+]
 
 SEED = 42
 EPOCH = dt.datetime(2025, 10, 17, tzinfo=dt.timezone.utc)
@@ -96,7 +103,7 @@ class PagesGenerator:
         n_hosts = max(4, n_docs // 20)
         hrng = random.Random(f"{seed}:hosts")
         self.hosts = [
-            f"{self._host_name(hrng, i)}.{hrng.choice(TLD_CLASSES[:-1]) if hrng.random() > 0.08 else 'zz'}"
+            f"{self._host_name(hrng, i)}.{hrng.choice(_HOST_TLDS) if hrng.random() > 0.08 else 'zz'}"
             for i in range(n_hosts)
         ]
         self.host_cum = zipf_cum_weights(n_hosts, 1.2)
