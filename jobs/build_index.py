@@ -49,14 +49,21 @@ def main() -> None:
 
         pages_path = str(cached_pages(args.synth_docs))
 
-    pages = spark.read.parquet(pages_path)
     # extraction is a narrow map: its parallelism = input splits.  Small
-    # synthetic corpora come as one file with few row groups, which would
-    # cap the whole build below the core count; a real 100 TB lake has
-    # plentiful splits and this is a no-op.
-    target = spark.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < target:
-        pages = pages.repartition(target)
+    # synthetic corpora come as one file which the default 128 MB split
+    # size would carve into fewer pieces than cores; shrinking
+    # maxPartitionBytes yields enough row-group-aligned splits WITHOUT the
+    # full shuffle a repartition() would cost.  A real 100 TB lake has
+    # plentiful splits and this clamp is a no-op.
+    total_bytes = sum(
+        f.stat().st_size for f in Path(pages_path).rglob("*")
+        if f.is_file()
+    ) if Path(pages_path).is_dir() else Path(pages_path).stat().st_size
+    target = spark.sparkContext.defaultParallelism * 3
+    split = max(1 << 20, min(128 << 20, total_bytes // target))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
+    pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
     t0 = time.perf_counter()
     cat = run_build(

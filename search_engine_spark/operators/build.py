@@ -56,22 +56,31 @@ def build_docmeta(docs_with_ids: DataFrame) -> DataFrame:
 
 
 def build_postings(docs_with_ids: DataFrame) -> DataFrame:
-    """docs (+doc_id) → logical postings (term, doc_id, tf, positions, flags).
+    """docs (+doc_id) → logical postings (term, doc_id, dl, tf, positions,
+    flags).
 
     posexplode keeps the per-doc position, so phrase adjacency is exact.
     The groupBy(term, doc_id) is a standard two-phase hash agg; its key
     cardinality is O(total postings) with bounded group size.
+
+    ``dl`` (BM25 doc length) rides along from the pre-explode row — it is
+    functionally dependent on doc_id, so adding it to the group key is
+    free, and it saves the pack phase a postings×docmeta shuffle join
+    (the Lucene-norms-inline pattern; at 10^12 docs that join would be the
+    single biggest shuffle in the build).
     """
     exploded = docs_with_ids.select(
         "doc_id",
+        F.size("terms").cast("int").alias("dl"),
         F.posexplode(F.arrays_zip("terms", "flags")).alias("pos", "tz"),
     ).select(
         F.col("tz.terms").alias("term"),
         "doc_id",
+        "dl",
         F.col("pos").cast("int").alias("pos"),
         F.col("tz.flags").alias("flag"),
     )
-    return exploded.groupBy("term", "doc_id").agg(
+    return exploded.groupBy("term", "doc_id", "dl").agg(
         F.count("*").cast("int").alias("tf"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
         F.max("flag").cast("int").alias("flags"),

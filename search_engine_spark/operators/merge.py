@@ -143,16 +143,17 @@ def _merge_parts(parts: pd.Series) -> pd.DataFrame:
 
 def pack_partials(
     postings: DataFrame,
-    docmeta: DataFrame,
     avgdl: float,
     num_shards: int,
     bucket_width: int,
 ) -> DataFrame:
-    """p6a: logical postings → per-(term, doc_bucket) encoded partial rows."""
+    """p6a: logical postings → per-(term, doc_bucket) encoded partial rows.
+
+    No join: postings carry ``dl`` inline (build_postings), so the
+    per-posting weight is a pure column expression."""
     w = bm25.weight_col(F.col("tf"), F.col("dl"), avgdl)
     plist = (
-        postings.select("term", "doc_id", "tf")
-        .join(docmeta.select("doc_id", "dl"), "doc_id")
+        postings.select("term", "doc_id", "tf", "dl")
         .withColumn("weight", w)
         .withColumn("bucket", (F.col("doc_id") / F.lit(bucket_width)).cast("int"))
         .groupBy("term", "bucket")
@@ -254,9 +255,16 @@ def pack_and_merge(cat, num_shards: int = 32, salt_buckets: int = 16,
 
     if not cat.exists("postings_partial"):
         partials = pack_partials(
-            cat.read("postings"), cat.read("docmeta"), avgdl, num_shards, bucket_width
+            cat.read("postings"), avgdl, num_shards, bucket_width
         )
-        cat.write("postings_partial", partials, partition_by=["shard"])
+        # align rows to their shard before the partitioned write: otherwise
+        # every write task opens a file in every shard dir (tasks×shards
+        # small files — the classic dynamic-partition write explosion)
+        cat.write(
+            "postings_partial",
+            partials.repartition(num_shards, "shard"),
+            partition_by=["shard"],
+        )
         cat.log_phase(
             "p6a_partials",
             cat.read("postings_partial"),
@@ -269,6 +277,10 @@ def pack_and_merge(cat, num_shards: int = 32, salt_buckets: int = 16,
         cat.log_phase("p6b_doclens", cat.read("doclens"), {"bucket_width": mwidth})
 
     merged = merge_partials(cat.read("postings_partial"), merge_factor)
-    cat.write("postings_packed", merged, partition_by=["shard"])
+    cat.write(
+        "postings_packed",
+        merged.repartition(num_shards, "shard"),
+        partition_by=["shard"],
+    )
     cat.set_prop("num_shards", num_shards)
     cat.set_prop("bucket_width", bucket_width * merge_factor)

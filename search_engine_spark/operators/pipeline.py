@@ -37,50 +37,78 @@ def run_build(
     force: bool = False,
     pack: bool = True,
 ) -> IndexCatalog:
+    import time
+
     cat = IndexCatalog(spark, warehouse)
 
     if force:
-        for t in ("docs", "docmeta", "postings", "index_stats", "postings_packed"):
+        for t in ("docs_raw", "docs", "docmeta", "postings", "index_stats",
+                  "postings_partial", "doclens", "postings_packed"):
             cat.drop(t)
+
+    def timed(phase: str, fn) -> None:
+        t0 = time.perf_counter()
+        table = fn()
+        cat.log_phase(
+            phase, cat.read(table),
+            {"seconds": round(time.perf_counter() - t0, 2)},
+        )
 
     if not cat.exists("docs_raw"):
         # extraction is a pure narrow map; materializing it FIRST means the
         # id-assignment range shuffle (whose partitioner samples its input)
         # scans cheap parquet instead of re-running the extraction UDF
-        raw = extract.extract_docs(pages)
-        raw = extract.drop_overlong_titles(raw)
-        cat.write("docs_raw", raw)
-        cat.log_phase("p1_docs_raw", cat.read("docs_raw"))
+        def p1() -> str:
+            raw = extract.extract_docs(pages)
+            raw = extract.drop_overlong_titles(raw)
+            cat.write("docs_raw", raw)
+            return "docs_raw"
+
+        timed("p1_docs_raw", p1)
 
     if not cat.exists("docs"):
-        docs = docids.dedup_assign_doc_ids(cat.read("docs_raw"))
-        cat.write("docs", docs)
-        cat.log_phase("p2_docs", cat.read("docs"))
+        def p2() -> str:
+            cat.write("docs", docids.dedup_assign_doc_ids(cat.read("docs_raw")))
+            return "docs"
+
+        timed("p2_docs", p2)
 
     docs = cat.read("docs")
 
     if not cat.exists("docmeta"):
-        cat.write("docmeta", B.build_docmeta(docs))
-        cat.log_phase("p3_docmeta", cat.read("docmeta"))
+        def p3() -> str:
+            cat.write("docmeta", B.build_docmeta(docs))
+            return "docmeta"
+
+        timed("p3_docmeta", p3)
 
     if not cat.exists("postings"):
-        cat.write("postings", B.build_postings(docs))
-        cat.log_phase("p4_postings", cat.read("postings"))
+        def p4() -> str:
+            cat.write("postings", B.build_postings(docs))
+            return "postings"
+
+        timed("p4_postings", p4)
 
     if not cat.exists("index_stats"):
-        cat.write(
-            "index_stats",
-            B.build_index_stats(cat.read("docmeta"), cat.read("postings")),
-        )
-        cat.log_phase("p5_stats", cat.read("index_stats"))
+        def p5() -> str:
+            cat.write(
+                "index_stats",
+                B.build_index_stats(cat.read("docmeta"), cat.read("postings")),
+            )
+            return "index_stats"
+
+        timed("p5_stats", p5)
 
     if pack and not cat.exists("postings_packed"):
-        from search_engine_spark.operators import merge
+        def p6() -> str:
+            from search_engine_spark.operators import merge
 
-        merge.pack_and_merge(
-            cat, num_shards=num_shards, salt_buckets=salt_buckets,
-            merge_factor=merge_factor,
-        )
-        cat.log_phase("p6_packed", cat.read("postings_packed"))
+            merge.pack_and_merge(
+                cat, num_shards=num_shards, salt_buckets=salt_buckets,
+                merge_factor=merge_factor,
+            )
+            return "postings_packed"
+
+        timed("p6_packed", p6)
 
     return cat

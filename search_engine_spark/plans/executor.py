@@ -108,14 +108,13 @@ class QueryEngine:
 
     # -- scored postings for just this query's keys --------------------------
     def _scored(self, keys: set[str]) -> DataFrame:
+        # dl is inline in postings (build_postings) — no docmeta join
         filt = self.postings.filter(F.col("term").isin(*keys)).select(
-            "term", "doc_id", "tf", "positions"
+            "term", "doc_id", "tf", "positions", "dl"
         )
         dfmap = filt.groupBy("term").agg(F.count("*").alias("df"))
-        dl = self.docmeta.select("doc_id", "dl")
         return (
             filt.join(F.broadcast(dfmap), "term")
-            .join(dl, "doc_id")
             .withColumn(
                 "score",
                 bm25.idf_col(F.col("df"), self.n_docs)

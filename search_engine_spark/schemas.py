@@ -66,6 +66,7 @@ DOCMETA = T.StructType([
 POSTINGS = T.StructType([
     T.StructField("term", T.StringType(), False),
     T.StructField("doc_id", T.LongType(), False),
+    T.StructField("dl", T.IntegerType(), False),   # inline doc length (norms)
     T.StructField("tf", T.IntegerType(), False),
     T.StructField("positions", T.ArrayType(T.IntegerType(), False), False),
     T.StructField("flags", T.IntegerType(), False),

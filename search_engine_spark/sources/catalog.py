@@ -18,7 +18,6 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 class IndexCatalog:
@@ -54,18 +53,30 @@ class IndexCatalog:
 
     # --- lineage + metrics sidecars (north-rule requirement) ---------------
 
-    def log_phase(self, phase: str, df_out: DataFrame, extra: dict | None = None) -> None:
+    def log_phase(self, phase: str, df_out: DataFrame | str,
+                  extra: dict | None = None) -> None:
         """Record per-partition output row counts for a completed phase.
 
-        Reads back the just-written table so the numbers describe the
-        durable output, not a recomputation.  Appended as JSON lines —
-        cheap, append-only, and human-auditable.
+        Counts come from the written files' parquet FOOTERS (driver-side
+        pyarrow metadata read, one output file = one write partition) — no
+        Spark job and no data scan, so lineage costs O(files), not O(rows).
+        Appended as JSON lines — cheap, append-only, human-auditable.
         """
+        import pyarrow.parquet as pq
+
+        table = df_out if isinstance(df_out, str) else None
+        if table is None:
+            # derive the table dir from the DataFrame's input files
+            files = df_out.inputFiles()
+            paths = [f.removeprefix("file:") for f in files]
+        else:
+            paths = [str(p) for p in self.path(table).rglob("*.parquet")]
         per_part = [
-            {"partition_id": r["pid"], "rows": r["rows"]}
-            for r in df_out.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
+            {
+                "file": p.rsplit("/", 1)[-1],
+                "rows": pq.ParquetFile(p).metadata.num_rows,
+            }
+            for p in sorted(paths)
         ]
         rec = {
             "phase": phase,
