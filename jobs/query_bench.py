@@ -31,6 +31,9 @@ def main() -> None:
                          "QPS (throughput mode); 1: sequential latencies")
     ap.add_argument("--repeat", type=int, default=1,
                     help="repeat the query set this many times")
+    ap.add_argument("--batch", action="store_true",
+                    help="evaluate all (flat) queries in one Spark job via "
+                         "search_batch and report QPS")
     args = ap.parse_args()
 
     from search_engine_spark.session import get_spark, ship_package
@@ -65,6 +68,31 @@ def main() -> None:
         queries = QUERY_STRINGS
 
     workload = queries * args.repeat
+
+    if args.batch:
+        # one-job batch retrieval (PackedQueryEngine.search_batch): the
+        # executor-bound throughput shape — use for scaling measurements
+        if args.engine != "packed":
+            raise SystemExit("--batch requires --engine packed")
+        from search_engine_spark.plans.query_ast import compile_query
+        from search_engine_spark.plans.wand import route
+
+        routable = [q for q in queries if route(compile_query(q)) is not None]
+        workload = routable * args.repeat
+        t0 = time.perf_counter()
+        n_rows = eng.search_batch(workload, k=args.k,
+                                  synonyms=args.synonyms).count()
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "job": "query_bench",
+            "engine": "packed",
+            "mode": "batch",
+            "n_queries": len(workload),
+            "wall_sec": round(wall, 4),
+            "qps": round(len(workload) / wall, 4),
+            "result_rows": n_rows,
+        }))
+        return
 
     if args.concurrency > 1:
         # throughput mode: Spark's scheduler interleaves the concurrent

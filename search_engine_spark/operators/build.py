@@ -51,39 +51,37 @@ def build_docmeta(docs_with_ids: DataFrame) -> DataFrame:
         F.length("url").cast("int").alias("url_len"),
         "english",
         tld_code_col().alias("tld"),
-        F.size("terms").cast("int").alias("dl"),
+        F.col("dl").cast("int").alias("dl"),
     )
 
 
 def build_postings(docs_with_ids: DataFrame) -> DataFrame:
     """docs (+doc_id) → logical postings (term, doc_id, dl, tf, positions,
-    flags).
+    flags) — a NARROW explode, no shuffle.
 
-    posexplode keeps the per-doc position, so phrase adjacency is exact.
-    The groupBy(term, doc_id) is a standard two-phase hash agg; its key
-    cardinality is O(total postings) with bounded group size.
-
-    ``dl`` (BM25 doc length) rides along from the pre-explode row — it is
-    functionally dependent on doc_id, so adding it to the group key is
-    free, and it saves the pack phase a postings×docmeta shuffle join
-    (the Lucene-norms-inline pattern; at 10^12 docs that join would be the
-    single biggest shuffle in the build).
+    Per-doc posting entries (tf, sorted positions, max flag) were already
+    aggregated inside the extraction UDF (a (term, doc_id) group never
+    spans documents), so building the logical postings table is a narrow
+    explode over the flat parallel arrays + a positions slice.  This
+    removed the build's largest shuffle (posexplode → groupBy over every
+    token occurrence).  ``dl`` rides along inline (the Lucene-norms
+    pattern) so neither the pack phase nor the query path ever joins
+    docmeta for lengths.
     """
+    z = F.arrays_zip("p_terms", "p_tfs", "p_flags", "p_offs")
     exploded = docs_with_ids.select(
         "doc_id",
-        F.size("terms").cast("int").alias("dl"),
-        F.posexplode(F.arrays_zip("terms", "flags")).alias("pos", "tz"),
-    ).select(
-        F.col("tz.terms").alias("term"),
+        F.col("dl").cast("int").alias("dl"),
+        "p_poss",
+        F.explode(z).alias("e"),
+    )
+    return exploded.select(
+        F.col("e.p_terms").alias("term"),
         "doc_id",
         "dl",
-        F.col("pos").cast("int").alias("pos"),
-        F.col("tz.flags").alias("flag"),
-    )
-    return exploded.groupBy("term", "doc_id", "dl").agg(
-        F.count("*").cast("int").alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-        F.max("flag").cast("int").alias("flags"),
+        F.col("e.p_tfs").cast("int").alias("tf"),
+        F.slice("p_poss", F.col("e.p_offs") + 1, F.col("e.p_tfs")).alias("positions"),
+        F.col("e.p_flags").cast("int").alias("flags"),
     )
 
 

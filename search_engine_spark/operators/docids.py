@@ -1,19 +1,26 @@
-"""Deterministic dense 64-bit doc_id assignment, distributed.
+"""Deterministic dense 64-bit doc_id assignment + first-wins dedup,
+distributed and cache-free.
 
-The reference's docIDs are arrival-order uint32 per chunk (Indexer.hpp:418).
-We need a *deterministic* global id (rank-identity across runs and cluster
-sizes), assigned without any driver-side collect of data rows:
+The reference's docIDs are arrival-order uint32 per chunk
+(Indexer.hpp:418).  We need a *deterministic* global id (rank-identity
+across runs and cluster sizes), assigned without driver-side data
+collects and without caching the shuffled corpus:
 
-1. range-partition by ``url`` (dedup already guarantees url uniqueness),
-2. sort within partitions,
-3. count rows per partition (a tiny aggregate — one row per partition),
-4. broadcast the per-partition offsets and assign ``offset + row_index``
-   inside a single ``mapInPandas`` pass.
+  pass A (``sorted_dedup``): ONE range shuffle on url, partitions sorted
+    by (url, warc_ts, text); the first row of each url-run is the dedup
+    keeper (first-wins, HashBlob.h:105-116).  Keepers are written with
+    their partition id and row-rank-within-partition as columns — the
+    only state the id needs.
+  pass B (``stamp_doc_ids``): per-partition row counts come from the
+    written parquet FOOTERS (file part-N ↔ shuffle partition N, a
+    driver-side metadata read); doc_id = offset[_pid] + _row_in_part is
+    then a pure column expression — a narrow map, no second shuffle, no
+    persist().
 
-This is the standard distributed dense-ID pattern: two narrow passes, one
-range shuffle, no 2^32 cap, no global single-partition window.  doc_id is
-therefore the rank of ``url`` in lexicographic order — stable for a fixed
-corpus at any parallelism.
+doc_id is therefore the rank of ``url`` in lexicographic order — stable
+for a fixed corpus at any parallelism.  Caching the shuffled corpus
+(the previous design) thrashed executor storage memory at high task
+counts; footers made the counts free.
 """
 
 from __future__ import annotations
@@ -25,105 +32,89 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+SORT_COLS = ("url", "warc_ts", "text")
 
-def dedup_assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """First-wins url dedup + dense id assignment fused into ONE range
-    shuffle (vs a window shuffle + a range shuffle when run separately).
 
-    Range-partitioning by url puts all copies of a url in one partition;
-    sorting within partitions by (url, warc_ts, text) makes the first row
-    of each url-run the dedup keeper (the reference's first-wins rule,
-    HashBlob.h:105-116).  The counts pass counts distinct urls, the assign
-    pass emits only keepers with doc_id = partition offset + keeper rank.
-
-    IMPORTANT: feed this a *materialized* table (parquet/cached), not the
-    raw extraction pipeline — repartitionByRange runs a sampling job over
-    its input first, which would execute the extraction UDF twice.
-    """
+def sorted_dedup(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Range-shuffle + in-partition sort + first-wins dedup; adds
+    ``_pid`` and ``_row_in_part`` bookkeeping columns."""
     spark = docs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     parted = (
         docs.repartitionByRange(num_partitions, "url")
-        .sortWithinPartitions("url", "warc_ts", "text")
+        .sortWithinPartitions(*SORT_COLS)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parted.groupBy("_pid")
-        .agg(F.countDistinct("url").alias("cnt"))
-        .collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
 
     out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType(), False)] + docs.schema.fields
+        parted.schema.fields
+        + [T.StructField("_row_in_part", T.LongType(), False)]
     )
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def dedup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seen = 0
         prev_url = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["_pid"].iloc[0])
-            # keepers: first row of each url-run (runs never span batches
-            # out of order — batches arrive in partition sort order)
             is_first = pdf["url"].ne(pdf["url"].shift())
             if prev_url is not None:
                 is_first.iloc[0] = pdf["url"].iloc[0] != prev_url
             prev_url = pdf["url"].iloc[-1]
             keep = pdf[is_first].copy()
-            base = offsets[pid] + seen
+            keep["_row_in_part"] = range(seen, seen + len(keep))
             seen += len(keep)
-            keep.insert(0, "doc_id", range(base, base + len(keep)))
-            yield keep.drop(columns=["_pid"])
+            yield keep
 
-    return parted.mapInPandas(assign, schema=out_schema)
+    return parted.mapInPandas(dedup, schema=out_schema)
 
 
-def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    spark = docs.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+def partition_offsets_from_footers(table_dir) -> dict[int, int]:
+    """pid → starting doc_id, from parquet footers (no Spark job).
+    Spark names one output file per write task: part-<pid>-<uuid>…"""
+    import pyarrow.parquet as pq
+    from pathlib import Path
 
-    parted = docs.repartitionByRange(num_partitions, "url").sortWithinPartitions("url")
-    parted = parted.withColumn("_pid", F.spark_partition_id())
-    # Cache: the counts pass and the assignment pass must see identical
-    # partitioning. repartitionByRange samples its bounds deterministically
-    # from the same input, but caching avoids recomputing extraction.
-    parted = parted.persist()
-
-    counts = {
-        r["_pid"]: r["cnt"]
-        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets = {}
+    counts: dict[int, int] = {}
+    for p in Path(table_dir).glob("part-*.parquet"):
+        pid = int(p.name.split("-")[1])
+        counts[pid] = counts.get(pid, 0) + pq.ParquetFile(p).metadata.num_rows
+    offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    return offsets
 
-    out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType(), False)] + docs.schema.fields
+
+def stamp_doc_ids(sorted_docs: DataFrame, offsets: dict[int, int]) -> DataFrame:
+    """Narrow map: doc_id = offset[_pid] + _row_in_part (literal map
+    lookup — at cluster scale this is one small broadcast expression)."""
+    pairs = []
+    for pid, off in sorted(offsets.items()):
+        pairs += [F.lit(pid), F.lit(off)]
+    omap = F.create_map(*pairs) if pairs else F.create_map()
+    data_cols = [c for c in sorted_docs.columns if c not in ("_pid", "_row_in_part")]
+    return sorted_docs.select(
+        (omap[F.col("_pid")] + F.col("_row_in_part")).cast("long").alias("doc_id"),
+        *data_cols,
     )
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            base = offsets[pid] + seen
-            seen += len(pdf)
-            pdf = pdf.copy()
-            pdf.insert(0, "doc_id", range(base, base + len(pdf)))
-            yield pdf.drop(columns=["_pid"])
 
-    return parted.mapInPandas(assign, schema=out_schema)
+def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """One-shot (non-checkpointed) convenience path: dedup + stamp via a
+    temporary persist of the bookkeeping columns only.  The pipeline uses
+    the two-pass parquet route instead (operators/pipeline.py p2a/p2b)."""
+    dd = sorted_dedup(docs, num_partitions).persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in dd.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return stamp_doc_ids(dd, offsets)

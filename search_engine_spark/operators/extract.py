@@ -28,19 +28,50 @@ from search_engine_spark.functions.tokenize import doc_terms
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {
-            "url": [], "warc_ts": [], "text": [], "title": [], "terms": [],
-            "flags": [], "n_title_terms": [], "word_count": [], "title_len": [],
-            "english": [], "links": [],
+            "url": [], "warc_ts": [], "text": [], "title": [], "dl": [],
+            "p_terms": [], "p_tfs": [], "p_flags": [], "p_offs": [],
+            "p_poss": [], "n_title_terms": [], "word_count": [],
+            "title_len": [], "english": [], "links": [],
         }
         for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
             res = parse_html(bytes(html))
             terms, flags, n_title = doc_terms(res)
+            # per-doc posting aggregation HERE (tf, positions, max flag):
+            # the (term, doc_id) group never crosses a document, so doing
+            # it in the same Python pass removes the posexplode+groupBy
+            # shuffle entirely (the build's largest before this change).
+            # Layout is FLAT parallel primitive arrays (positions
+            # concatenated + per-term offsets): nested array<struct>
+            # columns cost ~3× in Arrow/parquet/shuffle.
+            agg: dict[str, list] = {}
+            for i, (t, fl) in enumerate(zip(terms, flags)):
+                e = agg.get(t)
+                if e is None:
+                    agg[t] = [1, [i], fl]
+                else:
+                    e[0] += 1
+                    e[1].append(i)
+                    if fl > e[2]:
+                        e[2] = fl
+            p_terms, p_tfs, p_flags, p_offs, p_poss = [], [], [], [], []
+            off = 0
+            for t, (tf, pos, fl) in agg.items():
+                p_terms.append(t)
+                p_tfs.append(tf)
+                p_flags.append(fl)
+                p_offs.append(off)
+                p_poss.extend(pos)
+                off += tf
             out["url"].append(url)
             out["warc_ts"].append(ts)
             out["text"].append(extracted_text(res).decode("utf-8", "replace"))
             out["title"].append(res.title_chunk.decode("utf-8", "replace"))
-            out["terms"].append(terms)
-            out["flags"].append(flags)
+            out["dl"].append(len(terms))
+            out["p_terms"].append(p_terms)
+            out["p_tfs"].append(p_tfs)
+            out["p_flags"].append(p_flags)
+            out["p_offs"].append(p_offs)
+            out["p_poss"].append(p_poss)
             out["n_title_terms"].append(n_title)
             out["word_count"].append(len(res.words) + len(res.title_words))
             out["title_len"].append(len(res.title_words))

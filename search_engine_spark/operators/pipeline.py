@@ -3,11 +3,14 @@ lifecycle).
 
 Phases, each writing one catalog table and a lineage record:
 
-  p1_docs_raw  pages → extract UDF → docs_raw        (narrow map, no shuffle)
-  p2_docs      fused first-wins dedup + dense doc
-               ids in one range shuffle              (url shuffle)
+  p1_docs_raw  pages → extract UDF → docs_raw        (narrow map, no shuffle;
+               per-doc posting entries pre-aggregated inside the UDF)
+  p2a_sorted   first-wins dedup in one range shuffle (url shuffle — the
+               build's only corpus-wide shuffle)
+  p2b_docs     dense doc-id stamp from parquet
+               footer offsets                        (narrow)
   p3_docmeta   docmeta                               (narrow)
-  p4_postings  posexplode + (term,doc_id) agg        (term,doc shuffle)
+  p4_postings  inline() per-doc postings             (narrow explode)
   p5_stats     index_stats                           (tiny agg)
   p6_packed    salted pack + shuffle-merge into
                term-sharded physical postings        (see merge.py)
@@ -42,8 +45,9 @@ def run_build(
     cat = IndexCatalog(spark, warehouse)
 
     if force:
-        for t in ("docs_raw", "docs", "docmeta", "postings", "index_stats",
-                  "postings_partial", "doclens", "postings_packed"):
+        for t in ("docs_raw", "docs_sorted", "docs", "docmeta", "postings",
+                  "index_stats", "postings_partial", "doclens",
+                  "postings_packed"):
             cat.drop(t)
 
     def timed(phase: str, fn) -> None:
@@ -66,12 +70,26 @@ def run_build(
 
         timed("p1_docs_raw", p1)
 
+    if not cat.exists("docs_sorted"):
+        # pass A: the build's ONE corpus-wide shuffle (range by url) with
+        # in-partition sort + first-wins dedup; bookkeeping columns carry
+        # everything id assignment needs
+        def p2a() -> str:
+            cat.write("docs_sorted", docids.sorted_dedup(cat.read("docs_raw")))
+            return "docs_sorted"
+
+        timed("p2a_docs_sorted", p2a)
+
     if not cat.exists("docs"):
-        def p2() -> str:
-            cat.write("docs", docids.dedup_assign_doc_ids(cat.read("docs_raw")))
+        # pass B: narrow id stamp; offsets from parquet footers (no job)
+        def p2b() -> str:
+            offsets = docids.partition_offsets_from_footers(cat.path("docs_sorted"))
+            cat.write(
+                "docs", docids.stamp_doc_ids(cat.read("docs_sorted"), offsets)
+            )
             return "docs"
 
-        timed("p2_docs", p2)
+        timed("p2b_docs", p2b)
 
     docs = cat.read("docs")
 
@@ -111,4 +129,5 @@ def run_build(
 
         timed("p6_packed", p6)
 
+    cat.write_metrics_tables()
     return cat

@@ -213,6 +213,106 @@ class PackedQueryEngine:
             [], "doc_id long, score double, url string, title string"
         )
 
+    def search_batch(self, queries: list[str], k: int = 10,
+                     synonyms: bool = False) -> DataFrame:
+        """Evaluate MANY flat queries in ONE Spark job → (query, doc_id,
+        score, rank ≤ k).
+
+        This is the throughput shape for offline/batch retrieval at
+        cluster scale: one scan of the union of the queries' shards, one
+        kernel task per doc bucket evaluating every query against the
+        bucket's decoded postings, then a per-query windowed top-k.  The
+        driver submits O(1) jobs regardless of |queries| — per-query
+        search() latency is scheduler-bound, this is not.  Non-flat
+        queries (phrases/NOT) are skipped here; route them via search().
+        """
+        plans: list[tuple[str, str, list[str]]] = []  # (query, mode, stems)
+        for q in queries:
+            r = route(compile_query(q, synonyms=synonyms))
+            if r is not None:
+                plans.append((q, r[0], r[1]))
+        if not plans:
+            return self.spark.createDataFrame(
+                [], "query string, doc_id long, score double, rank int"
+            )
+
+        from collections import Counter
+
+        from search_engine_spark.functions.hashing import term_shard
+
+        all_keys = sorted({
+            key for _, _, stems in plans for s in stems for key in (s, "@" + s)
+        })
+        shards = sorted({term_shard(key, self.num_shards) for key in all_keys})
+        rows = self.packed.filter(
+            F.col("shard").isin(shards) & F.col("term").isin(all_keys)
+        )
+        dfmap = {
+            r["term"]: r["df"]
+            for r in rows.select("term", "df").distinct().collect()
+        }
+        base_idf = {t: bm25.idf(df, self.n_docs) for t, df in dfmap.items()}
+
+        avgdl, k1, b, kk = self.avgdl, self.k1, self.b, k
+        plans_ = plans
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            from search_engine_spark.operators import codec
+
+            start = int(pdf["start"].iloc[0])
+            dls = np.asarray(pdf["dls"].iloc[0], dtype=np.float64)
+            decoded: dict[str, dict] = {}
+            for r in pdf.itertuples(index=False):
+                decoded[r.term] = {
+                    "ids": codec.decode_docids(bytes(r.doc_ids)),
+                    "tfs": codec.decode_tfs(bytes(r.tfs)),
+                    "block_last": np.asarray(r.block_last, dtype=np.int64),
+                    "block_maxw": np.asarray(r.block_maxw, dtype=np.float64),
+                }
+            out_q, out_d, out_s = [], [], []
+            for q, mode, stems in plans_:
+                mult = Counter(stems)
+                uniq = list(dict.fromkeys(stems))
+                by_key = {}
+                for s in uniq:
+                    for key in (s, "@" + s):
+                        if key in decoded and key in base_idf:
+                            by_key[key] = {
+                                **decoded[key],
+                                "idf": base_idf[key] * mult[s],
+                            }
+                if mode == "and":
+                    if any(
+                        s not in by_key and ("@" + s) not in by_key
+                        for s in uniq
+                    ):
+                        continue
+                    ids, scores = topk_and(uniq, by_key, dls, start, kk,
+                                           avgdl, k1, b)
+                else:
+                    terms = [by_key[key] for key in sorted(by_key)]
+                    ids, scores = topk_or(terms, dls, start, kk, avgdl, k1, b)
+                out_q.extend([q] * len(ids))
+                out_d.extend(ids.tolist())
+                out_s.extend(scores.tolist())
+            return pd.DataFrame({"query": out_q, "doc_id": out_d, "score": out_s})
+
+        from pyspark.sql import Window
+
+        per_bucket = (
+            rows.join(self.doclens, "bucket")
+            .groupBy("bucket")
+            .applyInPandas(kernel, schema="query string, doc_id long, score double")
+        )
+        w = Window.partitionBy("query").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            per_bucket.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query", "doc_id", "score", "rank")
+        )
+
     def search(self, query: str, k: int = 10, synonyms: bool = False,
                static_mode: bool = False) -> DataFrame:
         ast = compile_query(query, synonyms=synonyms)

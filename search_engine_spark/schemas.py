@@ -34,16 +34,26 @@ PAGES = T.StructType([
     T.StructField("lang", T.StringType(), False),
 ])
 
+# Per-doc pre-aggregated posting entries, computed inside the extraction
+# pass (a (term, doc_id) group never crosses a document, so no shuffle is
+# needed to build them).  Stored as FLAT parallel primitive arrays —
+# p_terms[i] has tf p_tfs[i], max style flag p_flags[i], and positions
+# p_poss[p_offs[i] : p_offs[i]+p_tfs[i]] — because nested array<struct>
+# columns cost ~3× through Arrow/parquet/shuffle.  Positions index the
+# per-doc sequence of surviving (post-stem, non-stopword) terms — title
+# terms first as '@'-decorated, then body — mirroring the reference's
+# per-doc location interval (Indexer.hpp:403-445).
 DOCS = T.StructType([
     T.StructField("url", T.StringType(), False),
     T.StructField("warc_ts", T.TimestampType(), False),
     T.StructField("text", T.StringType(), False),
     T.StructField("title", T.StringType(), False),
-    # surviving (post-stem, non-stopword) terms; title terms first with '@',
-    # then body terms — positions are indexes into this sequence, mirroring
-    # the reference's per-doc location interval (Indexer.hpp:403-445)
-    T.StructField("terms", T.ArrayType(T.StringType(), False), False),
-    T.StructField("flags", T.ArrayType(T.IntegerType(), False), False),
+    T.StructField("dl", T.IntegerType(), False),  # surviving-term count
+    T.StructField("p_terms", T.ArrayType(T.StringType(), False), False),
+    T.StructField("p_tfs", T.ArrayType(T.IntegerType(), False), False),
+    T.StructField("p_flags", T.ArrayType(T.IntegerType(), False), False),
+    T.StructField("p_offs", T.ArrayType(T.IntegerType(), False), False),
+    T.StructField("p_poss", T.ArrayType(T.IntegerType(), False), False),
     T.StructField("n_title_terms", T.IntegerType(), False),
     T.StructField("word_count", T.IntegerType(), False),   # pre-stem, title+body
     T.StructField("title_len", T.IntegerType(), False),    # title word count

@@ -23,12 +23,14 @@ def ship_package(spark: SparkSession) -> None:
 
     pkg = Path(__file__).resolve().parent
     zip_path = Path("/tmp") / "search_engine_spark_pkg.zip"
-    if not zip_path.exists():
+    sources = sorted(pkg.rglob("*.py"))
+    newest = max(f.stat().st_mtime for f in sources)
+    if not zip_path.exists() or zip_path.stat().st_mtime < newest:
         tmp = zip_path.with_suffix(".tmp")
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
-            for f in sorted(pkg.rglob("*.py")):
+            for f in sources:
                 z.write(f, f"search_engine_spark/{f.relative_to(pkg)}")
-        tmp.rename(zip_path)
+        tmp.rename(zip_path)  # atomic: concurrent sessions see old or new
     spark.sparkContext.addPyFile(str(zip_path))
 
 
@@ -48,10 +50,27 @@ def get_spark(
     if pkg_root not in pp.split(":"):
         os.environ["PYTHONPATH"] = f"{pkg_root}:{pp}" if pp else pkg_root
 
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    # SPARK_GRAFT_EXECUTORS=N → local-cluster[N, cores, mem]: N separate
+    # executor JVMs on this box.  This is the faithful "N executors vs 4N
+    # executors" shape for scaling runs — a single local[K] JVM stops
+    # scaling past ~16 threads on allocator/GC contention regardless of
+    # cores.  Cluster deployments pass --master explicitly instead.
+    execs = os.environ.get("SPARK_GRAFT_EXECUTORS")
+    if master is None and execs:
+        ec = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "4"))
+        em = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "6144"))
+        import pyspark
+
+        os.environ.setdefault("SPARK_HOME", pyspark.__path__[0])
+        master = f"local-cluster[{execs},{ec},{em}]"
+        cpus = int(execs) * ec
+    else:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = max(8, cpus)
+        # 3 waves per stage: single-wave (partitions == cores) makes every
+        # stage straggler-bound; AQE coalesces the small ones back down
+        shuffle_partitions = max(8, cpus * 3)
 
     b = (
         SparkSession.builder.appName(app_name)

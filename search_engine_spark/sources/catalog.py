@@ -103,6 +103,50 @@ class IndexCatalog:
             return default
         return json.loads(p.read_text()).get(key, default)
 
+    def write_metrics_tables(self) -> None:
+        """Materialize the append-only lineage JSONL as queryable tables:
+        ``lineage`` (one row per phase) and ``metrics`` (one row per
+        phase × output file, with row counts) — the north-rule sidecar
+        tables.  Idempotent; call after a build completes."""
+        recs = self.lineage_records()
+        if not recs:
+            return
+        lineage_rows = [
+            {
+                "phase": r["phase"],
+                "ts": r["ts"],
+                "total_rows": int(r["total_rows"]),
+                "n_partitions": len(r.get("partitions", [])),
+                "seconds": float(r["seconds"]) if "seconds" in r else None,
+            }
+            for r in recs
+        ]
+        metrics_rows = [
+            {
+                "phase": r["phase"],
+                "ts": r["ts"],
+                "file": p.get("file", str(p.get("partition_id", ""))),
+                "rows": int(p["rows"]),
+            }
+            for r in recs
+            for p in r.get("partitions", [])
+        ]
+        spark = self.spark
+        self.write(
+            "lineage",
+            spark.createDataFrame(
+                lineage_rows,
+                "phase string, ts string, total_rows long, "
+                "n_partitions int, seconds double",
+            ),
+        )
+        self.write(
+            "metrics",
+            spark.createDataFrame(
+                metrics_rows, "phase string, ts string, file string, rows long"
+            ),
+        )
+
     def lineage_records(self) -> list[dict]:
         p = self.warehouse / "lineage.jsonl"
         if not p.exists():

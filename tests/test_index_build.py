@@ -67,6 +67,6 @@ def test_title_terms_decorated(catalog):
 def test_lineage_written(catalog):
     recs = catalog.lineage_records()
     phases = {r["phase"] for r in recs}
-    assert {"p1_docs_raw", "p2_docs", "p3_docmeta", "p4_postings", "p5_stats"} <= phases
+    assert {"p1_docs_raw", "p2a_docs_sorted", "p2b_docs", "p3_docmeta", "p4_postings", "p5_stats"} <= phases
     for r in recs:
         assert r["total_rows"] == sum(p["rows"] for p in r["partitions"])

@@ -104,10 +104,26 @@ def test_doclens_dense(catalog):
 
 def test_lineage_records_phases(catalog):
     phases = {rec["phase"] for rec in catalog.lineage_records()}
-    assert {"p1_docs_raw", "p2_docs", "p3_docmeta", "p4_postings", "p5_stats",
+    assert {"p1_docs_raw", "p2a_docs_sorted", "p2b_docs", "p3_docmeta", "p4_postings", "p5_stats",
             "p6a_partials", "p6b_doclens", "p6_packed"} <= phases
     for rec in catalog.lineage_records():
         assert rec["total_rows"] == sum(p["rows"] for p in rec["partitions"])
+
+
+def test_metrics_tables(catalog):
+    """lineage + metrics sidecar TABLES (north rule) materialized from the
+    per-phase records, queryable like any other table."""
+    from pyspark.sql import functions as F
+
+    lin = {r["phase"]: r for r in catalog.read("lineage").collect()}
+    assert {"p1_docs_raw", "p2a_docs_sorted", "p4_postings", "p6_packed"} <= set(lin)
+    met = catalog.read("metrics")
+    per_phase = {
+        r["phase"]: r["rows"]
+        for r in met.groupBy("phase").agg(F.sum("rows").alias("rows")).collect()
+    }
+    for phase, row in lin.items():
+        assert per_phase[phase] == row["total_rows"], phase
 
 
 def test_resume_skips_completed_phases(catalog, spark, pages_path, tmp_path):

@@ -108,6 +108,19 @@ def test_packed_engine_matches_exhaustive(engine, packed_engine, query):
     )
 
 
+def test_search_batch_matches_per_query(packed_engine):
+    """One-job batch evaluation must equal per-query search results."""
+    routable = [q for q in QUERY_STRINGS
+                if wand.route(compile_query(q)) is not None]
+    batch = packed_engine.search_batch(routable, k=10).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(batch, key=lambda r: (r["query"], r["rank"])):
+        by_q.setdefault(r["query"], []).append((r["doc_id"], round(r["score"], 9)))
+    for q in routable:
+        want = _rows(packed_engine.search(q, k=10))
+        assert by_q.get(q, []) == want, q
+
+
 def test_packed_engine_fallback_paths(engine, packed_engine):
     for q in ['"search engine"', "search - engine", "engine - (crawler | parser)"]:
         got = _rows(packed_engine.search(q, k=10))

@@ -44,10 +44,58 @@ def run_level(cpus: int, pages: str, docs: int, wh_root: str) -> dict:
     r = subprocess.run(
         [sys.executable, str(REPO / "jobs/query_bench.py"),
          "--warehouse", wh, "--engine", "packed",
-         "--concurrency", "16", "--repeat", "3"],
+         "--batch", "--repeat", "10"],
         env=env, capture_output=True, text=True, cwd=REPO, check=True,
     )
     out["query"] = json.loads(r.stdout.strip().splitlines()[-1])
+    r = subprocess.run(
+        [sys.executable, str(REPO / "jobs/query_bench.py"),
+         "--warehouse", wh, "--engine", "packed"],
+        env=env, capture_output=True, text=True, cwd=REPO, check=True,
+    )
+    out["latency"] = json.loads(r.stdout.strip().splitlines()[-1])
+    return out
+
+
+def _cpu_burn(n):
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _mem_burn(seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1000, 3_000_000)
+    for _ in range(10):
+        a = a + (np.cumsum(np.sort(a)) % 255)[: len(a)]
+    return int(a[0])
+
+
+def hardware_ceiling(low: int, high: int) -> dict:
+    """This box's own scaling ceiling for the two workload classes that
+    bound a Spark build: interpreter/compute-bound and memory-bandwidth-
+    bound.  A single-host 'cluster' shares one memory bus — real cluster
+    nodes do not — so engine efficiency must be read against this."""
+    import multiprocessing as mp
+    import time
+
+    cpu_burn, mem_burn = _cpu_burn, _mem_burn
+
+    out = {}
+    for name, fn, arg, work in (
+        ("cpu_bound", cpu_burn, 2_000_000, 96),
+        ("membw_bound", mem_burn, None, 64),
+    ):
+        ts = {}
+        for procs in (low, high):
+            with mp.Pool(procs) as p:
+                t0 = time.perf_counter()
+                p.map(fn, [arg] * work if arg else range(work))
+                ts[procs] = time.perf_counter() - t0
+        out[name] = round((ts[low] / ts[high]) / (high / low), 3)
     return out
 
 
@@ -56,6 +104,7 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=100000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--skip-calibration", action="store_true")
     args = ap.parse_args()
 
     sys.path.insert(0, str(REPO))
@@ -83,8 +132,12 @@ def main() -> None:
         "query_qps": {f"local[{args.low}]": round(qtp_low, 3),
                       f"local[{args.high}]": round(qtp_high, 3)},
         "query_scaling_efficiency": round(eff_query, 3),
-        "query_p50_sec": {f"local[{args.low}]": low["query"]["p50_sec"],
-                          f"local[{args.high}]": high["query"]["p50_sec"]},
+        "query_p50_sec": {f"local[{args.low}]": low["latency"]["p50_sec"],
+                          f"local[{args.high}]": high["latency"]["p50_sec"]},
+        "hardware_ceiling_efficiency": (
+            None if args.skip_calibration
+            else hardware_ceiling(args.low, args.high)
+        ),
     }, indent=2))
 
 
