@@ -85,6 +85,19 @@ def build_postings(docs_with_ids: DataFrame) -> DataFrame:
     )
 
 
+def link_graph(docs: DataFrame) -> DataFrame:
+    """S6 link emitter (Parser.cpp:466-488): the parser's resolved outlinks
+    as a (src_url, dst_url) edge table — the crawler-frontier side output.
+    The reference round-robins links to frontier sockets; the Spark shape
+    is an explode + optional dedup, written to a frontier table.  Link
+    URLs were already lowercased + base-resolved by the extraction parser
+    (HtmlParser.cpp:23-30, sendLinksList)."""
+    return (
+        docs.select(F.col("url").alias("src_url"), F.explode("links").alias("dst_url"))
+        .distinct()
+    )
+
+
 def build_index_stats(docmeta: DataFrame, postings: DataFrame) -> DataFrame:
     """Corpus stats for BM25 (N, avgdl) + audit counters.
 

@@ -64,6 +64,17 @@ def test_title_terms_decorated(catalog):
     assert n_title > 0
 
 
+def test_link_graph(catalog):
+    """S6: outlink edge table from the parsed links side output."""
+    from search_engine_spark.operators.build import link_graph
+
+    edges = link_graph(catalog.read("docs")).collect()
+    assert edges
+    for r in edges[:50]:
+        assert r["dst_url"].startswith("http")
+        assert r["dst_url"] == r["dst_url"].lower()  # parser lowercases E1
+
+
 def test_lineage_written(catalog):
     recs = catalog.lineage_records()
     phases = {r["phase"] for r in recs}
