@@ -247,12 +247,8 @@ class PackedQueryEngine:
         rows = self.packed.filter(
             F.col("shard").isin(shards) & F.col("term").isin(all_keys)
         )
-        dfmap = {
-            r["term"]: r["df"]
-            for r in rows.select("term", "df").distinct().collect()
-        }
-        base_idf = {t: bm25.idf(df, self.n_docs) for t, df in dfmap.items()}
 
+        n_docs = self.n_docs
         avgdl, k1, b, kk = self.avgdl, self.k1, self.b, k
         plans_ = plans
 
@@ -268,6 +264,8 @@ class PackedQueryEngine:
                     "tfs": codec.decode_tfs(bytes(r.tfs)),
                     "block_last": np.asarray(r.block_last, dtype=np.int64),
                     "block_maxw": np.asarray(r.block_maxw, dtype=np.float64),
+                    # every packed row carries the term's GLOBAL df
+                    "base_idf": bm25.idf(int(r.df), n_docs),
                 }
             out_q, out_d, out_s = [], [], []
             for q, mode, stems in plans_:
@@ -276,10 +274,10 @@ class PackedQueryEngine:
                 by_key = {}
                 for s in uniq:
                     for key in (s, "@" + s):
-                        if key in decoded and key in base_idf:
+                        if key in decoded:
                             by_key[key] = {
                                 **decoded[key],
-                                "idf": base_idf[key] * mult[s],
+                                "idf": decoded[key]["base_idf"] * mult[s],
                             }
                 if mode == "and":
                     if any(
@@ -349,29 +347,21 @@ class PackedQueryEngine:
 
         shards = sorted({term_shard(k, self.num_shards) for k in keys})
 
-        # per-key global df → idf (tiny driver-side collect, ≤ 2|q| rows)
         rows = self.packed.filter(
             F.col("shard").isin(shards) & F.col("term").isin(keys)
         )
-        dfmap = {
-            r["term"]: r["df"]
-            for r in rows.select("term", "df").distinct().collect()
-        }
-        if mode == "and" and any(
-            s not in dfmap and ("@" + s) not in dfmap for s in stems
-        ):
-            return self._empty()
-        if not dfmap:
-            return self._empty()
-        idf_map = {
-            t: bm25.idf(df, self.n_docs) * mult[t.removeprefix("@")]
-            for t, df in dfmap.items()
-        }
 
+        # no driver-side df collect: every packed row carries its term's
+        # GLOBAL df, so idf is computed inside the kernel — one Spark job
+        # per query, not two.  A bucket where an AND-stem is absent emits
+        # nothing, which is exactly the conjunctive semantics (all of a
+        # doc's postings share its bucket).
+        n_docs = self.n_docs
         avgdl, k1, b = self.avgdl, self.k1, self.b
         kk = k
         mode_ = mode
         stems_ = stems
+        mult_ = dict(mult)
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             start = int(pdf["start"].iloc[0])
@@ -385,7 +375,8 @@ class PackedQueryEngine:
                     "tfs": codec.decode_tfs(bytes(r.tfs)),
                     "block_last": np.asarray(r.block_last, dtype=np.int64),
                     "block_maxw": np.asarray(r.block_maxw, dtype=np.float64),
-                    "idf": idf_map[r.term],
+                    "idf": bm25.idf(int(r.df), n_docs)
+                    * mult_[r.term.removeprefix("@")],
                 }
             if mode_ == "and":
                 ids, scores = topk_and(stems_, by_key, dls, start, kk, avgdl, k1, b)
