@@ -390,9 +390,13 @@ class PackedQueryEngine:
             .groupBy("bucket")
             .applyInPandas(kernel, schema="doc_id long, score double")
         )
+        topk = per_bucket.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(k)
+        # broadcast the k-row side: url/title attachment must never shuffle
+        # docmeta (its scan is column-pruned to 3 columns either way)
         return (
-            per_bucket.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(k)
+            F.broadcast(topk)
             .join(self.docmeta.select("doc_id", "url", "title"), "doc_id")
             .select("doc_id", "score", "url", "title")
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())

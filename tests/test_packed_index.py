@@ -110,6 +110,28 @@ def test_lineage_records_phases(catalog):
         assert rec["total_rows"] == sum(p["rows"] for p in rec["partitions"])
 
 
+def test_resume_after_midbuild_kill(spark, pages_path, tmp_path):
+    """SURVEY §5.2 layer 6: a build killed between phases continues from
+    the last durable phase and produces identical final tables."""
+    import shutil
+
+    from search_engine_spark.operators.pipeline import run_build
+
+    wh = tmp_path / "wh_kill"
+    pages = spark.read.parquet(pages_path)
+    # phase 1-5 only ("killed" before pack)
+    run_build(spark, pages, str(wh), num_shards=8, salt_buckets=4, pack=False)
+    docs_mtime = (wh / "docs" / "_SUCCESS").stat().st_mtime
+    # resume: completes pack without touching earlier phases
+    cat = run_build(spark, pages, str(wh), num_shards=8, salt_buckets=4,
+                    merge_factor=2, pack=True)
+    assert (wh / "docs" / "_SUCCESS").stat().st_mtime == docs_mtime
+    assert cat.exists("postings_packed")
+    n = cat.read("postings_packed").count()
+    assert n > 0
+    shutil.rmtree(wh, ignore_errors=True)
+
+
 def test_metrics_tables(catalog):
     """lineage + metrics sidecar TABLES (north rule) materialized from the
     per-phase records, queryable like any other table."""

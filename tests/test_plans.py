@@ -60,6 +60,24 @@ def test_docs_scan_prunes_columns(spark, pages_path):
     assert "html" not in rs and "text" not in rs
 
 
+def test_pack_phase_never_reads_positions(catalog):
+    """The BM25 pack path must column-prune the heavy positions array out
+    of its parquet scan (SURVEY §7.2: positions only serve phrases)."""
+    from search_engine_spark.operators import merge
+
+    df = merge.pack_partials(catalog.read("postings"), avgdl=100.0,
+                             num_shards=8, bucket_width=100)
+    plan = _explain(df)
+    rs = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "positions" not in rs
+    assert "tf" in rs and "dl" in rs
+
+
+def test_topk_docmeta_join_is_broadcast(packed_engine):
+    plan = _explain(packed_engine.search("search engine", k=10))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_packed_query_matches_after_shard_pruning(engine, packed_engine):
     got = [
         (r["doc_id"], round(r["score"], 9))
