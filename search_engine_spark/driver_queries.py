@@ -802,6 +802,36 @@ WHERE e.vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min) of the events table — the batch
+    twin of the stateful streaming operator (streaming/sessionize.py)."""
+    from search_engine_spark.streaming.sessionize import batch_sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = batch_sessionize(ev, gap_minutes=30)
+    return s.select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        _r4("total").alias("total"),
+    )
+
+
+SQL_SESSIONIZE = """WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+           AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS total
+FROM sid GROUP BY user_id, session_id"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -832,4 +862,5 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
 }

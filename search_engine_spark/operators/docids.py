@@ -103,6 +103,50 @@ def stamp_doc_ids(sorted_docs: DataFrame, offsets: dict[int, int]) -> DataFrame:
     )
 
 
+def dense_ids_by_key(df: DataFrame, key: str = "url",
+                     num_partitions: int | None = None) -> DataFrame:
+    """Add ``new_id`` = dense 0-based rank of ``key`` (which must be
+    unique per row) — the generic re-key primitive the streaming
+    consolidation uses to converge on the batch pipeline's id space.
+    Distributed: one range shuffle + a counts pass over the slim
+    projection, then an in-partition stamp."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = (
+        df.repartitionByRange(num_partitions, key)
+        .sortWithinPartitions(key)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("new_id", T.LongType(), False)]
+    )
+
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])] + seen
+            seen += len(pdf)
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["new_id"] = range(base, base + len(pdf))
+            yield pdf
+
+    return parted.mapInPandas(stamp, schema=out_schema)
+
+
 def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """One-shot (non-checkpointed) convenience path: dedup + stamp via a
     temporary persist of the bookkeeping columns only.  The pipeline uses

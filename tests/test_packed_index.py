@@ -77,6 +77,28 @@ def test_bucket_rows_respect_doc_ranges(catalog, packed_rows):
         assert r["n_docs"] == ids.size
 
 
+def test_head_term_salting_bounds_groups(catalog, packed_rows):
+    """North rule: explicit skew handling.  The doc-range salt must split
+    head terms (df ≫ bucket width) across multiple rows, each bounded by
+    the bucket width — no task ever materializes a whole head posting
+    list."""
+    props_width = catalog.get_prop("bucket_width")
+    assert props_width
+    by_term: dict[str, list] = {}
+    for (term, bucket), r in packed_rows.items():
+        by_term.setdefault(term, []).append(r)
+    head = max(by_term.items(), key=lambda kv: sum(x["n_docs"] for x in kv[1]))
+    term, rows = head
+    df = sum(r["n_docs"] for r in rows)
+    assert df > props_width  # corpus genuinely has a head term
+    assert len(rows) > 1, f"head term {term} not salted"
+    for r in rows:
+        assert r["n_docs"] <= props_width
+        # and the bucket's doc range matches its id
+        assert r["first_docid"] // props_width == r["bucket"]
+        assert r["last_docid"] // props_width == r["bucket"]
+
+
 def test_shard_partitioning(catalog):
     """term → one shard (df is complete per term) + hive layout on disk."""
     packed = catalog.read("postings_packed")

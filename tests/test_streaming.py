@@ -42,11 +42,11 @@ def test_incremental_index_drains_and_resumes(spark, stream_dirs):
     ingest.incremental_index(spark, str(src), str(wh), str(ckpt))
     docs1 = cat.read("docmeta_stream").count()
     assert docs1 > docs0
-    # stable ids: stream doc_id = xxhash64(url), 1:1 with urls
+    # stable ids: stream doc_id = xxhash64(url, warc_ts), 1:1 with fetches
     meta = cat.read("docmeta_stream")
     assert (
         meta.select("doc_id").distinct().count()
-        == meta.select("url").distinct().count()
+        == meta.select("url", "warc_ts").distinct().count()
     )
 
 
@@ -78,6 +78,119 @@ def test_stream_postings_match_batch_semantics(spark, stream_dirs):
         | (F.col("cf_b") != F.col("cf_s")) | (F.col("df_b") != F.col("df_s"))
     )
     assert diff.count() == 0
+
+
+def test_consolidated_stream_equals_batch_build(spark, tmp_path):
+    """Stream pages in two micro-batch drains, consolidate, query — the
+    result must be IDENTICAL (ids and scores) to a batch build over the
+    same corpus: the consolidation re-keys to the batch pipeline's dense
+    url-rank id space and reuses the same pack+merge."""
+    from search_engine_spark.operators.pipeline import run_build
+    from search_engine_spark.plans.wand import PackedQueryEngine
+    from search_engine_spark.sources.pages import write_pages_parquet
+    from search_engine_spark.streaming.ingest import (
+        consolidate_stream, incremental_index,
+    )
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    write_pages_parquet(src / "b0.parquet", 60)
+    write_pages_parquet(src / "b1.parquet", 40, seed=43)
+
+    swh = tmp_path / "wh_stream"
+    incremental_index(spark, str(src), str(swh), str(tmp_path / "ck"))
+    scat = IndexCatalog(spark, swh)
+    consolidate_stream(scat, num_shards=8, salt_buckets=4, merge_factor=2)
+
+    bwh = tmp_path / "wh_batch"
+    both = spark.read.parquet(str(src / "b0.parquet")).unionByName(
+        spark.read.parquet(str(src / "b1.parquet"))
+    )
+    bcat = run_build(spark, both, str(bwh), num_shards=8, salt_buckets=4,
+                     merge_factor=2)
+
+    seng = PackedQueryEngine.from_catalog(scat)
+    beng = PackedQueryEngine.from_catalog(bcat)
+    for q in ("search", "search engine", "w1 | w2", '"search engine"'):
+        got = [(r["doc_id"], r["url"], round(r["score"], 9))
+               for r in seng.search(q, k=10).collect()]
+        want = [(r["doc_id"], r["url"], round(r["score"], 9))
+                for r in beng.search(q, k=10).collect()]
+        assert got == want, q
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization must equal the batch
+    gaps-and-islands query for sessions the watermark has closed."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.streaming import sessionize as S
+
+    t0 = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, uid, minutes, value):
+        return {"event_id": eid, "user_id": uid,
+                "ts": t0 + dt.timedelta(minutes=minutes), "value": value}
+
+    early = [
+        ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 29, 3.0),   # session A
+        ev(4, 1, 90, 4.0),                                        # session B
+        ev(5, 2, 5, 10.0), ev(6, 2, 50, 20.0), ev(7, 2, 70, 30.0),  # two
+    ]
+    # far-future events advance the watermark past every early session
+    late = [ev(100, 9, 10_000, 0.5), ev(101, 9, 10_001, 0.5)]
+
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us", tz="UTC")), ("value", pa.float64()),
+    ])
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist(early, schema=schema), src / "a.parquet")
+
+    out = tmp_path / "sessions_out"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, value double"
+            ).parquet(str(src))
+        )
+        q = (
+            S.stream_sessionize(stream, gap_minutes=30, watermark="1 minute")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    pq.write_table(pa.Table.from_pylist(late, schema=schema), src / "b.parquet")
+    drain()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], round(r["total"], 6))
+        for r in spark.read.parquet(str(out)).collect()
+        if r["user_id"] != 9
+    }
+    batch_df = spark.createDataFrame(
+        [(e["event_id"], e["user_id"], e["ts"], e["value"]) for e in early],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], round(r["total"], 6))
+        for r in S.batch_sessionize(batch_df, gap_minutes=30).collect()
+    }
+    assert got == want
+    assert len(want) == 4  # 2 sessions per user
 
 
 def test_ingest_metrics_window(spark, stream_dirs):
