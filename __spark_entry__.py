@@ -72,6 +72,25 @@ def _engine_postings_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-job batch retrieval (PackedQueryEngine.search_batch): the whole
+    query list evaluated in a single Spark job — the cluster-scale
+    throughput shape (rows-only check; rank-identity to per-query search
+    is enforced by tests/test_wand.py)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.plans.wand import PackedQueryEngine
+
+    eng = PackedQueryEngine.from_catalog(_engine_catalog(spark))
+    out = eng.search_batch(
+        ["search", "engine", "search engine", "index documents", "w1 | w2"],
+        k=5,
+    )
+    return out.select(
+        "query", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only check): synthesize deterministic fake
     media from the documents table, decode + feature-extract via
@@ -111,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: wrap(fn) for name, (fn, _) in QUERIES.items()}
     out["engine_bm25_topk"] = _engine_bm25_topk
     out["engine_postings_sample"] = _engine_postings_sample
+    out["engine_batch_search"] = _engine_batch_search
     out["media_features"] = _media_features
     return out
 
