@@ -28,9 +28,29 @@ def test_rank_identity(engine, oracle, qid, q):
     _run(engine, oracle, q)
 
 
-@pytest.mark.parametrize("q", ["connection", "search engine", "apple"])
+# Real-vocabulary queries: every word below is (a) in the synthetic corpus
+# vocabulary and (b) has a WordNet synset for its stem in the FULL 41k-line
+# fixtures/synsets.txt (same provenance as the reference's
+# query/synsets.txt: public WordNet noun synsets, query/dump_synsets.py).
+# This proves expansion parity on real data, not just the old 50-line toy.
+SYNONYM_QUERIES = [
+    "connection", "search engine", "apple", "attention", "bias",
+    "news", "retrieval", "inference", "adoption", "bonus",
+    "detention", "size", "women", "teeth", "wolves",
+    "signal cluster", "document ranking", "query engine",
+    "apple | news", "attention - bias", "size (bonus | news)",
+    "engine indexing", "hopeful singing",
+]
+
+
+@pytest.mark.parametrize("q", SYNONYM_QUERIES)
 def test_rank_identity_with_synonyms(engine, oracle, q):
     _run(engine, oracle, q, synonyms=True)
+
+
+@pytest.mark.parametrize("q", ["connection", "news retrieval", "apple | size"])
+def test_rank_identity_with_synonyms_packed(packed_engine, oracle, q):
+    _run(packed_engine, oracle, q, synonyms=True, tol=1e-9)
 
 
 @pytest.mark.parametrize("qid,q", QUERIES)
