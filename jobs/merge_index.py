@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Merge job: (re)runs only the pack + shuffle-merge passes over an
-existing warehouse's logical postings (SURVEY.md A6).  Useful after
-appending a new batch of documents: drop postings_packed, re-run merge.
+existing warehouse's logical postings (SURVEY.md A6).
+
+After appending new documents to ``postings``/``docmeta``, the stale
+intermediates (postings_partial, doclens, index_stats, postings_packed)
+must ALL be invalidated or the new postings never reach the packed index;
+the job detects postings newer than postings_partial and drops them
+automatically — ``--force`` does the same unconditionally.
 
   spark-submit --master 'local[32]' jobs/merge_index.py --warehouse /tmp/se_wh
 """
@@ -35,8 +40,21 @@ def main() -> None:
     ship_package(spark)
     spark.sparkContext.setLogLevel("WARN")
     cat = IndexCatalog(spark, args.warehouse)
-    if args.force:
-        for t in ("postings_partial", "doclens", "postings_packed"):
+
+    def _stale() -> bool:
+        # postings written after the partials ⇒ partials (and everything
+        # derived: doclens, index_stats, packed) no longer cover the corpus
+        src = cat.path("postings") / "_SUCCESS"
+        part = cat.path("postings_partial") / "_SUCCESS"
+        return (src.exists() and part.exists()
+                and src.stat().st_mtime > part.stat().st_mtime)
+
+    if args.force or _stale():
+        if not args.force:
+            print("postings newer than postings_partial — invalidating "
+                  "stale intermediates", file=sys.stderr)
+        for t in ("postings_partial", "doclens", "postings_packed",
+                  "index_stats"):
             cat.drop(t)
     t0 = time.perf_counter()
     pack_and_merge(cat, num_shards=args.shards,

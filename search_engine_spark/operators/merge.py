@@ -266,6 +266,24 @@ def pack_and_merge(cat, num_shards: int = 32, salt_buckets: int = 16,
     if merge_factor is None:
         merge_factor = max(1, salt_buckets // 4)
 
+    # Resume safety: the packed buckets and the doclens buckets must agree
+    # on (bucket_width × merge_factor) and rows must land in the same shard
+    # dirs, so resuming an interrupted merge with different --salt-buckets /
+    # --merge-factor / --shards would silently misalign them.  The layout
+    # parameters are persisted as catalog properties when p6a is first
+    # written and asserted on every resume — fail loudly, never misindex.
+    _layout = {"p6a_num_shards": num_shards, "p6a_salt_buckets": salt_buckets,
+               "p6a_bucket_width": bucket_width, "p6a_merge_factor": merge_factor}
+    if cat.exists("postings_partial"):
+        for k, want in _layout.items():
+            have = cat.get_prop(k)
+            if have is not None and int(have) != int(want):
+                raise ValueError(
+                    f"resume layout mismatch: postings_partial was built with "
+                    f"{k}={have} but this run asks for {want}; re-run with the "
+                    f"original parameters or --force a full re-merge"
+                )
+
     if not cat.exists("postings_partial"):
         partials = pack_partials(
             cat.read(postings_table), avgdl, num_shards, bucket_width
@@ -283,6 +301,9 @@ def pack_and_merge(cat, num_shards: int = 32, salt_buckets: int = 16,
             cat.read("postings_partial"),
             {"bucket_width": bucket_width, "salt_buckets": salt_buckets},
         )
+    # persist (or backfill, for pre-existing warehouses) the validated layout
+    for k, v in _layout.items():
+        cat.set_prop(k, v)
 
     mwidth = bucket_width * merge_factor
     if not cat.exists("doclens"):

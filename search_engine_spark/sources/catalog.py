@@ -42,10 +42,13 @@ class IndexCatalog:
         df: DataFrame,
         partition_by: list[str] | None = None,
         mode: str = "overwrite",
+        options: dict | None = None,
     ) -> None:
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         w.parquet(str(self.path(table)))
 
     def drop(self, table: str) -> None:

@@ -51,6 +51,40 @@ def stream_docs(spark: SparkSession, pages_dir: str,
     return extract.extract_docs(pages)
 
 
+def write_stream_batch(cat: IndexCatalog, batch_df: DataFrame,
+                       batch_id: int) -> None:
+    """IDEMPOTENT per-micro-batch sink: both stream tables are
+    hive-partitioned by batch_id and each micro-batch dynamically
+    OVERWRITES exactly its own partition.  A batch retried after a partial
+    append therefore replaces its previous rows instead of duplicating
+    them — this is what makes foreachBatch + checkpoint genuinely
+    exactly-once (batch_id is stable across retries because it comes from
+    the checkpointed offset log)."""
+    _dynamic = {"partitionOverwriteMode": "dynamic"}
+    batch = extract.drop_overlong_titles(batch_df)
+    batch = extract.dedup_first_wins(batch)
+    # per-FETCH stable id (url+ts+content): cross-batch refetches of a url
+    # stay distinct so the consolidation pass can pick the first-wins
+    # keeper; hashing the text too keeps two same-timestamp fetches with
+    # different content distinct (content tie-breaker).
+    batch = batch.withColumn("doc_id", F.xxhash64("url", "warc_ts", "text"))
+    from search_engine_spark.operators import build as B
+
+    # ``text`` rides along ONLY so consolidate_stream can order the keeper
+    # window by (warc_ts, text) — the exact sort the batch pipeline's
+    # dedup_first_wins uses — keeping streamed-then-consolidated warehouses
+    # bit-identical to batch builds even when two fetches of a url share a
+    # warc_ts.
+    meta = B.build_docmeta(batch).join(
+        batch.select("doc_id", "warc_ts", "text"), "doc_id"
+    ).withColumn("batch_id", F.lit(batch_id))
+    cat.write("docmeta_stream", meta, partition_by=["batch_id"],
+              mode="overwrite", options=_dynamic)
+    posts = B.build_postings(batch).withColumn("batch_id", F.lit(batch_id))
+    cat.write("postings_stream", posts, partition_by=["batch_id"],
+              mode="overwrite", options=_dynamic)
+
+
 def incremental_index(spark: SparkSession, pages_dir: str, warehouse: str,
                       checkpoint: str, max_files_per_trigger: int | None = None):
     """Drain all currently-available page files into per-batch partial
@@ -59,18 +93,7 @@ def incremental_index(spark: SparkSession, pages_dir: str, warehouse: str,
     docs = stream_docs(spark, pages_dir, max_files_per_trigger)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch = extract.drop_overlong_titles(batch_df)
-        batch = extract.dedup_first_wins(batch)
-        # per-FETCH stable id (url+ts): cross-batch refetches of a url stay
-        # distinct so the consolidation pass can pick the first-wins keeper
-        batch = batch.withColumn("doc_id", F.xxhash64("url", "warc_ts"))
-        from search_engine_spark.operators import build as B
-
-        meta = B.build_docmeta(batch).join(
-            batch.select("doc_id", "warc_ts"), "doc_id"
-        )
-        cat.write("docmeta_stream", meta, mode="append")
-        cat.write("postings_stream", B.build_postings(batch), mode="append")
+        write_stream_batch(cat, batch_df, batch_id)
         cat.log_phase(
             f"stream_batch_{batch_id}", cat.read("postings_stream"),
             {"batch_id": batch_id},
@@ -96,14 +119,18 @@ def consolidate_stream(cat: IndexCatalog, num_shards: int = 32,
     from pyspark.sql import Window
 
     meta = cat.read("docmeta_stream")
-    # keeper fetch per url: earliest (warc_ts, doc_id) — first-wins
+    # keeper fetch per url: earliest (warc_ts, text) — the SAME sort key as
+    # the batch pipeline's dedup_first_wins (operators/extract.py), so the
+    # consolidated warehouse is bit-identical to a batch build even when
+    # two fetches of a url tie on warc_ts with different content; doc_id
+    # (hash of url+ts+text) is a final deterministic tiebreaker.
     w = Window.partitionBy("url").orderBy(
-        F.col("warc_ts").asc(), F.col("doc_id").asc()
+        F.col("warc_ts").asc(), F.col("text").asc(), F.col("doc_id").asc()
     )
     keepers = (
         meta.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "warc_ts")
+        .drop("_rn", "warc_ts", "text", "batch_id")
     )
     # dense ids by url rank — same axis the batch pipeline uses
     from search_engine_spark.operators.docids import dense_ids_by_key

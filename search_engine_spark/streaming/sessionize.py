@@ -95,9 +95,20 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
                 if cur is None:
                     cur = [t, t, 1, float(val)]
                 elif t - cur[1] > gap_us:
+                    # strictly after the open session by more than the gap
                     yield emit(cur)
                     cur = [t, t, 1, float(val)]
+                elif cur[0] - t > gap_us:
+                    # late-but-in-watermark event more than a gap BEFORE the
+                    # open session: in the batch (fully sorted) result it
+                    # forms its own earlier session — emit that singleton
+                    # now (it can never merge with the open session)
+                    yield emit([t, t, 1, float(val)])
                 else:
+                    # merges into the open session; an out-of-order event
+                    # within the gap of either edge must min/max-update BOTH
+                    # edges so session_start matches batch_sessionize
+                    cur[0] = min(cur[0], t)
                     cur[1] = max(cur[1], t)
                     cur[2] += 1
                     cur[3] += float(val)

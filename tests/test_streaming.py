@@ -50,6 +50,56 @@ def test_incremental_index_drains_and_resumes(spark, stream_dirs):
     )
 
 
+def test_retried_batch_does_not_duplicate(spark, stream_dirs):
+    """Exactly-once, not just at-least-once: re-running a micro-batch with
+    the same batch_id (the crash-between-append-and-commit retry case) must
+    OVERWRITE that batch's partition, not append a second copy."""
+    src, wh, ckpt = stream_dirs
+    write_pages_parquet(src / "b0.parquet", 40)
+    ingest.incremental_index(spark, str(src), str(wh), str(ckpt))
+    cat = IndexCatalog(spark, wh)
+    n0 = cat.read("postings_stream").count()
+    d0 = cat.read("docmeta_stream").count()
+    assert n0 > 0
+
+    # replay batch_id=0 against the already-written output, exactly what a
+    # restarted query does when the commit marker never landed
+    from search_engine_spark.operators import extract
+
+    docs = extract.extract_docs(spark.read.parquet(str(src / "b0.parquet")))
+    ingest.write_stream_batch(cat, docs, batch_id=0)
+    assert cat.read("postings_stream").count() == n0
+    assert cat.read("docmeta_stream").count() == d0
+    # and the rows themselves are unique per (term, doc_id) / doc_id
+    posts = cat.read("postings_stream")
+    assert posts.count() == posts.select("term", "doc_id").distinct().count()
+    # a batch with a NEW id still appends alongside
+    write_pages_parquet(src / "more.parquet", 30, seed=43)
+    more = extract.extract_docs(spark.read.parquet(str(src / "more.parquet")))
+    ingest.write_stream_batch(cat, more, batch_id=1)
+    assert cat.read("postings_stream").count() > n0
+
+
+def test_merge_resume_layout_mismatch_fails_loudly(spark, tmp_path):
+    """Resuming an interrupted pack+merge with different layout parameters
+    must raise, not silently misalign packed buckets with doclens."""
+    from search_engine_spark.operators.merge import pack_and_merge
+    from search_engine_spark.operators.pipeline import run_build
+    from search_engine_spark.sources.pages import cached_pages
+
+    wh = tmp_path / "wh"
+    pages = spark.read.parquet(str(cached_pages(60)))
+    cat = run_build(spark, pages, str(wh), num_shards=4, salt_buckets=4,
+                    merge_factor=2, pack=True)
+    # simulate an interrupted merge: packed output gone, partials remain
+    cat.drop("postings_packed")
+    with pytest.raises(ValueError, match="layout mismatch"):
+        pack_and_merge(cat, num_shards=4, salt_buckets=8, merge_factor=2)
+    # original parameters still resume fine
+    pack_and_merge(cat, num_shards=4, salt_buckets=4, merge_factor=2)
+    assert cat.exists("postings_packed")
+
+
 def test_stream_postings_match_batch_semantics(spark, stream_dirs):
     """The streaming path must produce the same (term, tf) postings as the
     batch build over the same pages (ids differ: hash vs dense rank)."""
@@ -191,6 +241,87 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) == 4  # 2 sessions per user
+
+
+def test_stateful_sessionize_out_of_order_within_watermark(spark, tmp_path):
+    """A late-but-in-watermark event that PRECEDES the open session's start
+    must min-update session_start (merge case) or emit its own earlier
+    session (beyond-gap case) — matching batch_sessionize exactly."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.streaming import sessionize as S
+
+    t0 = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, uid, minutes, value):
+        return {"event_id": eid, "user_id": uid,
+                "ts": t0 + dt.timedelta(minutes=minutes), "value": value}
+
+    batch1 = [ev(1, 1, 10, 1.0), ev(2, 1, 20, 2.0),  # open session [10,20]
+              ev(3, 2, 100, 5.0)]                    # open session [100,100]
+    # out-of-order deliveries, all within the 3-hour watermark:
+    batch2 = [ev(4, 1, 5, 4.0),    # within gap of session start → merge, start=5
+              ev(5, 2, 10, 6.0)]   # >gap before [100,100] → own earlier session
+    flush = [ev(100, 9, 10_000, 0.5), ev(101, 9, 10_001, 0.5)]
+
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us", tz="UTC")), ("value", pa.float64()),
+    ])
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    out = tmp_path / "sessions_out"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, value double"
+            ).parquet(str(src))
+        )
+        q = (
+            S.stream_sessionize(stream, gap_minutes=30, watermark="3 hours")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for name, events in (("a", batch1), ("b", batch2), ("c", flush)):
+        pq.write_table(pa.Table.from_pylist(events, schema=schema),
+                       src / f"{name}.parquet")
+        drain()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], round(r["total"], 6))
+        for r in spark.read.parquet(str(out)).collect()
+        if r["user_id"] != 9
+    }
+    all_events = batch1 + batch2
+    batch_df = spark.createDataFrame(
+        [(e["event_id"], e["user_id"], e["ts"], e["value"]) for e in all_events],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], round(r["total"], 6))
+        for r in S.batch_sessionize(batch_df, gap_minutes=30).collect()
+    }
+    assert got == want
+    # user 1: one merged session starting at the LATE event's ts (minute 5,
+    # not 10) — collected timestamps are tz-naive, so compare minutes
+    u1 = [w for w in want if w[0] == 1]
+    assert len(u1) == 1
+    _, s_start, s_end, n, total = u1[0]
+    assert (s_start.minute, s_end.minute, n, total) == (5, 20, 3, 7.0)
+    # user 2: the late event formed its own earlier session
+    assert len([w for w in want if w[0] == 2]) == 2
 
 
 def test_ingest_metrics_window(spark, stream_dirs):
