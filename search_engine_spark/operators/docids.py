@@ -71,16 +71,38 @@ def sorted_dedup(docs: DataFrame, num_partitions: int | None = None) -> DataFram
     return parted.mapInPandas(dedup, schema=out_schema)
 
 
-def partition_offsets_from_footers(table_dir) -> dict[int, int]:
+def partition_offsets_from_footers(table_dir, spark=None) -> dict[int, int]:
     """pid → starting doc_id, from parquet footers (no Spark job).
-    Spark names one output file per write task: part-<pid>-<uuid>…"""
-    import pyarrow.parquet as pq
-    from pathlib import Path
+    Spark names one output file per write task: part-<pid>-<uuid>…
 
+    With a SparkSession, listing + footer reads go through the Hadoop
+    FileSystem API, so the path may live on ANY Hadoop-compatible store
+    (hdfs://, s3a://, gs://, file:) — a driver-side metadata read of
+    O(files) footers either way.  The pyarrow path remains as the
+    no-session local fallback."""
     counts: dict[int, int] = {}
-    for p in Path(table_dir).glob("part-*.parquet"):
-        pid = int(p.name.split("-")[1])
-        counts[pid] = counts.get(pid, 0) + pq.ParquetFile(p).metadata.num_rows
+    if spark is not None:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(str(table_dir))
+        fs = jpath.getFileSystem(conf)
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if not (name.startswith("part-") and name.endswith(".parquet")):
+                continue
+            pid = int(name.split("-")[1])
+            footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+                conf, st.getPath()
+            )
+            rows = sum(b.getRowCount() for b in footer.getBlocks())
+            counts[pid] = counts.get(pid, 0) + rows
+    else:
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        for p in Path(table_dir).glob("part-*.parquet"):
+            pid = int(p.name.split("-")[1])
+            counts[pid] = counts.get(pid, 0) + pq.ParquetFile(p).metadata.num_rows
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
@@ -90,16 +112,25 @@ def partition_offsets_from_footers(table_dir) -> dict[int, int]:
 
 
 def stamp_doc_ids(sorted_docs: DataFrame, offsets: dict[int, int]) -> DataFrame:
-    """Narrow map: doc_id = offset[_pid] + _row_in_part (literal map
-    lookup — at cluster scale this is one small broadcast expression)."""
-    pairs = []
-    for pid, off in sorted(offsets.items()):
-        pairs += [F.lit(pid), F.lit(off)]
-    omap = F.create_map(*pairs) if pairs else F.create_map()
+    """Narrow map: doc_id = offset[_pid] + _row_in_part.
+
+    The pid → offset lookup is a BROADCAST JOIN against a tiny offsets
+    DataFrame, not a literal ``create_map`` — a 100-TB build has ~10⁵
+    shuffle partitions and a 2·10⁵-element literal expression would blow
+    up codegen; a broadcast of 10⁵ two-int rows is a few MB and keeps the
+    stamp a narrow map (no shuffle on the docs side)."""
+    spark = sorted_docs.sparkSession
+    odf = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in sorted(offsets.items())],
+        "_pid int, _offset long",
+    )
     data_cols = [c for c in sorted_docs.columns if c not in ("_pid", "_row_in_part")]
-    return sorted_docs.select(
-        (omap[F.col("_pid")] + F.col("_row_in_part")).cast("long").alias("doc_id"),
-        *data_cols,
+    return (
+        sorted_docs.join(F.broadcast(odf), "_pid")
+        .select(
+            (F.col("_offset") + F.col("_row_in_part")).cast("long").alias("doc_id"),
+            *data_cols,
+        )
     )
 
 

@@ -83,7 +83,9 @@ def run_build(
     if not cat.exists("docs"):
         # pass B: narrow id stamp; offsets from parquet footers (no job)
         def p2b() -> str:
-            offsets = docids.partition_offsets_from_footers(cat.path("docs_sorted"))
+            offsets = docids.partition_offsets_from_footers(
+                cat.path("docs_sorted"), spark=spark
+            )
             cat.write(
                 "docs", docids.stamp_doc_ids(cat.read("docs_sorted"), offsets)
             )
@@ -101,8 +103,24 @@ def run_build(
         timed("p3_docmeta", p3)
 
     if not cat.exists("postings"):
+        # Hive-partitioned by term shard so every term-filtered read of the
+        # logical postings (the phrase/NOT fallback path, positions lookups)
+        # prunes to the query terms' shard directories instead of scanning
+        # the whole table — the same pruning the packed layout gets.  Costs
+        # one shard-hash shuffle at build time (the repartition also
+        # prevents the tasks×shards small-file explosion).
         def p4() -> str:
-            cat.write("postings", B.build_postings(docs))
+            from search_engine_spark.operators.merge import shard_col
+
+            posts = B.build_postings(docs).withColumn(
+                "shard", shard_col(num_shards=num_shards)
+            )
+            cat.write(
+                "postings",
+                posts.repartition(num_shards, "shard"),
+                partition_by=["shard"],
+            )
+            cat.set_prop("postings_num_shards", num_shards)
             return "postings"
 
         timed("p4_postings", p4)

@@ -86,6 +86,7 @@ class QueryEngine:
         avgdl: float,
         k1: float = bm25.K1,
         b: float = bm25.B,
+        num_shards: int | None = None,
     ):
         self.spark = spark
         self.postings = postings
@@ -94,22 +95,38 @@ class QueryEngine:
         self.avgdl = float(avgdl)
         self.k1 = k1
         self.b = b
+        # set when the postings table is hive-partitioned by term shard —
+        # enables partition pruning on every term-filtered read
+        self.num_shards = num_shards
 
     @classmethod
     def from_catalog(cls, cat) -> "QueryEngine":
         stats = cat.read("index_stats").collect()[0]
+        ns = cat.get_prop("postings_num_shards")
         return cls(
             cat.spark,
             cat.read("postings"),
             cat.read("docmeta"),
             stats["n_docs"],
             stats["avgdl"],
+            num_shards=int(ns) if ns is not None else None,
         )
 
     # -- scored postings for just this query's keys --------------------------
     def _scored(self, keys: set[str]) -> DataFrame:
         # dl is inline in postings (build_postings) — no docmeta join
-        filt = self.postings.filter(F.col("term").isin(*keys)).select(
+        filt = self.postings
+        if self.num_shards:
+            # driver-side Spark-parity xxh64 → shard ids of the query keys;
+            # the shard filter prunes the hive partition dirs, so only the
+            # query terms' shards are listed/scanned (same pruning as the
+            # packed path, plans/wand.py) — without it a phrase/NOT query
+            # would full-scan the logical postings
+            from search_engine_spark.functions.hashing import term_shard
+
+            shards = sorted({term_shard(k, self.num_shards) for k in keys})
+            filt = filt.filter(F.col("shard").isin(shards))
+        filt = filt.filter(F.col("term").isin(*keys)).select(
             "term", "doc_id", "tf", "positions", "dl"
         )
         dfmap = filt.groupBy("term").agg(F.count("*").alias("df"))

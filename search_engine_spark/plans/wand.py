@@ -27,6 +27,8 @@ DataFrame executor (plans/executor.py), which is exact for everything.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -222,16 +224,28 @@ class PackedQueryEngine:
         cluster scale: one scan of the union of the queries' shards, one
         kernel task per doc bucket evaluating every query against the
         bucket's decoded postings, then a per-query windowed top-k.  The
-        driver submits O(1) jobs regardless of |queries| — per-query
-        search() latency is scheduler-bound, this is not.  Non-flat
-        queries (phrases/NOT) are skipped here; route them via search().
+        driver submits O(1) jobs regardless of |queries| for the flat
+        subset; non-flat queries (phrases/NOT/synonyms) are routed through
+        the exhaustive fallback WITHIN the same call and unioned into the
+        one result frame — the batch is total, nothing is silently dropped.
         """
         plans: list[tuple[str, str, list[str]]] = []  # (query, mode, stems)
+        nonflat: list[tuple[str, Expr]] = []
         for q in queries:
-            r = route(compile_query(q, synonyms=synonyms))
+            ast = compile_query(q, synonyms=synonyms)
+            if ast is None:
+                continue  # empty/stopword-only query: defined-empty result
+            r = route(ast)
             if r is not None:
                 plans.append((q, r[0], r[1]))
-        if not plans:
+            else:
+                nonflat.append((q, ast))
+        if nonflat and self.fallback is None:
+            raise ValueError(
+                f"non-flat queries {[q for q, _ in nonflat]!r} need the "
+                f"fallback engine"
+            )
+        if not plans and not nonflat:
             return self.spark.createDataFrame(
                 [], "query string, doc_id long, score double, rank int"
             )
@@ -297,16 +311,30 @@ class PackedQueryEngine:
 
         from pyspark.sql import Window
 
-        per_bucket = (
-            rows.join(self.doclens, "bucket")
-            .groupBy("bucket")
-            .applyInPandas(kernel, schema="query string, doc_id long, score double")
-        )
+        parts: list[DataFrame] = []
+        if plans:
+            per_bucket = (
+                rows.join(self.doclens, "bucket")
+                .groupBy("bucket")
+                .applyInPandas(
+                    kernel, schema="query string, doc_id long, score double"
+                )
+            )
+            parts.append(per_bucket)
+        # non-flat queries: exhaustive executor, one extra job each (k rows);
+        # unioned pre-rank so the whole batch ranks through one window
+        for q, ast in nonflat:
+            parts.append(
+                self.fallback.search_ast(ast, k=k).select(
+                    F.lit(q).alias("query"), "doc_id", "score"
+                )
+            )
+        candidates = functools.reduce(DataFrame.unionByName, parts)
         w = Window.partitionBy("query").orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         )
         return (
-            per_bucket.withColumn("rank", F.row_number().over(w))
+            candidates.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query", "doc_id", "score", "rank")
         )

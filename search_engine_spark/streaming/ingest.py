@@ -146,8 +146,18 @@ def consolidate_stream(cat: IndexCatalog, num_shards: int = 32,
         mapping.withColumnRenamed("doc_id", "_old").select("_old", "new_id"),
         "_old",  # inner join: loser fetches' postings drop out here
     )
-    cat.write("postings", post.drop("_old").withColumnRenamed("new_id", "doc_id")
-              .select("term", "doc_id", "dl", "tf", "positions", "flags"))
+    from search_engine_spark.operators.merge import shard_col
+
+    post = (
+        post.drop("_old").withColumnRenamed("new_id", "doc_id")
+        .select("term", "doc_id", "dl", "tf", "positions", "flags")
+        .withColumn("shard", shard_col(num_shards=num_shards))
+    )
+    # same shard-partitioned layout as the batch pipeline's p4 (phrase/NOT
+    # reads prune to the query terms' shard dirs)
+    cat.write("postings", post.repartition(num_shards, "shard"),
+              partition_by=["shard"])
+    cat.set_prop("postings_num_shards", num_shards)
     for t in ("index_stats", "postings_partial", "doclens", "postings_packed"):
         cat.drop(t)
     from search_engine_spark.operators.merge import pack_and_merge

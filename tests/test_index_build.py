@@ -81,3 +81,31 @@ def test_lineage_written(catalog):
     assert {"p1_docs_raw", "p2a_docs_sorted", "p2b_docs", "p3_docmeta", "p4_postings", "p5_stats"} <= phases
     for r in recs:
         assert r["total_rows"] == sum(p["rows"] for p in r["partitions"])
+
+
+def test_doc_id_stamp_scales_to_1000_partitions(spark):
+    """The pid→offset lookup is a broadcast join, so a build with 10³
+    shuffle partitions (the 100-TB shape) must stamp dense url-rank ids
+    without a giant literal expression."""
+    from search_engine_spark.operators import docids
+
+    rows = [(f"u{i:05d}", i % 7, f"txt{i}") for i in range(3000)]
+    docs = spark.createDataFrame(rows, "url string, warc_ts long, text string")
+    out = docids.assign_doc_ids(docs, num_partitions=1000)
+    got = sorted((r["doc_id"], r["url"]) for r in out.collect())
+    assert [d for d, _ in got] == list(range(3000))  # dense 0..n-1
+    urls = [u for _, u in got]
+    assert urls == sorted(urls)  # id order == lexicographic url order
+
+
+def test_partition_offsets_hadoop_fs_matches_pyarrow(spark, tmp_path):
+    """The Hadoop-FS footer reader (object-store-safe path) must agree with
+    the local pyarrow fallback."""
+    from search_engine_spark.operators import docids
+
+    d = tmp_path / "t"
+    spark.range(500).selectExpr("id", "id % 3 as x").repartition(5) \
+        .write.parquet(str(d))
+    a = docids.partition_offsets_from_footers(d)
+    b = docids.partition_offsets_from_footers(d, spark=spark)
+    assert a == b and sum(1 for _ in a) == 5

@@ -78,6 +78,19 @@ def test_topk_docmeta_join_is_broadcast(packed_engine):
     assert "BroadcastHashJoin" in plan
 
 
+def test_phrase_fallback_prunes_shard_partitions(engine):
+    """The phrase/NOT fallback reads the LOGICAL postings — which are now
+    hive-partitioned by term shard — so a phrase query must prune to the
+    query terms' shard dirs instead of full-scanning the table."""
+    assert engine.num_shards, "postings should be shard-partitioned"
+    df = engine._scored({"search", "@search", "engin", "@engin"})
+    plan = _explain(df)
+    assert "PartitionFilters" in plan
+    assert "shard" in plan.split("PartitionFilters")[1].splitlines()[0]
+    pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "term" in pushed
+
+
 def test_packed_query_matches_after_shard_pruning(engine, packed_engine):
     got = [
         (r["doc_id"], round(r["score"], 9))

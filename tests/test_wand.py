@@ -121,6 +121,26 @@ def test_search_batch_matches_per_query(packed_engine):
         assert by_q.get(q, []) == want, q
 
 
+def test_search_batch_is_total_over_mixed_queries(packed_engine):
+    """A batch mixing flat, phrase, NOT and stopword-only queries must
+    return per-query results equal to search() — nothing silently dropped."""
+    mixed = [
+        "search engine",               # flat AND
+        "crawler | parser",            # flat OR
+        '"search engine"',             # phrase → fallback
+        "search - engine",             # NOT → fallback
+        "the of and",                  # stopword-only → defined-empty
+    ]
+    batch = packed_engine.search_batch(mixed, k=10).collect()
+    by_q: dict[str, list] = {}
+    for r in sorted(batch, key=lambda r: (r["query"], r["rank"])):
+        by_q.setdefault(r["query"], []).append((r["doc_id"], round(r["score"], 9)))
+    for q in mixed[:4]:
+        want = _rows(packed_engine.search(q, k=10))
+        assert by_q.get(q, []) == want, q
+    assert "the of and" not in by_q  # defined-empty, not an error
+
+
 def test_packed_engine_fallback_paths(engine, packed_engine):
     for q in ['"search engine"', "search - engine", "engine - (crawler | parser)"]:
         got = _rows(packed_engine.search(q, k=10))
