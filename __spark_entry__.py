@@ -44,7 +44,10 @@ def _engine_catalog(spark: SparkSession):
     from search_engine_spark.operators.pipeline import run_build
     from search_engine_spark.sources.pages import cached_pages
 
-    wh = f"/tmp/se_entry_wh_n{_ENGINE_CORPUS_DOCS}"
+    # _v2: bump when the warehouse layout changes (v2 = shard-partitioned
+    # postings + per-occurrence pos_flags) so a stale cache never mixes
+    # schemas across rounds
+    wh = f"/tmp/se_entry_wh_n{_ENGINE_CORPUS_DOCS}_v2"
     pages = spark.read.parquet(str(cached_pages(_ENGINE_CORPUS_DOCS)))
     return run_build(spark, pages, wh, pack=True)
 

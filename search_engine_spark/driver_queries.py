@@ -382,10 +382,26 @@ def _shingles(spark, sf_dir):
     )
 
 
+_SHINGLE_DF_CAP = 50
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Near-dup detection: 3-gram shingle Jaccard via shared-shingle join
-    (the sparse trick — never materializes the full pair matrix)."""
+    (the sparse trick — never materializes the full pair matrix).
+
+    Head-shingle df cap (standard in dedup pipelines): shingles appearing
+    in more than _SHINGLE_DF_CAP docs are dropped BEFORE the pair join —
+    boilerplate shingles otherwise make the join quadratic in their df
+    (an unbounded hot key at 10^12 docs).  Sizes and intersections are
+    both computed over the capped set, so the reported Jaccard is the
+    similarity over informative shingles."""
     sh = _shingles(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh = sh.join(df_ok, "sh", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("da"), "sh")
     b = sh.select(F.col("doc_id").alias("db"), "sh")
@@ -411,10 +427,15 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 SQL_NGRAM_JACCARD = f"""WITH {_SHINGLES_SQL},
-sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+capped AS (
+  SELECT s.doc_id, s.sh FROM shingles s
+  JOIN (SELECT sh FROM shingles GROUP BY sh
+        HAVING count(*) <= {_SHINGLE_DF_CAP}) ok ON s.sh = ok.sh
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT da, db,
@@ -654,37 +675,60 @@ SELECT doc_id,
 FROM votes"""
 
 
+_NEARDUP_LSH_BITS = 8
+
+
 def q_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate candidates: top-20 most-similar
-    vector pairs (brute-force self-join; the scale path is q_ann_ivf's
-    bucketed variant)."""
+    """Embedding-cosine near-duplicate candidates via SIGN-LSH bucketing
+    (random-hyperplane LSH with the coordinate axes as hyperplanes): each
+    vector hashes to the sign pattern of its first 8 dims, candidate
+    pairs are generated ONLY within a bucket, then scored exactly.
+
+    Scale shape: 2^bits buckets bound the pair join at ~n²/2^bits — the
+    bucket key is a pure column expression, the join is a hash join on
+    the key, no all-pairs product.  Near-dups (cos→1) agree on sign bits
+    with prob (1−θ/π)^bits, so recall stays high exactly where dedup
+    needs it; bits scale with log(n) at 10^12 vectors (multi-probe /
+    band-OR for recall).  The exact all-pairs variant remains in
+    tests/test_driver_queries-style baselines, not in the entry.
+    """
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
+    bucket = None
+    for d in range(_NEARDUP_LSH_BITS):
+        bit = (F.element_at("e", d + 1) > 0).cast("int") * (1 << d)
+        bucket = bit if bucket is None else bucket + bit
     nrm = F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x))
-    emb = emb.select("vec_id", "e", nrm.alias("n"))
-    a = emb.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"), F.col("n").alias("na"))
-    b = emb.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"), F.col("n").alias("nb"))
+    emb = emb.select("vec_id", "e", nrm.alias("n"), bucket.alias("bk"))
+    a = emb.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"),
+                   F.col("n").alias("na"), F.col("bk").alias("bka"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"),
+                   F.col("n").alias("nb"), F.col("bk").alias("bkb"))
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return (
-        a.join(b, F.col("va") < F.col("vb"))
+        a.join(b, (F.col("bka") == F.col("bkb")) & (F.col("va") < F.col("vb")))
         .select("va", "vb", _r4(dot / (F.col("na") * F.col("nb"))).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("va").asc(), F.col("vb").asc())
         .limit(20)
     )
 
 
-SQL_EMBED_NEARDUP = """WITH emb AS (
+SQL_EMBED_NEARDUP = f"""WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n,
+         ({" + ".join(
+             f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)"
+             for d in range(_NEARDUP_LSH_BITS)
+         )}) AS bk
   FROM embeddings
 )
 SELECT a.vec_id AS va, b.vec_id AS vb,
        round(list_dot_product(a.e, b.e) / (a.n * b.n), 4) AS cos
-FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+FROM emb a JOIN emb b ON a.bk = b.bk AND a.vec_id < b.vec_id
 ORDER BY cos DESC, va ASC, vb ASC LIMIT 20"""
 
 
@@ -756,49 +800,110 @@ SQL_TOKEN_COUNT = r"""SELECT doc_id,
 FROM documents"""
 
 
+_IVF_K = 8
+
+
 def q_ann_ivf_topk(spark, sf_dir):
-    """Bucketed (IVF/LSH-style) ANN: coarse partition by the sign pattern of
-    the first two dims, search only the query's bucket — the scale path
-    where brute force (q_ann_cosine_topk) is the accuracy baseline."""
+    """IVF ANN with TRAINED centroids, fully declarative k-means:
+    K=8 cells seeded from fixed vec_ids (1..K), ONE Lloyd refinement
+    (assign to nearest seed → element-wise mean per cell), re-assign, then
+    single-probe search of only the query's cell.
+
+    Scale shape: the train set is a tiny broadcast both times (K rows),
+    assignment is a narrow map over the corpus, the centroid mean is one
+    (cell, dim) shuffle, and the probe touches ~n/K vectors — brute force
+    (q_ann_cosine_topk) stays as the accuracy baseline.  At 10^12 vectors
+    K grows to ~√n cells trained on a sample, same plan shape.
+
+    Centroid coordinates are rounded to 6 decimals on BOTH engines so the
+    discrete assignment never flips on cross-engine float-sum ulps.
+    """
+    from pyspark.sql import Window
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    bucket = (
-        (F.element_at("e", 1) > 0).cast("int") * 2
-        + (F.element_at("e", 2) > 0).cast("int")
+
+    def l2(a, b):   # sqrt-L2, mirroring DuckDB list_distance
+        return F.sqrt(F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ))
+
+    def assign(vecs, cents, cvec):
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("_dist").asc(), F.col("cl").asc()
+        )
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn("_dist", l2("e", cvec))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "cl", "e")
+        )
+
+    seeds = emb.filter(F.col("vec_id").between(1, _IVF_K)).select(
+        F.col("vec_id").cast("int").alias("cl"), F.col("e").alias("sv")
     )
-    emb = emb.select("vec_id", "e", bucket.alias("bucket"))
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("e").alias("qv"), F.col("bucket").alias("qb")
+    a1 = assign(emb, seeds, "sv")
+    cents = (
+        a1.select("cl", F.posexplode("e").alias("i", "v"))
+        .groupBy("cl", "i")
+        .agg(F.round(F.avg("v"), 6).alias("cv"))
+        .groupBy("cl")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "cv"))).alias("_s"))
+        .select("cl", F.col("_s.cv").alias("cv"))
+    )
+    final = assign(emb, cents, "cv")
+
+    q = final.filter(F.col("vec_id") == 0).select(
+        F.col("cl").alias("qcl"), F.col("e").alias("qv")
     )
     dot = F.aggregate(
-        F.zip_with("e", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        F.zip_with("e", "qv", lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     nrm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
     )
     return (
-        emb.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        final.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("cl") == F.col("qcl"))
         .select("vec_id", _r4(dot / (nrm("e") * nrm("qv"))).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(10)
     )
 
 
-SQL_ANN_IVF_TOPK = """WITH emb AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e,
-         (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END
-          + CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS bucket
-  FROM embeddings
-), q AS (SELECT e AS qv, bucket AS qb FROM emb WHERE vec_id = 0)
-SELECT e.vec_id AS vec_id,
-       round(list_dot_product(e.e, q.qv)
-             / (sqrt(list_dot_product(e.e, e.e))
+SQL_ANN_IVF_TOPK = f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+seeds AS (SELECT vec_id::INT AS cl, e AS sv FROM emb
+          WHERE vec_id BETWEEN 1 AND {_IVF_K}),
+a1 AS (
+  SELECT vec_id, cl, e, row_number() OVER (
+    PARTITION BY vec_id ORDER BY list_distance(e, sv) ASC, cl ASC) AS rn
+  FROM emb CROSS JOIN seeds
+),
+assigned AS (SELECT vec_id, cl, e FROM a1 WHERE rn = 1),
+dims AS (SELECT cl, generate_subscripts(e, 1) AS i, unnest(e) AS v
+         FROM assigned),
+cmeans AS (SELECT cl, i, round(avg(v), 6) AS cv FROM dims GROUP BY cl, i),
+cents AS (SELECT cl, list(cv ORDER BY i) AS cv FROM cmeans GROUP BY cl),
+a2 AS (
+  SELECT vec_id, cl, e, row_number() OVER (
+    PARTITION BY vec_id ORDER BY list_distance(e, cv) ASC, cl ASC) AS rn
+  FROM emb CROSS JOIN cents
+),
+final AS (SELECT vec_id, cl, e FROM a2 WHERE rn = 1),
+q AS (SELECT cl AS qcl, e AS qv FROM final WHERE vec_id = 0)
+SELECT f.vec_id AS vec_id,
+       round(list_dot_product(f.e, q.qv)
+             / (sqrt(list_dot_product(f.e, f.e))
                 * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
-FROM emb e JOIN q ON e.bucket = q.qb
-WHERE e.vec_id <> 0
+FROM final f CROSS JOIN q
+WHERE f.cl = q.qcl AND f.vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 

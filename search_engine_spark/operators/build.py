@@ -73,6 +73,7 @@ def build_postings(docs_with_ids: DataFrame) -> DataFrame:
         "doc_id",
         F.col("dl").cast("int").alias("dl"),
         "p_poss",
+        "p_fposs",
         F.explode(z).alias("e"),
     )
     return exploded.select(
@@ -82,6 +83,7 @@ def build_postings(docs_with_ids: DataFrame) -> DataFrame:
         F.col("e.p_tfs").cast("int").alias("tf"),
         F.slice("p_poss", F.col("e.p_offs") + 1, F.col("e.p_tfs")).alias("positions"),
         F.col("e.p_flags").cast("int").alias("flags"),
+        F.slice("p_fposs", F.col("e.p_offs") + 1, F.col("e.p_tfs")).alias("pos_flags"),
     )
 
 

@@ -30,7 +30,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: dict[str, list] = {
             "url": [], "warc_ts": [], "text": [], "title": [], "dl": [],
             "p_terms": [], "p_tfs": [], "p_flags": [], "p_offs": [],
-            "p_poss": [], "n_title_terms": [], "word_count": [],
+            "p_poss": [], "p_fposs": [], "n_title_terms": [], "word_count": [],
             "title_len": [], "english": [], "links": [],
         }
         for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
@@ -47,20 +47,21 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for i, (t, fl) in enumerate(zip(terms, flags)):
                 e = agg.get(t)
                 if e is None:
-                    agg[t] = [1, [i], fl]
+                    agg[t] = [1, [i], [fl]]
                 else:
                     e[0] += 1
                     e[1].append(i)
-                    if fl > e[2]:
-                        e[2] = fl
-            p_terms, p_tfs, p_flags, p_offs, p_poss = [], [], [], [], []
+                    e[2].append(fl)
+            p_terms, p_tfs, p_flags, p_offs = [], [], [], []
+            p_poss, p_fposs = [], []
             off = 0
-            for t, (tf, pos, fl) in agg.items():
+            for t, (tf, pos, fls) in agg.items():
                 p_terms.append(t)
                 p_tfs.append(tf)
-                p_flags.append(fl)
+                p_flags.append(max(fls))
                 p_offs.append(off)
                 p_poss.extend(pos)
+                p_fposs.extend(fls)   # per-occurrence, parallel to p_poss
                 off += tf
             out["url"].append(url)
             out["warc_ts"].append(ts)
@@ -72,6 +73,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["p_flags"].append(p_flags)
             out["p_offs"].append(p_offs)
             out["p_poss"].append(p_poss)
+            out["p_fposs"].append(p_fposs)
             out["n_title_terms"].append(n_title)
             out["word_count"].append(len(res.words) + len(res.title_words))
             out["title_len"].append(len(res.title_words))

@@ -32,8 +32,12 @@ class OracleIndex:
                 "url": row["url"],
                 "warc_ts": row["warc_ts"],
                 "terms": terms,
+                "flags": flags,
                 "title": res.title_chunk.decode("utf-8", "replace"),
                 "text": b" ".join(w for w, _ in res.words).decode("utf-8", "replace"),
+                "word_count": len(res.words) + len(res.title_words),
+                "title_len": len(res.title_words),
+                "english": res.english,
             }
             cur = per_url.get(row["url"])
             if cur is None or (rec["warc_ts"], rec["text"]) < (cur["warc_ts"], cur["text"]):
@@ -41,11 +45,13 @@ class OracleIndex:
 
         self.docs = [per_url[u] for u in sorted(per_url)]  # doc_id = url rank
         self.postings: dict[str, dict[int, list[int]]] = {}
+        self.pflags: dict[str, dict[int, list[int]]] = {}
         self.dl: list[int] = []
         for doc_id, d in enumerate(self.docs):
             self.dl.append(len(d["terms"]))
-            for pos, t in enumerate(d["terms"]):
+            for pos, (t, fl) in enumerate(zip(d["terms"], d["flags"])):
                 self.postings.setdefault(t, {}).setdefault(doc_id, []).append(pos)
+                self.pflags.setdefault(t, {}).setdefault(doc_id, []).append(fl)
         self.n_docs = len(self.docs)
         self.avgdl = sum(self.dl) / self.n_docs if self.n_docs else 0.0
 
@@ -151,3 +157,60 @@ class OracleIndex:
             (d, s, self.docs[d]["url"], self.docs[d]["title"])
             for d, s in ranked[:k]
         ]
+
+    # -- dynamic span-feature parity oracle (Ranker.cpp WorkerThread) -------
+    def topk_dynamic(self, query: str, k: int = 10, synonyms: bool = False):
+        """Per-doc reimplementation of the heuristic ranking flow over the
+        oracle's plain dict index: candidate supply = the boolean matching
+        set, then static gate → span features → dynamic mix → final score
+        (plans/dynamic_score.py kernels over independently-built maps)."""
+        import re
+
+        from search_engine_spark.plans import dynamic_score as D
+        from search_engine_spark.plans.static_score import (
+            is_utility_query, static_score_py,
+        )
+        from search_engine_spark.schemas import TLD_CODE
+
+        ast = compile_query(query, synonyms=synonyms)
+        if ast is None:
+            return []
+        groups = D.term_groups_from_ast(ast)
+        candidates = sorted(self._eval(ast).keys())
+
+        # query intent over the same ordered-stems view the executor uses
+        from search_engine_spark.plans.executor import _ordered_stems
+
+        uq = is_utility_query(_ordered_stems(ast))
+
+        out = []
+        for d in candidates:
+            doc = self.docs[d]
+            host = re.match(r"^[a-z][a-z0-9+.-]*://([^/]+)", doc["url"])
+            suffix_m = re.search(r"\.([a-z0-9]+)$", host.group(1)) if host else None
+            tld = TLD_CODE.get(suffix_m.group(1), 0) if suffix_m else 0
+            static = static_score_py(
+                {
+                    "url": doc["url"], "url_len": len(doc["url"]),
+                    "word_count": doc["word_count"],
+                    "title_len": doc["title_len"],
+                    "english": doc["english"], "tld": tld,
+                },
+                utility_query=uq,
+            )
+            pos_map = {
+                key: self.postings.get(key, {}).get(d, [])
+                for key in groups.all_keys()
+            }
+            flag_map = {
+                key: self.pflags.get(key, {}).get(d, [])
+                for key in groups.all_keys()
+            }
+            score = D.rank_doc(
+                groups, pos_map, flag_map, doc["url"], doc["title_len"],
+                doc["word_count"], self.dl[d], static,
+            )
+            if score is not None:
+                out.append((d, score, doc["url"], doc["title"]))
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out[:k]

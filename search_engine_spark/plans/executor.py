@@ -126,9 +126,10 @@ class QueryEngine:
 
             shards = sorted({term_shard(k, self.num_shards) for k in keys})
             filt = filt.filter(F.col("shard").isin(shards))
-        filt = filt.filter(F.col("term").isin(*keys)).select(
-            "term", "doc_id", "tf", "positions", "dl"
-        )
+        cols = ["term", "doc_id", "tf", "positions", "dl"]
+        if "pos_flags" in self.postings.columns:   # dynamic-ranker feature
+            cols.append("pos_flags")
+        filt = filt.filter(F.col("term").isin(*keys)).select(*cols)
         dfmap = filt.groupBy("term").agg(F.count("*").alias("df"))
         return (
             filt.join(F.broadcast(dfmap), "term")
@@ -259,12 +260,15 @@ class QueryEngine:
 
     # -- public API ------------------------------------------------------------
     def search_ast(self, ast: Expr | None, k: int = 10,
-                   static_mode: bool = False) -> DataFrame:
+                   static_mode: bool = False,
+                   dynamic_mode: bool = False) -> DataFrame:
         empty = self.spark.createDataFrame(
             [], "doc_id long, score double, url string, title string"
         )
         if ast is None:
             return empty
+        if dynamic_mode:
+            return self._search_dynamic(ast, k)
         keys = _collect_keys(ast)
         if not keys:
             return empty
@@ -299,8 +303,79 @@ class QueryEngine:
             .limit(k)
         )
 
+    # -- dynamic span-feature parity mode (SURVEY §2.7 R4/R5) ---------------
+    def _search_dynamic(self, ast: Expr, k: int) -> DataFrame:
+        """Full heuristic-parity ranking flow (Ranker.cpp WorkerThread):
+        candidate supply = docs matching the boolean tree; per-doc span
+        features over per-occurrence positions+flags; static gate +
+        synonym fallback + 0.75/0.25 final mix (plans/dynamic_score.py).
+
+        Shape: candidates semi-join the (shard-pruned) positions rows,
+        per-doc assembly is a collect_list + ONE Arrow-batched pandas UDF
+        (not per-group applyInPandas), top-k is TakeOrderedAndProject —
+        per-doc work is O(matched postings), distributed by doc.
+        """
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import DoubleType
+
+        from search_engine_spark.plans import dynamic_score as D
+        from search_engine_spark.plans import static_score as S
+
+        empty = self.spark.createDataFrame(
+            [], "doc_id long, score double, url string, title string"
+        )
+        groups = D.term_groups_from_ast(ast)
+        all_keys = set(groups.all_keys())
+        if not all_keys:
+            return empty
+        scored = self._scored(all_keys)
+        cand = self._eval(ast, scored).select("doc_id")
+
+        plist = (
+            scored.select("term", "doc_id", "positions", "pos_flags")
+            .join(cand, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list(F.struct("term", "positions", "pos_flags"))
+                 .alias("_plist"))
+        )
+        uq = S.is_utility_query(_ordered_stems(ast))
+        meta = self.docmeta.withColumn("_static", S.static_score_col(uq))
+        rows = plist.join(meta, "doc_id")
+
+        groups_ = groups
+
+        @pandas_udf(DoubleType())
+        def _dyn_score(plists, urls, title_lens, word_counts, dls, statics):
+            out = []
+            for pl, url, tl, wc, dl, st in zip(
+                plists, urls, title_lens, word_counts, dls, statics
+            ):
+                pos_map = {e["term"]: list(e["positions"]) for e in pl}
+                flag_map = {e["term"]: list(e["pos_flags"]) for e in pl}
+                out.append(D.rank_doc(
+                    groups_, pos_map, flag_map, url, int(tl), int(wc),
+                    int(dl), float(st),
+                ))
+            return pd.Series(out, dtype="float64")
+
+        return (
+            rows.select(
+                "doc_id", "url", "title",
+                _dyn_score(
+                    "_plist", "url", "title_len", "word_count", "dl", "_static"
+                ).alias("score"),
+            )
+            .filter(F.col("score").isNotNull())
+            .select("doc_id", "score", "url", "title")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
     def search(self, query: str, k: int = 10, synonyms: bool = False,
-               static_mode: bool = False) -> DataFrame:
+               static_mode: bool = False,
+               dynamic_mode: bool = False) -> DataFrame:
         return self.search_ast(
-            compile_query(query, synonyms=synonyms), k=k, static_mode=static_mode
+            compile_query(query, synonyms=synonyms), k=k,
+            static_mode=static_mode, dynamic_mode=dynamic_mode,
         )

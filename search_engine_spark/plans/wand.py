@@ -340,13 +340,16 @@ class PackedQueryEngine:
         )
 
     def search(self, query: str, k: int = 10, synonyms: bool = False,
-               static_mode: bool = False) -> DataFrame:
+               static_mode: bool = False,
+               dynamic_mode: bool = False) -> DataFrame:
         ast = compile_query(query, synonyms=synonyms)
-        if static_mode:
-            # static mixing invalidates the BM25-only WAND bounds → the
-            # exhaustive executor is the correct engine for parity mode
+        if static_mode or dynamic_mode:
+            # heuristic-parity scoring invalidates the BM25-only WAND
+            # bounds → the exhaustive executor is the correct engine
             if self.fallback is None:
-                raise ValueError("static_mode requires the fallback engine")
+                raise ValueError("parity modes require the fallback engine")
+            if dynamic_mode:
+                return self.fallback.search_ast(ast, k=k, dynamic_mode=True)
             return self.fallback.search_ast(ast, k=k, static_mode=True)
         r = route(ast)
         if r is None:

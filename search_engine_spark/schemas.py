@@ -54,6 +54,9 @@ DOCS = T.StructType([
     T.StructField("p_flags", T.ArrayType(T.IntegerType(), False), False),
     T.StructField("p_offs", T.ArrayType(T.IntegerType(), False), False),
     T.StructField("p_poss", T.ArrayType(T.IntegerType(), False), False),
+    # per-OCCURRENCE style flags, flat-parallel to p_poss (the dynamic
+    # span ranker needs bold/heading per post, Posts.hpp:33)
+    T.StructField("p_fposs", T.ArrayType(T.IntegerType(), False), False),
     T.StructField("n_title_terms", T.IntegerType(), False),
     T.StructField("word_count", T.IntegerType(), False),   # pre-stem, title+body
     T.StructField("title_len", T.IntegerType(), False),    # title word count
@@ -79,7 +82,9 @@ POSTINGS = T.StructType([
     T.StructField("dl", T.IntegerType(), False),   # inline doc length (norms)
     T.StructField("tf", T.IntegerType(), False),
     T.StructField("positions", T.ArrayType(T.IntegerType(), False), False),
-    T.StructField("flags", T.IntegerType(), False),
+    T.StructField("flags", T.IntegerType(), False),  # max over occurrences
+    # per-occurrence style flags aligned with positions (dynamic ranker)
+    T.StructField("pos_flags", T.ArrayType(T.IntegerType(), False), False),
 ])
 
 # physical packed layout (operators/merge.py): term-sharded on disk,

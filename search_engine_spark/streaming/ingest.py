@@ -150,7 +150,8 @@ def consolidate_stream(cat: IndexCatalog, num_shards: int = 32,
 
     post = (
         post.drop("_old").withColumnRenamed("new_id", "doc_id")
-        .select("term", "doc_id", "dl", "tf", "positions", "flags")
+        .select("term", "doc_id", "dl", "tf", "positions", "flags",
+                "pos_flags")
         .withColumn("shard", shard_col(num_shards=num_shards))
     )
     # same shard-partitioned layout as the batch pipeline's p4 (phrase/NOT
