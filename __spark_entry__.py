@@ -37,6 +37,38 @@ def _ensure_pythonpath(spark: SparkSession) -> None:
     ship_package(spark)
 
 
+_GOLDEN_PATH = _REPO / "fixtures/golden_engine.json"
+_SKIP_GOLDEN_CHECK = False   # tools/gen_engine_goldens.py sets True
+
+
+def _check_golden(name: str, df: DataFrame) -> DataFrame:
+    """Self-verify a non-SQL-expressible engine entry against its frozen
+    expected output (fixtures/golden_engine.json, generated once by
+    tools/gen_engine_goldens.py) — upgrades the driver's rows-only check
+    to a value-checked one.  Raises on any drift."""
+    if _SKIP_GOLDEN_CHECK or not _GOLDEN_PATH.exists():
+        return df
+    import json
+
+    want = json.loads(_GOLDEN_PATH.read_text()).get(name)
+    if want is None:
+        return df
+    got = sorted(
+        (
+            [round(v, 9) if isinstance(v, float) else v for v in r]
+            for r in df.collect()
+        ),
+        key=lambda x: [str(c) for c in x],
+    )
+    if list(df.columns) != want["columns"] or got != want["rows"]:
+        raise AssertionError(
+            f"{name} drifted from fixtures/golden_engine.json "
+            f"({len(got)} rows vs {len(want['rows'])} frozen); regenerate "
+            f"only on an intentional semantic change"
+        )
+    return df
+
+
 def _engine_catalog(spark: SparkSession):
     """Build (or reuse) the real-engine index over the synthetic pages
     corpus; warehouse cached under /tmp keyed by corpus size."""
@@ -59,7 +91,7 @@ def _engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_engine_spark.plans.wand import PackedQueryEngine
 
     eng = PackedQueryEngine.from_catalog(_engine_catalog(spark))
-    return eng.search("search engine", k=10)
+    return _check_golden("engine_bm25_topk", eng.search("search engine", k=10))
 
 
 def _engine_postings_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,11 +100,11 @@ def _engine_postings_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     cat = _engine_catalog(spark)
-    return (
+    return _check_golden("engine_postings_sample", (
         cat.read("postings")
         .filter(F.col("term").isin("search", "@search"))
         .select("term", "doc_id", "tf", F.size("positions").alias("n_positions"))
-    )
+    ))
 
 
 def _engine_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,27 +121,41 @@ def _engine_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["search", "engine", "search engine", "index documents", "w1 | w2"],
         k=5,
     )
-    return out.select(
+    return _check_golden("engine_batch_search", out.select(
         "query", "rank", "doc_id", F.round("score", 4).alias("score")
-    )
+    ))
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only check): synthesize deterministic fake
-    media from the documents table, decode + feature-extract via
-    mapInPandas (the codec step is a documented stub; the Spark-side
-    schema/partitioning/batching is the real surface)."""
+    """Multimodal plumbing, ORACLE-CHECKED on the container-metadata
+    surface: synthesize deterministic fake media from the documents
+    table, decode + feature-extract via mapInPandas, emit the decoded
+    dimensions + payload size (media_id, kind, width, height, n_bytes),
+    which the DuckDB oracle mirrors arithmetically.  The byte-histogram
+    feature vector (the stand-in for a real model forward pass) is not
+    byte-expressible in SQL and is covered by tests/test_multimodal.py
+    instead."""
     _ensure_pythonpath(spark)
-    from pyspark.sql import functions as F
-
     from search_engine_spark.operators import multimodal as M
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     feats = M.extract_features(M.synthesize_media(docs))
-    return feats.select(
-        "media_id", "kind", "width", "height", "n_bytes",
-        F.round(F.element_at("features", 1), 4).alias("f0"),
-    )
+    return feats.select("media_id", "kind", "width", "height", "n_bytes")
+
+
+# DuckDB mirror of synthesize_media's deterministic fake container
+# (operators/multimodal.py: media_id = doc_id*10, kind = doc_id%3,
+# width/height from the seeded affine hashes, n_bytes = 13-byte header +
+# utf-8 body truncated at 4096 bytes)
+_SQL_MEDIA_FEATURES = """SELECT
+  doc_id * 10 AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CAST(16 + (doc_id * 7919) % 1024 AS INT) AS width,
+  CAST(16 + (doc_id * 104729) % 768 AS INT) AS height,
+  CAST(13 + least(octet_length(encode(coalesce(text, ''))), 4096)
+       AS BIGINT) AS n_bytes
+FROM documents"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -141,4 +187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from search_engine_spark.driver_queries import QUERIES
 
-    return {name: sql for name, (_, sql) in QUERIES.items()}
+    out = {name: sql for name, (_, sql) in QUERIES.items()}
+    out["media_features"] = _SQL_MEDIA_FEATURES
+    return out
