@@ -26,6 +26,44 @@ from search_engine_spark.functions.tokenize import doc_terms
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # C fast path (native/fastparse.c): parser + stem-cache + per-doc agg
+    # in one C call per document, ~11× the pure-Python loop per core.
+    # Output is IDENTICAL (tests/test_native_parity.py, fuzz --native);
+    # the Python loop below remains the semantics source of truth and the
+    # fallback when no compiler is available.
+    from search_engine_spark.native import get_parse_doc
+
+    native = get_parse_doc()
+    if native is not None:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "url", "warc_ts", "text", "title", "dl", "p_terms", "p_tfs",
+                "p_flags", "p_offs", "p_poss", "p_fposs", "n_title_terms",
+                "word_count", "title_len", "english", "links",
+            )}
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                (text_b, title_b, dl, p_terms, p_tfs, p_flags, p_offs,
+                 p_poss, p_fposs, n_title, word_count, title_len, english,
+                 links) = native(bytes(html))
+                out["url"].append(url)
+                out["warc_ts"].append(ts)
+                out["text"].append(text_b.decode("utf-8", "replace"))
+                out["title"].append(title_b.decode("utf-8", "replace"))
+                out["dl"].append(dl)
+                out["p_terms"].append(p_terms)
+                out["p_tfs"].append(p_tfs)
+                out["p_flags"].append(p_flags)
+                out["p_offs"].append(p_offs)
+                out["p_poss"].append(p_poss)
+                out["p_fposs"].append(p_fposs)
+                out["n_title_terms"].append(n_title)
+                out["word_count"].append(word_count)
+                out["title_len"].append(title_len)
+                out["english"].append(english)
+                out["links"].append([u.decode("utf-8", "replace") for u in links])
+            yield pd.DataFrame(out)
+        return
+
     for pdf in batches:
         out: dict[str, list] = {
             "url": [], "warc_ts": [], "text": [], "title": [], "dl": [],

@@ -215,6 +215,32 @@ class PackedQueryEngine:
             [], "doc_id long, score double, url string, title string"
         )
 
+    def _bucket_rows(self, rows: DataFrame) -> DataFrame:
+        """One self-contained row per doc bucket: the query terms' packed
+        rows collected into an array, THEN the bucket's doclens attached.
+
+        Aggregating before the doclens join matters for scaling: joining
+        first would ship one copy of the bucket's full ``dls`` array per
+        (term × bucket) row through the shuffle — T× duplication of the
+        largest payload.  Here the shuffle moves each packed row once, and
+        dls exactly once per bucket; the kernel then runs as a narrow
+        mapInPandas over single-bucket rows (no second shuffle)."""
+        grouped = rows.groupBy("bucket").agg(
+            F.collect_list(
+                F.struct("term", "df", "doc_ids", "tfs",
+                         "block_last", "block_maxw")
+            ).alias("trows")
+        )
+        joined = grouped.join(self.doclens, "bucket")
+        # EXPLICIT partition count for the kernel stage: the bucket rows
+        # are tiny by AQE's byte heuristics (KBs of packed postings), so
+        # adaptive coalescing would collapse the whole kernel onto ONE
+        # task and serialize the per-bucket top-k.  A user-specified
+        # repartition is exempt from AQE coalescing and spreads the
+        # buckets across the executors; it moves each bucket row once.
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        return joined.repartition(n, "bucket")
+
     def search_batch(self, queries: list[str], k: int = 10,
                      synonyms: bool = False) -> DataFrame:
         """Evaluate MANY flat queries in ONE Spark job → (query, doc_id,
@@ -266,59 +292,60 @@ class PackedQueryEngine:
         avgdl, k1, b, kk = self.avgdl, self.k1, self.b, k
         plans_ = plans
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        def kernel(batches):
             from search_engine_spark.operators import codec
 
-            start = int(pdf["start"].iloc[0])
-            dls = np.asarray(pdf["dls"].iloc[0], dtype=np.float64)
-            decoded: dict[str, dict] = {}
-            for r in pdf.itertuples(index=False):
-                decoded[r.term] = {
-                    "ids": codec.decode_docids(bytes(r.doc_ids)),
-                    "tfs": codec.decode_tfs(bytes(r.tfs)),
-                    "block_last": np.asarray(r.block_last, dtype=np.int64),
-                    "block_maxw": np.asarray(r.block_maxw, dtype=np.float64),
-                    # every packed row carries the term's GLOBAL df
-                    "base_idf": bm25.idf(int(r.df), n_docs),
-                }
-            out_q, out_d, out_s = [], [], []
-            for q, mode, stems in plans_:
-                mult = Counter(stems)
-                uniq = list(dict.fromkeys(stems))
-                by_key = {}
-                for s in uniq:
-                    for key in (s, "@" + s):
-                        if key in decoded:
-                            by_key[key] = {
-                                **decoded[key],
-                                "idf": decoded[key]["base_idf"] * mult[s],
-                            }
-                if mode == "and":
-                    if any(
-                        s not in by_key and ("@" + s) not in by_key
-                        for s in uniq
-                    ):
-                        continue
-                    ids, scores = topk_and(uniq, by_key, dls, start, kk,
-                                           avgdl, k1, b)
-                else:
-                    terms = [by_key[key] for key in sorted(by_key)]
-                    ids, scores = topk_or(terms, dls, start, kk, avgdl, k1, b)
-                out_q.extend([q] * len(ids))
-                out_d.extend(ids.tolist())
-                out_s.extend(scores.tolist())
-            return pd.DataFrame({"query": out_q, "doc_id": out_d, "score": out_s})
+            for pdf in batches:
+                out_q, out_d, out_s = [], [], []
+                for brow in pdf.itertuples(index=False):
+                    start = int(brow.start)
+                    dls = np.asarray(brow.dls, dtype=np.float64)
+                    decoded: dict[str, dict] = {}
+                    for r in brow.trows:
+                        decoded[r["term"]] = {
+                            "ids": codec.decode_docids(bytes(r["doc_ids"])),
+                            "tfs": codec.decode_tfs(bytes(r["tfs"])),
+                            "block_last": np.asarray(r["block_last"], dtype=np.int64),
+                            "block_maxw": np.asarray(r["block_maxw"], dtype=np.float64),
+                            # every packed row carries the term's GLOBAL df
+                            "base_idf": bm25.idf(int(r["df"]), n_docs),
+                        }
+                    for q, mode, stems in plans_:
+                        mult = Counter(stems)
+                        uniq = list(dict.fromkeys(stems))
+                        by_key = {}
+                        for s in uniq:
+                            for key in (s, "@" + s):
+                                if key in decoded:
+                                    by_key[key] = {
+                                        **decoded[key],
+                                        "idf": decoded[key]["base_idf"] * mult[s],
+                                    }
+                        if mode == "and":
+                            if any(
+                                s not in by_key and ("@" + s) not in by_key
+                                for s in uniq
+                            ):
+                                continue
+                            ids, scores = topk_and(uniq, by_key, dls, start,
+                                                   kk, avgdl, k1, b)
+                        else:
+                            terms = [by_key[key] for key in sorted(by_key)]
+                            ids, scores = topk_or(terms, dls, start, kk,
+                                                  avgdl, k1, b)
+                        out_q.extend([q] * len(ids))
+                        out_d.extend(ids.tolist())
+                        out_s.extend(scores.tolist())
+                yield pd.DataFrame(
+                    {"query": out_q, "doc_id": out_d, "score": out_s}
+                )
 
         from pyspark.sql import Window
 
         parts: list[DataFrame] = []
         if plans:
-            per_bucket = (
-                rows.join(self.doclens, "bucket")
-                .groupBy("bucket")
-                .applyInPandas(
-                    kernel, schema="query string, doc_id long, score double"
-                )
+            per_bucket = self._bucket_rows(rows).mapInPandas(
+                kernel, schema="query string, doc_id long, score double"
             )
             parts.append(per_bucket)
         # non-flat queries: exhaustive executor, one extra job each (k rows);
@@ -394,32 +421,41 @@ class PackedQueryEngine:
         stems_ = stems
         mult_ = dict(mult)
 
-        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            start = int(pdf["start"].iloc[0])
-            dls = np.asarray(pdf["dls"].iloc[0], dtype=np.float64)
-            by_key: dict[str, dict] = {}
-            for r in pdf.itertuples(index=False):
-                from search_engine_spark.operators import codec
+        def kernel(batches):
+            from search_engine_spark.operators import codec
 
-                by_key[r.term] = {
-                    "ids": codec.decode_docids(bytes(r.doc_ids)),
-                    "tfs": codec.decode_tfs(bytes(r.tfs)),
-                    "block_last": np.asarray(r.block_last, dtype=np.int64),
-                    "block_maxw": np.asarray(r.block_maxw, dtype=np.float64),
-                    "idf": bm25.idf(int(r.df), n_docs)
-                    * mult_[r.term.removeprefix("@")],
-                }
-            if mode_ == "and":
-                ids, scores = topk_and(stems_, by_key, dls, start, kk, avgdl, k1, b)
-            else:
-                terms = [by_key[key] for key in sorted(by_key)]
-                ids, scores = topk_or(terms, dls, start, kk, avgdl, k1, b)
-            return pd.DataFrame({"doc_id": ids, "score": scores})
+            for pdf in batches:
+                all_ids, all_scores = [], []
+                for brow in pdf.itertuples(index=False):
+                    start = int(brow.start)
+                    dls = np.asarray(brow.dls, dtype=np.float64)
+                    by_key: dict[str, dict] = {}
+                    for r in brow.trows:
+                        by_key[r["term"]] = {
+                            "ids": codec.decode_docids(bytes(r["doc_ids"])),
+                            "tfs": codec.decode_tfs(bytes(r["tfs"])),
+                            "block_last": np.asarray(r["block_last"], dtype=np.int64),
+                            "block_maxw": np.asarray(r["block_maxw"], dtype=np.float64),
+                            "idf": bm25.idf(int(r["df"]), n_docs)
+                            * mult_[r["term"].removeprefix("@")],
+                        }
+                    if mode_ == "and":
+                        ids, scores = topk_and(stems_, by_key, dls, start,
+                                               kk, avgdl, k1, b)
+                    else:
+                        terms = [by_key[key] for key in sorted(by_key)]
+                        ids, scores = topk_or(terms, dls, start, kk, avgdl, k1, b)
+                    all_ids.append(ids)
+                    all_scores.append(scores)
+                yield pd.DataFrame({
+                    "doc_id": np.concatenate(all_ids) if all_ids
+                    else np.empty(0, np.int64),
+                    "score": np.concatenate(all_scores) if all_scores
+                    else np.empty(0),
+                })
 
-        per_bucket = (
-            rows.join(self.doclens, "bucket")
-            .groupBy("bucket")
-            .applyInPandas(kernel, schema="doc_id long, score double")
+        per_bucket = self._bucket_rows(rows).mapInPandas(
+            kernel, schema="doc_id long, score double"
         )
         topk = per_bucket.orderBy(
             F.col("score").desc(), F.col("doc_id").asc()

@@ -173,10 +173,41 @@ def fuzz_pages(n: int, rng: random.Random) -> int:
     return bad
 
 
+def fuzz_native(n: int, rng: random.Random) -> int:
+    """Third surface: the C fast path (native/fastparse.c) vs the Python
+    extraction pipeline over the same soup — the Python side is the
+    golden-verified arbiter, so any divergence is a native bug."""
+    from search_engine_spark.native import get_parse_doc
+    from tests.test_native_parity import norm_native, py_reference
+
+    native = get_parse_doc()
+    if native is None:
+        print("  (no compiler: native fuzz skipped)")
+        return 0
+    bad = 0
+    for i in range(n):
+        html = rand_html(rng).encode("utf-8")
+        a = py_reference(html)
+        b = norm_native(native(html))
+        if a != b:
+            bad += 1
+            repro = Path(f"/tmp/fuzz_native_repro_{i}.html")
+            repro.write_bytes(html)
+            if bad <= 5:
+                for j, (x, y) in enumerate(zip(a, b)):
+                    if x != y:
+                        print(f"NATIVE MISMATCH page {i} field {j}: "
+                              f"py={x!r:.300} c={y!r:.300}")
+                print(f"  repro: {repro}")
+    return bad
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stems", type=int, default=20000)
     ap.add_argument("--pages", type=int, default=400)
+    ap.add_argument("--native", type=int, default=0,
+                    help="also fuzz the C fast path vs Python on N pages")
     ap.add_argument("--seed", type=int, default=1)
     args = ap.parse_args()
 
@@ -190,9 +221,12 @@ def main() -> None:
     rng = random.Random(args.seed)
     s_bad = fuzz_stems(args.stems, rng)
     p_bad = fuzz_pages(args.pages, rng)
+    n_bad = fuzz_native(args.native, rng) if args.native else 0
     print(f"stems: {args.stems} words, {s_bad} mismatches")
     print(f"pages: {args.pages} docs, {p_bad} mismatches")
-    sys.exit(1 if (s_bad or p_bad) else 0)
+    if args.native:
+        print(f"native: {args.native} docs, {n_bad} mismatches")
+    sys.exit(1 if (s_bad or p_bad or n_bad) else 0)
 
 
 if __name__ == "__main__":
