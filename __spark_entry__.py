@@ -126,6 +126,21 @@ def _engine_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+def _engine_dynamic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-parity ranking flow (SURVEY §2.7 R4/R5): static gate +
+    rarest-term span features + synonym fallback + 0.75/0.25 final mix
+    (plans/dynamic_score.py), distributed over the candidate set.
+    Value-checked against fixtures/golden_engine.json; rank identity vs
+    the per-doc oracle is enforced by tests/test_dynamic_parity.py."""
+    from search_engine_spark.plans.wand import PackedQueryEngine
+
+    eng = PackedQueryEngine.from_catalog(_engine_catalog(spark))
+    return _check_golden(
+        "engine_dynamic_topk",
+        eng.search("search engine", k=10, dynamic_mode=True),
+    )
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing, ORACLE-CHECKED on the container-metadata
     surface: synthesize deterministic fake media from the documents
@@ -180,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_bm25_topk"] = _engine_bm25_topk
     out["engine_postings_sample"] = _engine_postings_sample
     out["engine_batch_search"] = _engine_batch_search
+    out["engine_dynamic_topk"] = _engine_dynamic_topk
     out["media_features"] = _media_features
     return out
 

@@ -145,6 +145,58 @@ def topk_and(stems: list[str], by_key: dict[str, dict], dls: np.ndarray,
     return _topk_select(cand, scores, k)
 
 
+def topk_or_dense(terms: list[dict], start: int, width: int, k: int):
+    """Batch-mode disjunctive top-k: every term carries a PRECOMPUTED
+    idf-free weight array ``w`` (computed once per bucket and shared by
+    all queries in the batch), so scoring one query is one dense
+    scatter-add per term over an O(bucket_width) array — no per-interval
+    bookkeeping.  Float addition order per doc is the same term order as
+    topk_or (sorted key order), so scores are bit-identical."""
+    if not terms:
+        return np.empty(0, np.int64), np.empty(0)
+    scores = np.zeros(width)
+    hit = np.zeros(width, dtype=bool)
+    for t in terms:
+        off = t["ids"] - start
+        scores[off] += t["idf"] * t["w"]
+        hit[off] = True
+    idx = np.nonzero(hit)[0]
+    return _topk_select(idx + start, scores[idx], k)
+
+
+def topk_and_dense(stems: list[str], by_key: dict[str, dict], start: int,
+                   width: int, k: int):
+    """Batch-mode conjunctive top-k over precomputed weights: per-stem hit
+    masks AND-ed densely, survivors scored in sorted key order (the same
+    float structure as topk_and)."""
+    cnt = np.zeros(width, dtype=np.int32)
+    m = np.empty(width, dtype=bool)
+    for s in stems:
+        m[:] = False
+        found = False
+        for key in (s, "@" + s):
+            t = by_key.get(key)
+            if t is not None:
+                m[t["ids"] - start] = True
+                found = True
+        if not found:
+            return np.empty(0, np.int64), np.empty(0)
+        cnt += m
+    need = len(stems)
+    cand_mask = cnt == need
+    if not cand_mask.any():
+        return np.empty(0, np.int64), np.empty(0)
+    scores = np.zeros(width)
+    for key in sorted(by_key):
+        t = by_key[key]
+        off = t["ids"] - start
+        sel = cand_mask[off]
+        if sel.any():
+            scores[off[sel]] += t["idf"] * t["w"][sel]
+    idx = np.nonzero(cand_mask)[0]
+    return _topk_select(idx + start, scores[idx], k)
+
+
 # ---------------------------------------------------------------------------
 # routing
 # ---------------------------------------------------------------------------
@@ -215,6 +267,13 @@ class PackedQueryEngine:
             [], "doc_id long, score double, url string, title string"
         )
 
+    def _n_buckets(self) -> int:
+        """Merged-bucket count (doclens rows), cached — one tiny count job
+        per engine lifetime, sets the kernel stage's task count."""
+        if not hasattr(self, "_n_buckets_cached"):
+            self._n_buckets_cached = max(1, self.doclens.count())
+        return self._n_buckets_cached
+
     def _bucket_rows(self, rows: DataFrame) -> DataFrame:
         """One self-contained row per doc bucket: the query terms' packed
         rows collected into an array, THEN the bucket's doclens attached.
@@ -232,14 +291,16 @@ class PackedQueryEngine:
             ).alias("trows")
         )
         joined = grouped.join(self.doclens, "bucket")
-        # EXPLICIT partition count for the kernel stage: the bucket rows
-        # are tiny by AQE's byte heuristics (KBs of packed postings), so
-        # adaptive coalescing would collapse the whole kernel onto ONE
-        # task and serialize the per-bucket top-k.  A user-specified
-        # repartition is exempt from AQE coalescing and spreads the
-        # buckets across the executors; it moves each bucket row once.
-        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        return joined.repartition(n, "bucket")
+        # RANGE-partition the kernel stage on bucket with EXACTLY ONE
+        # BUCKET PER PARTITION: bucket ids are dense ints, so ranges give
+        # perfect per-task balance (fewer partitions than buckets makes
+        # the double-bucket tasks the stragglers that cap 4N scaling at
+        # ~buckets/partitions).  Measured on Spark 4, the range shuffle is
+        # also left alone by AQE, whereas both the plain shuffle and an
+        # explicit hash repartition get coalesced to a handful of tasks by
+        # the byte-size heuristic (bucket rows are KBs of packed postings),
+        # serializing the kernel.  The range sampling job is O(buckets).
+        return joined.repartitionByRange(self._n_buckets(), "bucket")
 
     def search_batch(self, queries: list[str], k: int = 10,
                      synonyms: bool = False) -> DataFrame:
@@ -300,13 +361,18 @@ class PackedQueryEngine:
                 for brow in pdf.itertuples(index=False):
                     start = int(brow.start)
                     dls = np.asarray(brow.dls, dtype=np.float64)
+                    width = dls.size
                     decoded: dict[str, dict] = {}
                     for r in brow.trows:
+                        ids = codec.decode_docids(bytes(r["doc_ids"]))
+                        tfs = codec.decode_tfs(bytes(r["tfs"]))
                         decoded[r["term"]] = {
-                            "ids": codec.decode_docids(bytes(r["doc_ids"])),
-                            "tfs": codec.decode_tfs(bytes(r["tfs"])),
-                            "block_last": np.asarray(r["block_last"], dtype=np.int64),
-                            "block_maxw": np.asarray(r["block_maxw"], dtype=np.float64),
+                            "ids": ids,
+                            # idf-free weights computed ONCE per (term,
+                            # bucket) and SHARED by every query in the
+                            # batch — this amortization is what makes the
+                            # one-job batch path beat per-query WAND
+                            "w": _weights(tfs, dls[ids - start], avgdl, k1, b),
                             # every packed row carries the term's GLOBAL df
                             "base_idf": bm25.idf(int(r["df"]), n_docs),
                         }
@@ -327,12 +393,11 @@ class PackedQueryEngine:
                                 for s in uniq
                             ):
                                 continue
-                            ids, scores = topk_and(uniq, by_key, dls, start,
-                                                   kk, avgdl, k1, b)
+                            ids, scores = topk_and_dense(uniq, by_key, start,
+                                                         width, kk)
                         else:
                             terms = [by_key[key] for key in sorted(by_key)]
-                            ids, scores = topk_or(terms, dls, start, kk,
-                                                  avgdl, k1, b)
+                            ids, scores = topk_or_dense(terms, start, width, kk)
                         out_q.extend([q] * len(ids))
                         out_d.extend(ids.tolist())
                         out_s.extend(scores.tolist())

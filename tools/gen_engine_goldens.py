@@ -45,7 +45,7 @@ def main() -> None:
     qs = e.queries()
     out = {}
     for name in ("engine_bm25_topk", "engine_postings_sample",
-                 "engine_batch_search"):
+                 "engine_batch_search", "engine_dynamic_topk"):
         df = qs[name](spark, "/root/testdata/sf0.001")
         out[name] = {"columns": df.columns, "rows": snapshot(df)}
         print(f"{name}: {len(out[name]['rows'])} rows frozen")

@@ -44,7 +44,10 @@ def run_level(cpus: int, pages: str, docs: int, wh_root: str) -> dict:
     r = subprocess.run(
         [sys.executable, str(REPO / "jobs/query_bench.py"),
          "--warehouse", wh, "--engine", "packed",
-         "--batch", "--repeat", "10"],
+         # big enough that the kernel CPU dominates the fixed per-job
+         # costs (session + 3 shuffle barriers) at BOTH levels — the
+         # scaling property being measured is sustained batch throughput
+         "--batch", "--repeat", "400"],
         env=env, capture_output=True, text=True, cwd=REPO, check=True,
     )
     out["query"] = json.loads(r.stdout.strip().splitlines()[-1])
