@@ -116,6 +116,21 @@ def main() -> None:
     timings["engine_queryset_p50"] = round(p50, 4)
     timings["engine_queryset_total"] = round(sum(lat), 4)
 
+    # ---- real engine: one-job batch retrieval throughput ------------------
+    # (amortized kernel: per-term weights computed once per bucket, every
+    # query scored densely — the cluster-scale offline-retrieval shape)
+    from search_engine_spark.plans.wand import route
+    from search_engine_spark.plans.query_ast import compile_query
+
+    routable = [q for q in QUERY_STRINGS
+                if route(compile_query(q)) is not None]
+    batch_queries = routable * 40
+    t0 = time.perf_counter()
+    eng.search_batch(batch_queries, k=10).count()
+    batch_s = time.perf_counter() - t0
+    timings["engine_batch_search"] = round(batch_s, 4)
+    batch_qps = len(batch_queries) / batch_s
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -129,6 +144,8 @@ def main() -> None:
                 "index_build_docs_per_sec": round(docs_per_sec, 2),
                 "query_p50_sec": round(p50, 4),
                 "n_queries": len(QUERY_STRINGS),
+                "batch_qps": round(batch_qps, 2),
+                "batch_queries": len(batch_queries),
                 "cpus": CPUS,
             }
         )

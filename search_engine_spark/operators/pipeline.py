@@ -106,20 +106,28 @@ def run_build(
         # Hive-partitioned by term shard so every term-filtered read of the
         # logical postings (the phrase/NOT fallback path, positions lookups)
         # prunes to the query terms' shard directories instead of scanning
-        # the whole table — the same pruning the packed layout gets.  Costs
-        # one shard-hash shuffle at build time (the repartition also
-        # prevents the tasks×shards small-file explosion).
+        # the whole table — the same pruning the packed layout gets.
+        #
+        # Write strategy is adaptive: the postings are the build's fattest
+        # rows (positions + per-occurrence flags), so a full shard shuffle
+        # is only paid when it is actually needed — when input tasks ≫
+        # shards, where a direct dynamic-partition write would explode
+        # into tasks×shards files.  Below that regime, sortWithinPartitions
+        # groups each task's rows by shard so the dynamic write opens each
+        # shard file once per task (≤ tasks×shards files, bounded small),
+        # and the big rows never cross the wire.
         def p4() -> str:
             from search_engine_spark.operators.merge import shard_col
 
             posts = B.build_postings(docs).withColumn(
                 "shard", shard_col(num_shards=num_shards)
             )
-            cat.write(
-                "postings",
-                posts.repartition(num_shards, "shard"),
-                partition_by=["shard"],
-            )
+            n_input = docs.rdd.getNumPartitions()
+            if n_input > 4 * num_shards:
+                posts = posts.repartition(num_shards, "shard")
+            else:
+                posts = posts.sortWithinPartitions("shard")
+            cat.write("postings", posts, partition_by=["shard"])
             cat.set_prop("postings_num_shards", num_shards)
             return "postings"
 

@@ -244,16 +244,19 @@ class QueryEngine:
             "doc_id", "dl", tf_col.cast("double").alias("_ptf")
         ).filter(F.col("_ptf") > 0)
 
-        # phrase df computed at query time, then broadcast back as a scalar
-        matches = matches.persist()
-        phrase_df = matches.count()
-        if phrase_df == 0:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        idf = bm25.idf(phrase_df, self.n_docs)
+        # phrase df computed at query time INSIDE the same plan: a global
+        # window count over the matching docs (small set — every doc here
+        # contains all phrase terms adjacently), so a phrase leaf costs no
+        # extra persist()+count() driver action per query — one job total.
+        from pyspark.sql import Window
+
+        matches = matches.withColumn(
+            "_df", F.count("*").over(Window.partitionBy())
+        )
         return matches.select(
             "doc_id",
             (
-                F.lit(idf)
+                bm25.idf_col(F.col("_df").cast("double"), self.n_docs)
                 * bm25.weight_col(F.col("_ptf"), F.col("dl"), self.avgdl, self.k1, self.b)
             ).alias("score"),
         )
