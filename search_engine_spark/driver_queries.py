@@ -907,6 +907,53 @@ WHERE f.cl = q.qcl AND f.vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER consolidation: connected components over the
+    MinHash-LSH candidate pairs via iterative min-label propagation —
+    every document in any candidate pair is assigned the smallest doc_id
+    reachable through the duplicate graph (its canonical keeper).
+
+    Scale shape: the classic GraphX-style propagation — each round is one
+    join + one min-aggregate, rounds = graph diameter (tiny for dup
+    clusters, which are near-cliques by construction); no driver-side
+    graph materialization, only a per-round convergence count.  At 10^12
+    docs this is the standard consolidation step after pair generation
+    (the pair graph is orders of magnitude smaller than the corpus).
+    """
+    from search_engine_spark.operators.components import connected_components
+
+    return connected_components(q_minhash_lsh_pairs(spark, sf_dir))
+
+
+SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE {_SHINGLES_SQL},
+sig AS (
+  SELECT doc_id,
+         min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
+         min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sig0 AS band FROM sig UNION ALL
+  SELECT doc_id, sig1 FROM sig UNION ALL
+  SELECT doc_id, sig2 FROM sig UNION ALL
+  SELECT doc_id, sig3 FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION ALL SELECT db, da FROM pairs
+),
+closure AS (
+  SELECT src AS doc, src AS reach FROM edges
+  UNION
+  SELECT c.doc, e.dst FROM closure c JOIN edges e ON e.src = c.reach
+)
+SELECT doc AS doc_id, min(reach) AS cluster FROM closure GROUP BY doc"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min) of the events table — the batch
     twin of the stateful streaming operator (streaming/sessionize.py)."""
@@ -967,5 +1014,6 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
 }

@@ -1,0 +1,52 @@
+"""Connected components via iterative min-label propagation — the
+consolidation step of near-duplicate pipelines (LSH candidate pairs →
+duplicate clusters → canonical keeper per cluster).
+
+GraphX-style: each round is one join + one min-aggregate; rounds bounded
+by the graph diameter (near-dup clusters are near-cliques, so 2-3 rounds
+in practice).  No driver-side graph materialization; the only driver
+action per round is the convergence count.  localCheckpoint truncates
+lineage every round — without it each iteration nests the previous
+round's plan and plan construction itself OOMs (exponential growth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, a: str = "da", b: str = "db",
+                         max_rounds: int = 50) -> DataFrame:
+    """pairs(a, b) undirected → (doc_id, cluster) for every endpoint,
+    cluster = smallest reachable id (deterministic canonical keeper)."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        prop = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .select(F.col("dst").alias("doc_id"), "cluster")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("cluster", "_old"),
+                            "doc_id")
+            .filter(F.col("cluster") < F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster")

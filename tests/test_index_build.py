@@ -109,3 +109,19 @@ def test_partition_offsets_hadoop_fs_matches_pyarrow(spark, tmp_path):
     a = docids.partition_offsets_from_footers(d)
     b = docids.partition_offsets_from_footers(d, spark=spark)
     assert a == b and sum(1 for _ in a) == 5
+
+
+def test_connected_components_crafted_graph(spark):
+    """Min-label propagation: chain, triangle, and an isolated pair must
+    collapse to their smallest member; convergence beyond diameter 1."""
+    from search_engine_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "da long, db long",
+    )
+    got = {r["doc_id"]: r["cluster"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
