@@ -37,7 +37,12 @@ SORT_COLS = ("url", "warc_ts", "text")
 
 def sorted_dedup(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Range-shuffle + in-partition sort + first-wins dedup; adds
-    ``_pid`` and ``_row_in_part`` bookkeeping columns."""
+    ``_pid`` and ``_row_in_part`` bookkeeping columns.
+
+    ``text`` exists solely to order ties inside this sort (the dedup
+    keeper rule) — once the keeper is chosen it is DROPPED, so the
+    build's largest string column is written/read by no later phase
+    (docs_raw keeps it for the byte-identity invariant checks)."""
     spark = docs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -49,7 +54,7 @@ def sorted_dedup(docs: DataFrame, num_partitions: int | None = None) -> DataFram
     )
 
     out_schema = T.StructType(
-        parted.schema.fields
+        [f for f in parted.schema.fields if f.name != "text"]
         + [T.StructField("_row_in_part", T.LongType(), False)]
     )
 
@@ -63,7 +68,7 @@ def sorted_dedup(docs: DataFrame, num_partitions: int | None = None) -> DataFram
             if prev_url is not None:
                 is_first.iloc[0] = pdf["url"].iloc[0] != prev_url
             prev_url = pdf["url"].iloc[-1]
-            keep = pdf[is_first].copy()
+            keep = pdf[is_first].drop(columns=["text"])
             keep["_row_in_part"] = range(seen, seen + len(keep))
             seen += len(keep)
             yield keep
