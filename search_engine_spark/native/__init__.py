@@ -23,17 +23,30 @@ _tried = False
 
 
 def _build() -> bool:
-    """Compile fastparse.c in place; returns True on success.  No pip, no
-    setuptools — one gcc invocation against the CPython headers."""
+    """Compile fastparse.c, then atomically rename into place; returns True
+    on success.  No pip, no setuptools — one gcc invocation against the
+    CPython headers.
+
+    The temp-file + os.rename dance matters under concurrency: executor
+    processes all target the same .so path, and gcc rewriting a file another
+    process has already dlopen'd can SIGBUS that process.  rename() is
+    atomic on the same filesystem, so readers only ever see a complete
+    module (old or new)."""
     cc = os.environ.get("CC", "gcc")
     inc = sysconfig.get_paths()["include"]
+    tmp = _SO.with_name(f".{_SO.name}.{os.getpid()}.tmp")
     cmd = [cc, "-O2", "-fPIC", "-shared", f"-I{inc}",
-           str(_SRC), "-o", str(_SO)]
+           str(_SRC), "-o", str(tmp)]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
-        return r.returncode == 0 and _SO.exists()
+        if r.returncode != 0 or not tmp.exists():
+            return False
+        os.rename(tmp, _SO)
+        return True
     except Exception:
         return False
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def get_parse_doc():

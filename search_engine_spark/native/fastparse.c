@@ -501,7 +501,9 @@ static PyObject *parse_doc(PyObject *self, PyObject *arg) {
     p.d = low; p.L = L; p.english = 1; p.discarding = "";
     run_parser(&p);
     if (p.oom) {
-        buf_free(NULL); spans_free(&p.body); spans_free(&p.title);
+        /* no Buf exists at this point — only the span arrays + lowercase
+           copy need freeing */
+        spans_free(&p.body); spans_free(&p.title);
         spans_free(&p.links); PyMem_Free(low);
         return PyErr_NoMemory();
     }

@@ -29,6 +29,7 @@ def connected_components(pairs: DataFrame, a: str = "da", b: str = "db",
         .withColumn("cluster", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_rounds):
         prop = (
             labels.join(edges, labels.doc_id == edges.src)
@@ -49,4 +50,12 @@ def connected_components(pairs: DataFrame, a: str = "da", b: str = "db",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # chain-shaped graphs can exceed max_rounds; silently returning the
+        # partially-propagated labels would split real clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds for "
+            f"high-diameter candidate graphs"
+        )
     return labels.select("doc_id", "cluster")

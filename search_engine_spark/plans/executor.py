@@ -328,6 +328,12 @@ class QueryEngine:
         empty = self.spark.createDataFrame(
             [], "doc_id long, score double, url string, title string"
         )
+        if "pos_flags" not in self.postings.columns:
+            raise ValueError(
+                "dynamic_mode requires a warehouse built with per-occurrence "
+                "pos_flags; rebuild postings (pipeline.run_build) on this "
+                "corpus first"
+            )
         groups = D.term_groups_from_ast(ast)
         all_keys = set(groups.all_keys())
         if not all_keys:

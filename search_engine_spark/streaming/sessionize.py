@@ -6,9 +6,15 @@
 * ``stream_sessionize`` — the same semantics as a custom STATEFUL
   streaming operator via ``applyInPandasWithState`` (the Structured
   Streaming escape hatch for operators Spark lacks, SURVEY-extras):
-  per-user open-session state, sessions closed by a gap-exceeding event
-  emit immediately, dangling sessions flush on event-time timeout when
-  the watermark passes their end + gap.
+  per-user state holds ALL sessions the watermark has not yet sealed
+  (not just the latest open one), each new micro-batch re-runs the
+  gaps-and-islands sweep over (pending sessions ∪ new events), and a
+  session is emitted only once ``end + gap ≤ watermark`` — the point
+  after which no in-watermark event can extend or bridge it.  Buffering
+  every unsealed session (instead of emitting a closed session the
+  moment a later event arrives) is what makes out-of-order deliveries
+  converge to batch_sessionize exactly: a burst of late events can merge
+  with each other AND with any earlier still-unsealed session.
 
 Scale: state is O(active users), partitioned by user_id; the watermark
 bounds it — late events beyond the watermark are dropped, so state never
@@ -29,7 +35,11 @@ SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, total double"
 )
-_STATE_SCHEMA = "start long, end long, n long, total double"
+# parallel arrays: one entry per unsealed session, ascending by start
+_STATE_SCHEMA = (
+    "starts array<long>, ends array<long>, ns array<long>, "
+    "totals array<double>"
+)
 
 
 def batch_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -81,41 +91,64 @@ def stream_sessionize(events: DataFrame, gap_minutes: int = 30,
                 "total": [s[3]],
             })
 
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        def flush_keep_reschedule(sessions):
+            """Emit sealed sessions, re-store the rest, re-arm the timer.
+
+            A session [start, end] is sealed once end + gap ≤ watermark: any
+            future event has ts ≥ watermark > end + gap ≥ start + gap, so it
+            can neither extend the session at either edge nor bridge into it
+            through intermediate events.
+            """
+            keep = []
+            for s in sessions:
+                if s[1] + gap_us <= wm_us:
+                    yield emit(s)
+                else:
+                    keep.append(s)
+            if keep:
+                state.update((
+                    [s[0] for s in keep], [s[1] for s in keep],
+                    [s[2] for s in keep], [s[3] for s in keep],
+                ))
+                # fire when the watermark passes the EARLIEST unsealed end +
+                # gap (must be strictly after the current watermark)
+                t_ms = min(s[1] for s in keep) // 1000 + gap_minutes * 60 * 1000
+                state.setTimeoutTimestamp(max(t_ms, wm_us // 1000 + 1))
+            elif state.exists:
+                state.remove()
+
+        def stored():
+            if not state.exists:
+                return []
+            starts, ends, ns, totals = state.get
+            return [list(s) for s in zip(starts, ends, ns, totals)]
+
         if state.hasTimedOut:
-            if state.exists:
-                yield emit(state.get)
-            state.remove()
+            yield from flush_keep_reschedule(stored())
             return
 
-        cur = list(state.get) if state.exists else None
+        # gaps-and-islands sweep over (unsealed sessions ∪ new events):
+        # every in-watermark event — however late — merges exactly as the
+        # fully-sorted batch query would, including event-to-event merges
+        # within a late burst and session-bridging deliveries.
+        items = stored()
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
             for ts, val in zip(pdf["ts"], pdf["value"]):
                 t = int(ts.value // 1000)  # ns → us
-                if cur is None:
-                    cur = [t, t, 1, float(val)]
-                elif t - cur[1] > gap_us:
-                    # strictly after the open session by more than the gap
-                    yield emit(cur)
-                    cur = [t, t, 1, float(val)]
-                elif cur[0] - t > gap_us:
-                    # late-but-in-watermark event more than a gap BEFORE the
-                    # open session: in the batch (fully sorted) result it
-                    # forms its own earlier session — emit that singleton
-                    # now (it can never merge with the open session)
-                    yield emit([t, t, 1, float(val)])
-                else:
-                    # merges into the open session; an out-of-order event
-                    # within the gap of either edge must min/max-update BOTH
-                    # edges so session_start matches batch_sessionize
-                    cur[0] = min(cur[0], t)
-                    cur[1] = max(cur[1], t)
-                    cur[2] += 1
-                    cur[3] += float(val)
-        if cur is not None:
-            state.update(tuple(cur))
-            # flush when the watermark passes session end + gap
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+                items.append([t, t, 1, float(val)])
+        items.sort(key=lambda s: (s[0], s[1]))
+        merged: list[list] = []
+        for s in items:
+            if merged and s[0] - merged[-1][1] <= gap_us:
+                m = merged[-1]
+                m[1] = max(m[1], s[1])
+                m[2] += s[2]
+                m[3] += s[3]
+            else:
+                merged.append(s)
+        yield from flush_keep_reschedule(merged)
 
     return (
         events.withWatermark("ts", watermark)

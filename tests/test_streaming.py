@@ -324,6 +324,92 @@ def test_stateful_sessionize_out_of_order_within_watermark(spark, tmp_path):
     assert len([w for w in want if w[0] == 2]) == 2
 
 
+def test_stateful_sessionize_late_burst_merges(spark, tmp_path):
+    """TWO late events within a gap of EACH OTHER (a buffered burst) that
+    both land more than a gap before the open session must form ONE earlier
+    session — exactly as batch_sessionize merges them — not two singletons.
+    Also covers a late event that merges into an ALREADY-CLOSED-looking
+    earlier session (forward-closed sessions stay buffered until sealed)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.streaming import sessionize as S
+
+    t0 = dt.datetime(2025, 1, 1, tzinfo=dt.timezone.utc)
+
+    def ev(eid, uid, minutes, value):
+        return {"event_id": eid, "user_id": uid,
+                "ts": t0 + dt.timedelta(minutes=minutes), "value": value}
+
+    batch1 = [ev(1, 1, 200, 1.0),              # open session [200,200]
+              ev(2, 2, 10, 1.0), ev(3, 2, 100, 2.0)]  # [10,10] closed by [100]
+    # user 1: late burst at 20 and 40 — within the 30-min gap of each other,
+    # both > gap before [200,200] → ONE session [20,40] in batch semantics.
+    # user 2: late event at 30 merges into the earlier session [10,10] that a
+    # naive open-session-only state would have emitted already.
+    batch2 = [ev(4, 1, 20, 2.0), ev(5, 1, 40, 3.0),
+              ev(6, 2, 30, 4.0)]
+    flush = [ev(100, 9, 10_000, 0.5), ev(101, 9, 10_001, 0.5)]
+
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us", tz="UTC")), ("value", pa.float64()),
+    ])
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    out = tmp_path / "sessions_out"
+
+    def drain():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, value double"
+            ).parquet(str(src))
+        )
+        q = (
+            S.stream_sessionize(stream, gap_minutes=30, watermark="6 hours")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for name, events in (("a", batch1), ("b", batch2), ("c", flush)):
+        pq.write_table(pa.Table.from_pylist(events, schema=schema),
+                       src / f"{name}.parquet")
+        drain()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], round(r["total"], 6))
+        for r in spark.read.parquet(str(out)).collect()
+        if r["user_id"] != 9
+    }
+    all_events = batch1 + batch2
+    batch_df = spark.createDataFrame(
+        [(e["event_id"], e["user_id"], e["ts"], e["value"]) for e in all_events],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], round(r["total"], 6))
+        for r in S.batch_sessionize(batch_df, gap_minutes=30).collect()
+    }
+    assert got == want
+    # user 1: the late burst is ONE session [20,40] + the open [200,200]
+    u1 = sorted((w for w in want if w[0] == 1), key=lambda w: w[1])
+    assert [(w[1].minute, w[2].minute, w[3]) for w in u1] == [(20, 40, 2),
+                                                              (20, 20, 1)]
+    # user 2: [10,30(merged)] and [100,100]
+    u2 = sorted((w for w in want if w[0] == 2), key=lambda w: w[1])
+    assert [(w[1].minute, w[2].minute, w[3]) for w in u2] == [(10, 30, 2),
+                                                              (40, 40, 1)]
+
+
 def test_ingest_metrics_window(spark, stream_dirs):
     src, wh, ckpt = stream_dirs
     write_pages_parquet(src / "b.parquet", 50)
