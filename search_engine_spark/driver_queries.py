@@ -265,15 +265,19 @@ def q_bm25_phrase(spark, sf_dir):
     )
     dl = _dl(spark, sf_dir)
     stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    starts = starts.persist()
-    pdf = starts.count()
+    # phrase df INSIDE the same plan via a global window count over the
+    # (small) matching set — no persist()+count() driver action, one job
+    # (the same trick as plans/executor.py's phrase leaf)
+    from pyspark.sql import Window
+
+    starts = starts.withColumn("_pdf", F.count("*").over(Window.partitionBy()))
     return (
         starts.join(dl, "doc_id")
         .select(
             "doc_id",
             "ptf",
             _r4(
-                F.lit(bm25.idf(pdf, stats["n"]))
+                bm25.idf_col(F.col("_pdf").cast("double"), stats["n"])
                 * bm25.weight_col(F.col("ptf"), F.col("dl"), float(stats["avgdl"]))
             ).alias("score"),
         )
@@ -466,37 +470,61 @@ SELECT doc_id,
 FROM shingles GROUP BY doc_id"""
 
 
+_LSH_BAND_CAP = 50
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """LSH banding: candidate pairs agreeing on any of the 4 signature bands
-    (band size 1) — the bucket-join stage of MinHash-LSH."""
+    (band size 1) — the bucket-join stage of MinHash-LSH.
+
+    Hot-band cap (same trick as q_ngram_jaccard's shingle df cap): a band
+    value shared by M docs yields M²/2 pairs in ONE join task, so a
+    boilerplate cluster of 10^5 near-identical docs would emit 5·10^9 pairs
+    — the unbounded hot key at 10^12 docs.  Bands with more than
+    _LSH_BAND_CAP members are dropped BEFORE the self-join (true dup
+    clusters that large still surface: every doc pair in them also agrees
+    on its other, rarer bands, and exact dedup catches byte-identical
+    copies first)."""
     sig = q_minhash_signature(spark, sf_dir)
-    pieces = []
+    bands = None
     for i in range(4):
         s = sig.select("doc_id", F.col(f"sig{i}").alias("band"))
-        a = s.select(F.col("doc_id").alias("da"), "band")
-        b = s.select(F.col("doc_id").alias("db"), "band")
-        pieces.append(
-            a.join(b, "band").filter(F.col("da") < F.col("db")).select("da", "db")
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        bands = s if bands is None else bands.unionByName(s)
+    band_ok = (
+        bands.groupBy("band").agg(F.count("*").alias("_m"))
+        .filter(F.col("_m") <= _LSH_BAND_CAP)
+        .select("band")
+    )
+    bands = bands.join(band_ok, "band", "left_semi")
+    a = bands.select(F.col("doc_id").alias("da"), "band")
+    b = bands.select(F.col("doc_id").alias("db"), "band")
+    return (
+        a.join(b, "band").filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
 
 
-SQL_MINHASH_LSH_PAIRS = f"""WITH {_SHINGLES_SQL},
-sig AS (
+_LSH_BANDS_SQL = f"""sig AS (
   SELECT doc_id,
          min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
          min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3
   FROM shingles GROUP BY doc_id
 ),
-bands AS (
+allbands AS (
   SELECT doc_id, sig0 AS band FROM sig UNION ALL
   SELECT doc_id, sig1 FROM sig UNION ALL
   SELECT doc_id, sig2 FROM sig UNION ALL
   SELECT doc_id, sig3 FROM sig
-)
+),
+bands AS (
+  SELECT ab.doc_id, ab.band FROM allbands ab
+  JOIN (SELECT band FROM allbands GROUP BY band
+        HAVING count(*) <= {_LSH_BAND_CAP}) ok ON ab.band = ok.band
+)"""
+
+SQL_MINHASH_LSH_PAIRS = f"""WITH {_SHINGLES_SQL},
+{_LSH_BANDS_SQL}
 SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id"""
 
@@ -818,8 +846,6 @@ def q_ann_ivf_topk(spark, sf_dir):
     Centroid coordinates are rounded to 6 decimals on BOTH engines so the
     discrete assignment never flips on cross-engine float-sum ulps.
     """
-    from pyspark.sql import Window
-
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
@@ -832,15 +858,19 @@ def q_ann_ivf_topk(spark, sf_dir):
         ))
 
     def assign(vecs, cents, cvec):
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("_dist").asc(), F.col("cl").asc()
-        )
+        # argmin via min_by with map-side partial aggregation: all K copies
+        # of a vector live in the same task after the broadcast crossJoin,
+        # so the hash aggregate collapses n×K rows to n BEFORE the shuffle —
+        # unlike a Window.partitionBy(vec_id), which would shuffle all n×K.
+        # Tie-break (dist, cl) lexicographic == the old window's ordering.
         return (
             vecs.crossJoin(F.broadcast(cents))
             .withColumn("_dist", l2("e", cvec))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", "cl", "e")
+            .groupBy("vec_id")
+            .agg(F.min_by(F.struct("cl", "e"),
+                          F.struct("_dist", "cl")).alias("_m"))
+            .select("vec_id", F.col("_m.cl").alias("cl"),
+                    F.col("_m.e").alias("e"))
         )
 
     seeds = emb.filter(F.col("vec_id").between(1, _IVF_K)).select(
@@ -926,18 +956,7 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE {_SHINGLES_SQL},
-sig AS (
-  SELECT doc_id,
-         min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
-         min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3
-  FROM shingles GROUP BY doc_id
-),
-bands AS (
-  SELECT doc_id, sig0 AS band FROM sig UNION ALL
-  SELECT doc_id, sig1 FROM sig UNION ALL
-  SELECT doc_id, sig2 FROM sig UNION ALL
-  SELECT doc_id, sig3 FROM sig
-),
+{_LSH_BANDS_SQL},
 pairs AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
