@@ -1,11 +1,97 @@
-"""Multimodal column plumbing: schema, batch shape, deterministic fake
-decode, frame sampling (the codec itself is stubbed — SURVEY-extras)."""
+"""Multimodal column plumbing: schema, batch shape, REAL PNG decode
+(built-in decoder, PIL-parity when PIL is importable), deterministic fake
+container for codec-less media, frame sampling (SURVEY-extras)."""
+
+import struct
+import zlib
 
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from search_engine_spark.operators import multimodal as M
+
+
+def _encode_png(pixels: np.ndarray, filters: list[int]) -> bytes:
+    """Independent PNG encoder for round-trip tests: applies the spec's
+    forward filters (the exact inverse of what _decode_png must undo).
+    pixels: (h, w, ch) uint8, ch in {1, 2, 3, 4}."""
+    h, w, ch = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    px = pixels.astype(np.int32).reshape(h, w * ch)
+    raw = bytearray()
+    for y, f in zip(range(h), filters):
+        cur = px[y]
+        up = px[y - 1] if y > 0 else np.zeros(w * ch, dtype=np.int32)
+        line = np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            left = px[y][x - ch] if x >= ch else 0
+            ul = up[x - ch] if x >= ch else 0
+            if f == 0:
+                line[x] = cur[x]
+            elif f == 1:
+                line[x] = cur[x] - left
+            elif f == 2:
+                line[x] = cur[x] - up[x]
+            elif f == 3:
+                line[x] = cur[x] - (left + up[x]) // 2
+            else:
+                p = left + up[x] - ul
+                pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (
+                    up[x] if pb <= pc else ul
+                )
+                line[x] = cur[x] - pred
+        raw.append(f)
+        raw += (line & 0xFF).astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (M.PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_round_trip_all_filters():
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(6, 5, ch), dtype=np.uint8)
+        # exercise every filter type, incl. first-row Sub/Paeth edge cases
+        payload = _encode_png(px, filters=[1, 0, 2, 3, 4, 4])
+        w, h, body = M._decode_png(payload)
+        assert (w, h) == (5, 6)
+        assert body == px.tobytes(), f"channels={ch}"
+
+
+def test_png_decode_matches_pil():
+    PIL = pytest.importorskip("PIL.Image")
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+    payload = _encode_png(px, filters=[0, 1, 2, 3, 4, 0, 2, 4])
+    import io
+
+    with PIL.open(io.BytesIO(payload)) as im:
+        assert (im.width, im.height) == (9, 8)
+        pil_bytes = im.tobytes()
+    assert M._decode_png(payload)[2] == pil_bytes
+
+
+def test_extract_features_decodes_real_png(spark):
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    payload = _encode_png(px, filters=[0, 1, 2, 4])
+    media = spark.createDataFrame(
+        [(1, 1, "image", payload, {"width": 3, "height": 4, "mime":
+                                   "image/png"})],
+        M.MEDIA_SCHEMA,
+    )
+    r = M.extract_features(media, strict=True).collect()[0]
+    assert (r["width"], r["height"]) == (3, 4)
+    want = np.bincount(px.reshape(-1) >> 4, minlength=16) / px.size
+    assert np.allclose(np.array(r["features"]), want)
+    assert r["n_bytes"] == len(payload)
 
 
 @pytest.fixture(scope="module")
@@ -43,14 +129,18 @@ def test_extract_features(media):
     assert a == b
 
 
-def test_extract_features_strict_raises_without_decoder(media):
-    try:
-        import PIL  # noqa: F401
-        pytest.skip("PIL present — strict mode would use it")
-    except ImportError:
-        pass
+def test_strict_mode_names_missing_codec(spark, media):
+    # the fake container decodes in strict mode too (it IS the declared
+    # stand-in for codec-less media) ...
+    assert M.extract_features(media, strict=True).count() == 30
+    # ... but an unknown real container must raise NotImplementedError
+    bad = spark.createDataFrame(
+        [(1, 1, "audio", b"RIFFxxxxWAVEfmt ", {"width": 1, "height": 1,
+                                               "mime": "audio/wav"})],
+        M.MEDIA_SCHEMA,
+    )
     with pytest.raises(Exception) as ei:
-        M.extract_features(media, strict=True).collect()
+        M.extract_features(bad, strict=True).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
