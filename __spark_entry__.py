@@ -76,10 +76,10 @@ def _engine_catalog(spark: SparkSession):
     from search_engine_spark.operators.pipeline import run_build
     from search_engine_spark.sources.pages import cached_pages
 
-    # _v2: bump when the warehouse layout changes (v2 = shard-partitioned
-    # postings + per-occurrence pos_flags) so a stale cache never mixes
+    # _v3: bump when the warehouse layout changes (v3 = packed positions
+    # column for first-class phrase queries) so a stale cache never mixes
     # schemas across rounds
-    wh = f"/tmp/se_entry_wh_n{_ENGINE_CORPUS_DOCS}_v2"
+    wh = f"/tmp/se_entry_wh_n{_ENGINE_CORPUS_DOCS}_v3"
     pages = spark.read.parquet(str(cached_pages(_ENGINE_CORPUS_DOCS)))
     return run_build(spark, pages, wh, pack=True)
 
@@ -124,6 +124,25 @@ def _engine_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _check_golden("engine_batch_search", out.select(
         "query", "rank", "doc_id", F.round("score", 4).alias("score")
     ))
+
+
+def _engine_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase retrieval on the PHYSICAL path: positional adjacency decoded
+    from the packed ``pos`` varbyte streams inside the bucketed kernel
+    (plans/packed_exec.py) — no logical-postings fallback (fallback engine
+    explicitly removed).  Rank identity vs the pure-Python oracle is
+    enforced by tests/test_rank_identity.py; this entry golden-checks the
+    values end-to-end (ISRPhrase X7, isr.cpp:571-598)."""
+    from search_engine_spark.plans.wand import PackedQueryEngine
+
+    eng = PackedQueryEngine.from_catalog(_engine_catalog(spark))
+    eng.fallback = None  # prove the packed path serves phrases alone
+    # phrase + implicit-AND term + NOT in one tree: exercises the ptf-slot
+    # finalize, the word-slot kernel, and the anti-join membership together
+    return _check_golden(
+        "engine_phrase_topk",
+        eng.search('"w0 w1" w3 - w2', k=10),
+    )
 
 
 def _engine_dynamic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_bm25_topk"] = _engine_bm25_topk
     out["engine_postings_sample"] = _engine_postings_sample
     out["engine_batch_search"] = _engine_batch_search
+    out["engine_phrase_topk"] = _engine_phrase_topk
     out["engine_dynamic_topk"] = _engine_dynamic_topk
     out["media_features"] = _media_features
     return out

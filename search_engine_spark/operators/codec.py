@@ -108,6 +108,40 @@ def decode_tfs(buf: bytes) -> np.ndarray:
     return varbyte_decode(buf).astype(np.int64) + 1
 
 
+def encode_positions_row(positions: np.ndarray) -> bytes:
+    """ONE document's sorted in-doc positions → varbyte(delta), first value
+    absolute — the per-doc unit of the packed ``pos`` stream.  Per-doc
+    streams concatenate verbatim (each restarts absolute), and per-doc
+    lengths are NOT stored: they equal tf, so the packed ``tfs`` stream
+    already delimits the position runs (reference analogue: positions
+    inline in every posting, Posts.hpp:30-46 — here they live in a separate
+    column so BM25-only scans never read them, SURVEY §7.2)."""
+    p = np.asarray(positions, dtype=np.int64)
+    if p.size == 0:
+        return b""
+    gaps = np.empty_like(p)
+    gaps[0] = p[0]
+    np.subtract(p[1:], p[:-1], out=gaps[1:])
+    return varbyte_encode(gaps)
+
+
+def decode_position_stream(buf: bytes, lens: np.ndarray) -> np.ndarray:
+    """Concatenated per-doc position streams → flat positions array
+    (segmented cumsum; ``lens`` = per-doc position counts = decoded tfs).
+    Segment boundaries reset the delta chain, so this is one vectorized
+    cumsum minus a per-segment base — no per-doc Python loop."""
+    vals = varbyte_decode(buf).astype(np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    if vals.size == 0:
+        return vals
+    cs = np.cumsum(vals)
+    offs = np.empty_like(lens)
+    offs[0] = 0
+    np.cumsum(lens[:-1], out=offs[1:])
+    base = np.repeat(cs[offs] - vals[offs], lens)
+    return cs - base
+
+
 def rebase_first_gap(buf: bytes, prev_last_docid: int) -> bytes:
     """Rewrite a delta stream's first value so the stream can be appended
     after a stream ending at ``prev_last_docid`` WITHOUT decoding the rest —

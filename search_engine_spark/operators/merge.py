@@ -54,9 +54,15 @@ from search_engine_spark.plans import bm25
 
 PACKED_SCHEMA = (
     "term string, shard int, bucket int, df long, n_docs long, "
-    "doc_ids binary, tfs binary, block_last array<long>, "
+    "doc_ids binary, tfs binary, pos binary, block_last array<long>, "
     "block_maxw array<double>, first_docid long, last_docid long"
 )
+# ``pos``: concatenated per-doc varbyte(delta positions) streams, doc order
+# aligned with doc_ids; per-doc run lengths = decoded tfs (tf == n positions
+# by construction, operators/build.py build_postings).  Parquet is columnar,
+# so "positions in separate storage" (SURVEY §7.2) is column pruning: BM25
+# scans select every column EXCEPT pos and never read these bytes — only
+# phrase/NOT/synonym plans (plans/packed_exec.py) project it.
 
 
 def shard_col(term_col="term", num_shards: int = 32):
@@ -72,23 +78,39 @@ def shard_col(term_col="term", num_shards: int = 32):
 # applyInPandas) so thousands of small per-term groups batch into a few
 # Arrow transfers instead of one pandas round-trip per group.
 
+@pandas_udf(BinaryType())
+def _enc_pos_row(positions: pd.Series) -> pd.Series:
+    """Per-POSTING position compression, applied as a NARROW map BEFORE the
+    pack shuffle: the (term, doc_bucket) groupBy then moves ~1.2 bytes per
+    occurrence across the wire instead of 8-byte Arrow ints."""
+    return pd.Series(
+        [codec.encode_positions_row(np.asarray(p, dtype=np.int64))
+         for p in positions]
+    )
+
+
 _ENC_T = StructType([
     StructField("doc_ids", BinaryType()),
     StructField("tfs", BinaryType()),
+    StructField("pos", BinaryType()),
     StructField("block_last", ArrayType(LongType())),
     StructField("block_maxw", ArrayType(DoubleType())),
 ])
 
 
 @pandas_udf(_ENC_T)
-def _enc_posting(ids: pd.Series, tfs: pd.Series, ws: pd.Series) -> pd.DataFrame:
+def _enc_posting(ids: pd.Series, tfs: pd.Series, ws: pd.Series,
+                 posbs: pd.Series) -> pd.DataFrame:
     rows = []
-    for i, t, w in zip(ids, tfs, ws):
+    for i, t, w, pb in zip(ids, tfs, ws, posbs):
         ia = np.asarray(i, dtype=np.int64)
         last, maxw = codec.block_headers(ia, np.asarray(w, dtype=np.float64))
         rows.append({
             "doc_ids": codec.encode_docids(ia),
             "tfs": codec.encode_tfs(np.asarray(t, dtype=np.int64)),
+            # per-doc streams are already individually delta-encoded and
+            # doc-ordered (sort_array upstream) — plain concatenation
+            "pos": b"".join(bytes(x) for x in pb),
             "block_last": last,
             "block_maxw": maxw,
         })
@@ -99,6 +121,7 @@ _MERGED_T = StructType([
     StructField("n_docs", LongType()),
     StructField("doc_ids", BinaryType()),
     StructField("tfs", BinaryType()),
+    StructField("pos", BinaryType()),
     StructField("block_last", ArrayType(LongType())),
     StructField("block_maxw", ArrayType(DoubleType())),
     StructField("first_docid", LongType()),
@@ -115,6 +138,7 @@ def _merge_parts(parts: pd.Series) -> pd.DataFrame:
     for plist in parts:
         ids_buf = bytearray()
         tfs_buf = bytearray()
+        pos_buf = bytearray()
         blast: list[np.ndarray] = []
         bmaxw: list[np.ndarray] = []
         prev_last = None
@@ -125,6 +149,7 @@ def _merge_parts(parts: pd.Series) -> pd.DataFrame:
                 chunk = codec.rebase_first_gap(chunk, prev_last)
             ids_buf += chunk
             tfs_buf += bytes(p["tfs"])
+            pos_buf += bytes(p["pos"])  # per-doc streams restart absolute
             blast.append(np.asarray(p["block_last"], dtype=np.int64))
             bmaxw.append(np.asarray(p["block_maxw"], dtype=np.float64))
             prev_last = int(p["last_docid"])
@@ -133,6 +158,7 @@ def _merge_parts(parts: pd.Series) -> pd.DataFrame:
             "n_docs": n,
             "doc_ids": bytes(ids_buf),
             "tfs": bytes(tfs_buf),
+            "pos": bytes(pos_buf),
             "block_last": np.concatenate(blast),
             "block_maxw": np.concatenate(bmaxw),
             "first_docid": int(plist[0]["first_docid"]),
@@ -153,13 +179,18 @@ def pack_partials(
     per-posting weight is a pure column expression."""
     w = bm25.weight_col(F.col("tf"), F.col("dl"), avgdl)
     plist = (
-        postings.select("term", "doc_id", "tf", "dl")
+        postings.select("term", "doc_id", "tf", "dl", "positions")
         .withColumn("weight", w)
+        # narrow pre-shuffle compression: each posting's positions become a
+        # self-contained varbyte stream, so the pack shuffle moves bytes,
+        # not 8-byte ints, and the merge pass never re-encodes them
+        .withColumn("posb", _enc_pos_row("positions"))
+        .drop("positions")
         .withColumn("bucket", (F.col("doc_id") / F.lit(bucket_width)).cast("int"))
         .groupBy("term", "bucket")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("doc_id", "tf", "weight"))
+                F.collect_list(F.struct("doc_id", "tf", "weight", "posb"))
             ).alias("plist"),
             F.count("*").alias("n_docs"),
         )
@@ -171,6 +202,7 @@ def pack_partials(
             F.col("plist.doc_id").alias("_ids"),
             F.col("plist.tf").alias("_tfs"),
             F.col("plist.weight").alias("_ws"),
+            F.col("plist.posb").alias("_posbs"),
         )
     )
     return plist.select(
@@ -179,12 +211,12 @@ def pack_partials(
         "bucket",
         F.col("n_docs").alias("df_local"),
         "n_docs",
-        _enc_posting("_ids", "_tfs", "_ws").alias("p"),
+        _enc_posting("_ids", "_tfs", "_ws", "_posbs").alias("p"),
         F.element_at("_ids", 1).alias("first_docid"),
         F.element_at("_ids", -1).alias("last_docid"),
     ).select(
         "term", "shard", "bucket", "df_local", "n_docs",
-        "p.doc_ids", "p.tfs", "p.block_last", "p.block_maxw",
+        "p.doc_ids", "p.tfs", "p.pos", "p.block_last", "p.block_maxw",
         "first_docid", "last_docid",
     )
 
@@ -208,7 +240,7 @@ def merge_partials(partials: DataFrame, merge_factor: int) -> DataFrame:
         F.sort_array(
             F.collect_list(
                 F.struct(
-                    "bucket", "n_docs", "doc_ids", "tfs",
+                    "bucket", "n_docs", "doc_ids", "tfs", "pos",
                     "block_last", "block_maxw", "first_docid", "last_docid",
                 )
             )
@@ -222,8 +254,8 @@ def merge_partials(partials: DataFrame, merge_factor: int) -> DataFrame:
         _merge_parts("parts").alias("m"),
     ).select(
         "term", "shard", "bucket", "df",
-        "m.n_docs", "m.doc_ids", "m.tfs", "m.block_last", "m.block_maxw",
-        "m.first_docid", "m.last_docid",
+        "m.n_docs", "m.doc_ids", "m.tfs", "m.pos", "m.block_last",
+        "m.block_maxw", "m.first_docid", "m.last_docid",
     )
 
 

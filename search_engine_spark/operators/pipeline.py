@@ -122,11 +122,18 @@ def run_build(
             posts = B.build_postings(docs).withColumn(
                 "shard", shard_col(num_shards=num_shards)
             )
+            # sorting by term WITHIN the shard (after the shard grouping
+            # key) makes every parquet file term-clustered, so row-group
+            # min/max stats prune a term-filtered fallback read to a few
+            # row groups even inside the right shard dir — the poor-man's
+            # secondary index (verified by tests/test_plans.py row-group
+            # stats check)
             n_input = docs.rdd.getNumPartitions()
             if n_input > 4 * num_shards:
-                posts = posts.repartition(num_shards, "shard")
+                posts = posts.repartition(num_shards, "shard") \
+                             .sortWithinPartitions("shard", "term")
             else:
-                posts = posts.sortWithinPartitions("shard")
+                posts = posts.sortWithinPartitions("shard", "term")
             cat.write("postings", posts, partition_by=["shard"])
             cat.set_prop("postings_num_shards", num_shards)
             return "postings"

@@ -20,9 +20,13 @@ df-ascending term order, the Spark analogue of the ranker's
 min-tf-term-drives heuristic (Ranker.cpp:79-92) — then exact scoring of
 the surviving candidates.
 
-Anything outside flat AND/OR word queries (phrases need positions, NOT
-needs complements, synonyms need weights) falls back to the exhaustive
-DataFrame executor (plans/executor.py), which is exact for everything.
+Anything outside flat AND/OR word queries — phrases (positions decoded
+from the packed ``pos`` column), NOT (bucket-local complements), synonym
+trees (weighted OR folds) — runs on the packed GENERAL kernel
+(plans/packed_exec.py): same shard pruning, same one-bucket-per-task
+distribution, exhaustive within the bucket.  Only the heuristic parity
+modes (static/dynamic) and pre-``pos`` v2 warehouses fall back to the
+logical-postings executor (plans/executor.py).
 """
 
 from __future__ import annotations
@@ -327,10 +331,11 @@ class PackedQueryEngine:
                 plans.append((q, r[0], r[1]))
             else:
                 nonflat.append((q, ast))
-        if nonflat and self.fallback is None:
+        unservable = [q for q, ast in nonflat if not self._can_general(ast)]
+        if unservable and self.fallback is None:
             raise ValueError(
-                f"non-flat queries {[q for q, _ in nonflat]!r} need the "
-                f"fallback engine"
+                f"phrase queries {unservable!r} need packed positions or "
+                f"the fallback engine"
             )
         if not plans and not nonflat:
             return self.spark.createDataFrame(
@@ -413,13 +418,16 @@ class PackedQueryEngine:
                 kernel, schema="query string, doc_id long, score double"
             )
             parts.append(per_bucket)
-        # non-flat queries: exhaustive executor, one extra job each (k rows);
-        # unioned pre-rank so the whole batch ranks through one window
+        # non-flat queries: packed general kernel (shard-pruned, one extra
+        # job each, k rows); unioned pre-rank so the whole batch ranks
+        # through one window
         for q, ast in nonflat:
+            if self._can_general(ast):
+                part = self._search_general(ast, k)
+            else:
+                part = self.fallback.search_ast(ast, k=k)
             parts.append(
-                self.fallback.search_ast(ast, k=k).select(
-                    F.lit(q).alias("query"), "doc_id", "score"
-                )
+                part.select(F.lit(q).alias("query"), "doc_id", "score")
             )
         candidates = functools.reduce(DataFrame.unionByName, parts)
         w = Window.partitionBy("query").orderBy(
@@ -430,6 +438,31 @@ class PackedQueryEngine:
             .filter(F.col("rank") <= k)
             .select("query", "doc_id", "score", "rank")
         )
+
+    def _attach_meta(self, topk: DataFrame) -> DataFrame:
+        # broadcast the k-row side: url/title attachment must never shuffle
+        # docmeta (its scan is column-pruned to 3 columns either way)
+        return (
+            F.broadcast(topk)
+            .join(self.docmeta.select("doc_id", "url", "title"), "doc_id")
+            .select("doc_id", "score", "url", "title")
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
+
+    def _can_general(self, ast) -> bool:
+        """The packed general kernel serves every AST; phrase-bearing trees
+        additionally need the ``pos`` column (absent in pre-v3 warehouses,
+        where phrases fall back to the logical executor)."""
+        from search_engine_spark.plans import packed_exec
+
+        return ("pos" in self.packed.columns
+                or not packed_exec._tree_has_phrase_anywhere(ast))
+
+    def _search_general(self, ast, k: int) -> DataFrame:
+        """(doc_id, score) top-k via the packed general kernel."""
+        from search_engine_spark.plans import packed_exec
+
+        return packed_exec.search_packed(self, ast, k=k)
 
     def search(self, query: str, k: int = 10, synonyms: bool = False,
                static_mode: bool = False,
@@ -447,8 +480,14 @@ class PackedQueryEngine:
         if r is None:
             if ast is None:
                 return self._empty()
+            if self._can_general(ast):
+                return self._attach_meta(self._search_general(ast, k))
             if self.fallback is None:
-                raise ValueError("non-flat query and no fallback engine")
+                raise ValueError(
+                    "phrase query on a pre-pos packed warehouse and no "
+                    "fallback engine; rebuild the index to get packed "
+                    "positions"
+                )
             return self.fallback.search_ast(ast, k=k)
         mode, stems_all = r
         # duplicate stems in the query ('apple | apples' → appl twice) score
@@ -525,11 +564,4 @@ class PackedQueryEngine:
         topk = per_bucket.orderBy(
             F.col("score").desc(), F.col("doc_id").asc()
         ).limit(k)
-        # broadcast the k-row side: url/title attachment must never shuffle
-        # docmeta (its scan is column-pruned to 3 columns either way)
-        return (
-            F.broadcast(topk)
-            .join(self.docmeta.select("doc_id", "url", "title"), "doc_id")
-            .select("doc_id", "score", "url", "title")
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        )
+        return self._attach_meta(topk)

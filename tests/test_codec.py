@@ -86,3 +86,21 @@ def test_compression_beats_fixed_width():
     ids = np.cumsum(rng.integers(1, 60, 100_000))
     buf = codec.encode_docids(ids)
     assert len(buf) < ids.size * 2  # vs 8 bytes/doc fixed width
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=1, max_value=1 << 20),
+                 min_size=1, max_size=30, unique=True),
+        min_size=1, max_size=20,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_position_stream_roundtrip(doc_positions):
+    """Per-doc delta streams concatenate verbatim and decode back with the
+    tfs-derived lengths — the packed ``pos`` column contract."""
+    docs = [np.sort(np.array(p, dtype=np.int64)) for p in doc_positions]
+    stream = b"".join(codec.encode_positions_row(p) for p in docs)
+    lens = np.array([p.size for p in docs], dtype=np.int64)
+    flat = codec.decode_position_stream(stream, lens)
+    assert flat.tolist() == np.concatenate(docs).tolist()

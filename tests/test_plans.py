@@ -60,17 +60,52 @@ def test_docs_scan_prunes_columns(spark, pages_path):
     assert "html" not in rs and "text" not in rs
 
 
-def test_pack_phase_never_reads_positions(catalog):
-    """The BM25 pack path must column-prune the heavy positions array out
-    of its parquet scan (SURVEY §7.2: positions only serve phrases)."""
+def test_bm25_packed_query_never_reads_pos_column(packed_engine):
+    """SURVEY §7.2 'positions in separate storage', realized as parquet
+    column pruning: a flat BM25 query over the packed layout must not read
+    the ``pos`` byte streams (only phrase plans project that column)."""
+    plan = _explain(packed_engine.search("search engine", k=10))
+    for rs_part in plan.split("ReadSchema")[1:]:
+        rs = rs_part.splitlines()[0]
+        assert "pos:" not in rs and "pos," not in rs, rs
+
+
+def test_pack_phase_prunes_flags_not_positions(catalog):
+    """The pack scan now carries positions (they become the packed ``pos``
+    streams) but must still prune the per-occurrence flag arrays, which
+    only the dynamic parity ranker reads."""
     from search_engine_spark.operators import merge
 
     df = merge.pack_partials(catalog.read("postings"), avgdl=100.0,
                              num_shards=8, bucket_width=100)
     plan = _explain(df)
     rs = plan.split("ReadSchema")[1].splitlines()[0]
-    assert "positions" not in rs
-    assert "tf" in rs and "dl" in rs
+    assert "positions" in rs
+    assert "pos_flags" not in rs and "flags" not in rs
+
+
+def test_phrase_query_runs_on_packed_not_logical(catalog, packed_engine):
+    """Phrases are first-class on the physical path: the plan must scan
+    postings_packed (with shard partition pruning) and must NOT touch the
+    logical postings table at all."""
+    df = packed_engine.search('"search engine"', k=10)
+    plan = _explain(df)
+    packed_path = str(catalog.path("postings_packed"))
+    logical_path = str(catalog.path("postings"))
+    assert packed_path in plan
+    assert logical_path + "]" not in plan and logical_path + "/" not in plan \
+        and logical_path + "," not in plan
+    assert "PartitionFilters" in plan
+    assert "shard" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_not_and_synonym_queries_run_on_packed(catalog, packed_engine):
+    logical_path = str(catalog.path("postings"))
+    for q, syn in (("search - engine", False), ("connection", True)):
+        plan = _explain(packed_engine.search(q, k=10, synonyms=syn))
+        assert logical_path + "]" not in plan \
+            and logical_path + "/" not in plan \
+            and logical_path + "," not in plan, q
 
 
 def test_topk_docmeta_join_is_broadcast(packed_engine):
@@ -89,6 +124,34 @@ def test_phrase_fallback_prunes_shard_partitions(engine):
     assert "shard" in plan.split("PartitionFilters")[1].splitlines()[0]
     pushed = plan.split("PushedFilters")[1].splitlines()[0]
     assert "term" in pushed
+
+
+def test_logical_postings_term_sorted_for_rowgroup_pruning(catalog):
+    """Within each shard file the logical postings must be term-sorted, so
+    parquet row-group min/max stats prune single-term reads (the dynamic
+    parity mode and pre-pos warehouses read this table term-filtered)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(str(catalog.path("postings")) + "/shard=*/*.parquet")
+    assert files
+    checked = 0
+    for f in files[:4]:
+        md = pq.ParquetFile(f).metadata
+        tcol = next(i for i in range(md.num_columns)
+                    if md.schema.column(i).name == "term")
+        prev_max = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(tcol).statistics
+            assert st is not None and st.has_min_max
+            if prev_max is not None:
+                # row groups non-overlapping-or-touching ⇒ a term-equality
+                # predicate can skip every group whose [min,max] misses it
+                assert st.min >= prev_max
+            prev_max = st.max
+            checked += 1
+    assert checked > 0
 
 
 def test_packed_query_matches_after_shard_pruning(engine, packed_engine):

@@ -61,6 +61,34 @@ def test_rank_identity_packed(packed_engine, oracle, qid, q):
     _run(packed_engine, oracle, q, tol=1e-9)
 
 
+NONFLAT_QUERIES = [
+    '"search engine"', '"index the documents"', '"search engine" ranking',
+    "search - engine", "- search", "engine - (crawler | parser)",
+    "search & (engine | crawler)", 'documents "index documents"',
+]
+
+
+@pytest.mark.parametrize("q", NONFLAT_QUERIES)
+def test_rank_identity_packed_without_fallback(catalog, oracle, q):
+    """Phrases/NOT/nesting must be served by the PACKED path alone — a
+    fallback-less engine proves no silent logical-postings detour."""
+    from search_engine_spark.plans.wand import PackedQueryEngine
+
+    eng = PackedQueryEngine.from_catalog(catalog)
+    eng.fallback = None
+    _run(eng, oracle, q, tol=1e-9)
+
+
+@pytest.mark.parametrize("q", ["connection", "news retrieval",
+                               "attention - bias"])
+def test_rank_identity_synonyms_packed_without_fallback(catalog, oracle, q):
+    from search_engine_spark.plans.wand import PackedQueryEngine
+
+    eng = PackedQueryEngine.from_catalog(catalog)
+    eng.fallback = None
+    _run(eng, oracle, q, synonyms=True, tol=1e-9)
+
+
 def test_nonempty_results_for_head_terms(engine):
     assert engine.search("search").count() > 0
     assert engine.search("w0").count() > 0

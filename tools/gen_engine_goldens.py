@@ -43,12 +43,25 @@ def main() -> None:
     spark = get_spark("gen-goldens", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("WARN")
     qs = e.queries()
+    old = (json.loads(GOLDEN_PATH.read_text()) if GOLDEN_PATH.exists()
+           else {})
     out = {}
+    drifted = []
     for name in ("engine_bm25_topk", "engine_postings_sample",
-                 "engine_batch_search", "engine_dynamic_topk"):
+                 "engine_batch_search", "engine_phrase_topk",
+                 "engine_dynamic_topk"):
         df = qs[name](spark, "/root/testdata/sf0.001")
         out[name] = {"columns": df.columns, "rows": snapshot(df)}
+        if name in old and old[name] != json.loads(
+            json.dumps(out[name], default=str)
+        ):
+            drifted.append(name)
         print(f"{name}: {len(out[name]['rows'])} rows frozen")
+    if drifted and "--allow-drift" not in sys.argv:
+        raise SystemExit(
+            f"existing goldens changed: {drifted} — pass --allow-drift only "
+            f"for an INTENTIONAL semantic change"
+        )
     GOLDEN_PATH.write_text(json.dumps(out, indent=1, default=str))
     print(f"wrote {GOLDEN_PATH}")
     spark.stop()
