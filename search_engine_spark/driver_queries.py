@@ -485,17 +485,22 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     clusters that large still surface: every doc pair in them also agrees
     on its other, rarer bands, and exact dedup catches byte-identical
     copies first)."""
+    from pyspark.sql import Window
+
     sig = q_minhash_signature(spark, sf_dir)
     bands = None
     for i in range(4):
         s = sig.select("doc_id", F.col(f"sig{i}").alias("band"))
         bands = s if bands is None else bands.unionByName(s)
-    band_ok = (
-        bands.groupBy("band").agg(F.count("*").alias("_m"))
+    # cap via a WINDOW count (not a separate groupBy + semi-join): the
+    # window's hash-partitioning by band is exactly the self-join's key,
+    # so the expensive shingle→signature lineage shuffles once and both
+    # join sides reuse the same exchange
+    bands = (
+        bands.withColumn("_m", F.count("*").over(Window.partitionBy("band")))
         .filter(F.col("_m") <= _LSH_BAND_CAP)
-        .select("band")
+        .select("doc_id", "band")
     )
-    bands = bands.join(band_ok, "band", "left_semi")
     a = bands.select(F.col("doc_id").alias("da"), "band")
     b = bands.select(F.col("doc_id").alias("db"), "band")
     return (

@@ -125,6 +125,37 @@ def encode_positions_row(positions: np.ndarray) -> bytes:
     return varbyte_encode(gaps)
 
 
+def encode_position_lists(lists: list[np.ndarray]) -> list[bytes]:
+    """Batch form of encode_positions_row: ONE vectorized varbyte pass over
+    the whole Arrow batch (all rows' gaps concatenated, per-row first value
+    absolute), then sliced back per row by byte length.  ~10× the per-row
+    loop — this runs over every posting during the pack phase."""
+    n = len(lists)
+    if n == 0:
+        return []
+    lens = np.fromiter((len(p) for p in lists), dtype=np.int64, count=n)
+    if (lens == 0).any():
+        raise ValueError("empty positions list (tf >= 1 violated)")
+    flat = np.concatenate(lists).astype(np.int64, copy=False)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    gaps = np.empty_like(flat)
+    gaps[1:] = flat[1:] - flat[:-1]
+    gaps[offs] = flat[offs]  # per-row reset: first value absolute
+    buf = varbyte_encode(gaps)
+    # per-value byte counts → per-row byte lengths → slice boundaries
+    nb = np.ones(flat.size, dtype=np.int64)
+    shifted = gaps.astype(np.uint64) >> np.uint64(7)
+    while shifted.any():
+        nb += (shifted > 0).astype(np.int64)
+        shifted >>= np.uint64(7)
+    ends = np.cumsum(np.add.reduceat(nb, offs))
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1]
+    return [buf[a:b] for a, b in zip(starts, ends)]
+
+
 def decode_position_stream(buf: bytes, lens: np.ndarray) -> np.ndarray:
     """Concatenated per-doc position streams → flat positions array
     (segmented cumsum; ``lens`` = per-doc position counts = decoded tfs).

@@ -82,11 +82,9 @@ def shard_col(term_col="term", num_shards: int = 32):
 def _enc_pos_row(positions: pd.Series) -> pd.Series:
     """Per-POSTING position compression, applied as a NARROW map BEFORE the
     pack shuffle: the (term, doc_bucket) groupBy then moves ~1.2 bytes per
-    occurrence across the wire instead of 8-byte Arrow ints."""
-    return pd.Series(
-        [codec.encode_positions_row(np.asarray(p, dtype=np.int64))
-         for p in positions]
-    )
+    occurrence across the wire instead of 8-byte Arrow ints.  Encoded in
+    one vectorized pass per Arrow batch (codec.encode_position_lists)."""
+    return pd.Series(codec.encode_position_lists(list(positions)))
 
 
 _ENC_T = StructType([

@@ -104,3 +104,17 @@ def test_position_stream_roundtrip(doc_positions):
     lens = np.array([p.size for p in docs], dtype=np.int64)
     flat = codec.decode_position_stream(stream, lens)
     assert flat.tolist() == np.concatenate(docs).tolist()
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=1, max_value=1 << 20),
+                 min_size=1, max_size=30, unique=True),
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_batch_position_encode_matches_per_row(doc_positions):
+    docs = [np.sort(np.array(p, dtype=np.int64)) for p in doc_positions]
+    batch = codec.encode_position_lists(docs)
+    assert batch == [codec.encode_positions_row(p) for p in docs]
