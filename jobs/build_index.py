@@ -81,6 +81,12 @@ def main() -> None:
         "index_stats": {k: (float(v) if k == "avgdl" else int(v))
                         for k, v in stats.items()},
         "phases": [r["phase"] for r in cat.lineage_records()],
+        # per-phase wall seconds (pipeline.timed) — the scaling harness
+        # records these per level for the per-phase efficiency table
+        "phase_seconds": {
+            r["phase"]: r["seconds"]
+            for r in cat.lineage_records() if "seconds" in r
+        },
     }))
 
 

@@ -137,6 +137,10 @@ def main() -> None:
         "query_scaling_efficiency": round(eff_query, 3),
         "query_p50_sec": {f"local[{args.low}]": low["latency"]["p50_sec"],
                           f"local[{args.high}]": high["latency"]["p50_sec"]},
+        "phase_seconds": {
+            f"local[{args.low}]": low["build"].get("phase_seconds"),
+            f"local[{args.high}]": high["build"].get("phase_seconds"),
+        },
         "hardware_ceiling_efficiency": (
             None if args.skip_calibration
             else hardware_ceiling(args.low, args.high)
