@@ -405,6 +405,8 @@ def search_packed(engine, ast: Expr, k: int = 10) -> DataFrame:
     k1, b = engine.k1, engine.b
     zero_ok = spec.zero_match
 
+    kk = k
+
     def kernel(batches):
         for pdf in batches:
             out_id, out_dl, out_w, out_p = [], [], [], []
@@ -418,6 +420,14 @@ def search_packed(engine, ast: Expr, k: int = 10) -> DataFrame:
                                  avgdl, k1, b)
                 ev.seval_slot = lambda i, _ev=ev: _ev.seval(wslots[i])
                 ids, wmat, pmat = ev.keval(root, n_w, n_p)
+                if n_p == 0 and ids.size > kk:
+                    # no phrase slots ⇒ the tree is ONE word slot and its
+                    # value IS the final score, so the bucket's exact top-k
+                    # suffices — a bare-NOT complement then emits k rows per
+                    # bucket instead of (almost) the whole bucket
+                    order = np.lexsort((ids, -wmat[:, 0]))[:kk]
+                    order.sort()  # keep doc_id-ascending emit order
+                    ids, wmat, pmat = ids[order], wmat[order], pmat[order]
                 out_id.extend(ids.tolist())
                 out_dl.extend(dls[ids - start].astype(np.int64).tolist())
                 out_w.extend(wmat.tolist())
