@@ -70,3 +70,56 @@ def test_errors(server):
     assert _get(f"{base}/search")[0] == 400
     assert _get(f"{base}/search?q=x&mode=wat")[0] == 400
     assert _get(f"{base}/nope")[0] == 404
+
+
+def _get_raw(url: str, accept: str = "*/*") -> tuple[int, str, str]:
+    req = urllib.request.Request(url, headers={"Accept": accept})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.headers.get("Content-Type", ""), r.read().decode()
+
+
+def test_home_and_logo(server):
+    """MagicPath parity (RootPlugin.h:41-43): '/', '/search?', '/logo.svg'."""
+    base, _ = server
+    code, ctype, body = _get_raw(f"{base}/")
+    assert code == 200 and ctype == "text/html"
+    assert 'action="/search"' in body and 'name="q"' in body
+    code, ctype, body = _get_raw(f"{base}/logo.svg")
+    assert code == 200 and ctype == "image/svg+xml" and "<svg" in body
+
+
+def test_search_html_rendering(server):
+    """BuildSearchHTML parity: rank-ordered <li><a href=url>title</a>."""
+    base, engine = server
+    want = engine.search("search engine", k=5).collect()
+    # explicit format=html
+    code, ctype, body = _get_raw(f"{base}/search?q=search+engine&k=5"
+                                 "&format=html")
+    assert code == 200 and ctype == "text/html"
+    assert "<h1>Search Results</h1>" in body and "Back to Home" in body
+    for r in want:
+        assert f'href="{r["url"]}"' in body
+    # rank order preserved in the markup
+    posns = [body.index(f'href="{r["url"]}"') for r in want]
+    assert posns == sorted(posns)
+    # browser-style Accept negotiates HTML; format=json forces JSON back
+    code, ctype, _ = _get_raw(f"{base}/search?q=search",
+                              accept="text/html,application/xhtml+xml")
+    assert code == 200 and ctype == "text/html"
+    code, ctype, _ = _get_raw(f"{base}/search?q=search&format=json",
+                              accept="text/html")
+    assert code == 200 and ctype == "application/json"
+
+
+def test_html_escaping():
+    """Unlike RootPlugin.h:208 (raw concatenation), url/title are escaped."""
+    from jobs.serve import render_results_html
+
+    html = render_results_html([
+        {"doc_id": 1, "score": 1.0,
+         "url": 'http://x/?a=1&b="<script>',
+         "title": "<script>alert(1)</script> & co"},
+    ])
+    assert "<script>" not in html
+    assert "&lt;script&gt;alert(1)&lt;/script&gt; &amp; co" in html
+    assert 'href="http://x/?a=1&amp;b=&quot;&lt;script&gt;"' in html
