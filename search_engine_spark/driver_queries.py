@@ -1008,6 +1008,189 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
 FROM sid GROUP BY user_id, session_id"""
 
 
+def _word_grams(spark, sf_dir, w: int) -> DataFrame:
+    """(doc_id, g): every contiguous w-token gram, built NARROWLY from the
+    split array (transform over an index sequence) — no token explode +
+    per-doc window shuffle; the gram construction stays in the scan's map
+    task and only the downstream aggregation shuffles."""
+    arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != "")
+    d = _docs(spark, sf_dir).select("doc_id", arr.alias("a"), F.size(arr).alias("n"))
+    grams = F.when(
+        F.col("n") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - (w - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("a"), i + j) for j in range(w)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode(grams).alias("g"))
+
+
+def q_repetition_quality(spark, sf_dir):
+    """Repetition-based quality signals (the Gopher/C4-style filters a
+    training-data pipeline applies before dedup): per doc, the fraction of
+    bigram occurrences claimed by the single most frequent bigram
+    (boilerplate/template detector) and the fraction of 5-gram positions
+    that repeat an earlier 5-gram in the same doc (loop/spam detector).
+    Narrow gram construction + two bounded-key aggregations."""
+    bi = _word_grams(spark, sf_dir, 2).groupBy("doc_id", "g").agg(
+        F.count("*").alias("c")
+    )
+    top = bi.groupBy("doc_id").agg(
+        _r4(F.max("c") / F.sum("c")).alias("top_bigram_frac")
+    )
+    fg = _word_grams(spark, sf_dir, 5).groupBy("doc_id").agg(
+        _r4(F.lit(1.0) - F.countDistinct("g") / F.count("*")).alias(
+            "dup_5gram_frac"
+        )
+    )
+    ntok = _dl(spark, sf_dir).select("doc_id", F.col("dl").alias("n_tokens"))
+    return ntok.join(top, "doc_id").join(fg, "doc_id")
+
+
+SQL_REPETITION_QUALITY = f"""WITH {_TOKS_SQL},
+lg AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER w AS l1, lead(term, 2) OVER w AS l2,
+         lead(term, 3) OVER w AS l3, lead(term, 4) OVER w AS l4
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+bc AS (SELECT doc_id, term || ' ' || l1 AS g, count(*) AS c
+       FROM lg WHERE l1 IS NOT NULL GROUP BY doc_id, g),
+top AS (SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
+        FROM bc GROUP BY doc_id),
+fg AS (SELECT doc_id,
+              term || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 AS g
+       FROM lg WHERE l4 IS NOT NULL),
+rep AS (SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(*), 4)
+               AS dup_5gram_frac FROM fg GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+SELECT dl.doc_id, dl.n_tokens, top.top_bigram_frac, rep.dup_5gram_frac
+FROM dl JOIN top USING (doc_id) JOIN rep USING (doc_id)"""
+
+
+_DECON_MOD = 97
+_DECON_W = 4
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per candidate doc, how many of its
+    distinct contiguous 4-token grams also occur in the held-out
+    "benchmark" slice (doc_id % 97 == 0 stands in for an eval suite), and
+    a contaminated flag — the n-gram-overlap decontamination step every
+    training-data pipeline runs before training.
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (eval suites vs 100 TB of training text), so it BROADCASTS; the
+    candidate side is a narrow gram build + broadcast hash join + one
+    per-doc aggregation — the corpus-side grams shuffle once, on doc_id."""
+    g = _word_grams(spark, sf_dir, _DECON_W).distinct()
+    bench = g.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    cand = g.filter(F.col("doc_id") % _DECON_MOD != 0)
+    hits = cand.join(F.broadcast(bench), "g").groupBy("doc_id").agg(
+        F.count("*").alias("n_hit")
+    )
+    tot = cand.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    zero = F.lit(0).cast("long")
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id", "n_grams",
+        F.coalesce("n_hit", zero).alias("n_hit"),
+        (F.coalesce("n_hit", zero) > 0).alias("contaminated"),
+    )
+
+
+SQL_DECONTAMINATE = f"""WITH {_TOKS_SQL},
+lg AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER w AS l1, lead(term, 2) OVER w AS l2,
+         lead(term, 3) OVER w AS l3
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g AS (SELECT DISTINCT doc_id, term || ' ' || l1 || ' ' || l2 || ' ' || l3 AS g
+      FROM lg WHERE l3 IS NOT NULL),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {_DECON_MOD} = 0),
+cand AS (SELECT doc_id, g FROM g WHERE doc_id % {_DECON_MOD} <> 0),
+hits AS (SELECT doc_id, count(*) AS n_hit
+         FROM cand JOIN bench USING (g) GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM cand GROUP BY doc_id)
+SELECT tot.doc_id, tot.n_grams,
+       coalesce(hits.n_hit, 0) AS n_hit,
+       coalesce(hits.n_hit, 0) > 0 AS contaminated
+FROM tot LEFT JOIN hits USING (doc_id)"""
+
+
+_SIMHASH_BAND_CAP = 200
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS (completing the family: q_simhash emits only
+    signatures): 2×8-bit banding over the 16-bit signature — pigeonhole
+    guarantees any pair at hamming ≤ 1 agrees exactly on at least one band
+    — then exact popcount(xor) verification; 50 closest pairs.
+
+    Scale shape mirrors q_minhash_lsh_pairs: band buckets bound the self
+    join at ~n²/2^band_bits per band, and hot band values (boilerplate
+    floods — more likely here because the 16-bit signature width is
+    oracle-imposed; the engine-scale variant is a 64-bit xxhash simhash
+    with 4×16-bit bands, where buckets are sparse) are dropped at
+    _SIMHASH_BAND_CAP members BEFORE the join, via the same window-count
+    that reuses the join's own hash exchange.  Byte-identical docs a hot
+    band would have paired are exact dedup's job, upstream."""
+    from pyspark.sql import Window
+
+    sh = q_simhash(spark, sf_dir)
+    k = sh.select(
+        "doc_id", "simhash", F.lit(0).alias("band"),
+        (F.col("simhash") % 256).alias("v"),
+    ).unionByName(sh.select(
+        "doc_id", "simhash", F.lit(1).alias("band"),
+        F.shiftright("simhash", 8).bitwiseAND(F.lit(255)).alias("v"),
+    ))
+    k = (
+        k.withColumn("_m", F.count("*").over(Window.partitionBy("band", "v")))
+        .filter(F.col("_m") <= _SIMHASH_BAND_CAP)
+        .select("doc_id", "simhash", "band", "v")
+    )
+    a = k.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"),
+                 "band", "v")
+    b = k.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"),
+                 "band", "v")
+    cand = (
+        a.join(b, ["band", "v"]).filter(F.col("da") < F.col("db"))
+        .select("da", "db", "sa", "sb").distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("da", "db", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 1)
+        .orderBy("hamming", "da", "db").limit(50)
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""WITH sh AS ({SQL_SIMHASH}),
+k0 AS (
+  SELECT doc_id, simhash, 0 AS band, simhash % 256 AS v FROM sh
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS band, (simhash // 256) % 256 AS v FROM sh
+),
+k AS (
+  SELECT k0.doc_id, k0.simhash, k0.band, k0.v FROM k0
+  JOIN (SELECT band, v FROM k0 GROUP BY band, v
+        HAVING count(*) <= {_SIMHASH_BAND_CAP}) ok
+    ON k0.band = ok.band AND k0.v = ok.v
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM k a JOIN k b ON a.band = b.band AND a.v = b.v
+                   AND a.doc_id < b.doc_id
+)
+SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+ORDER BY hamming, da, db LIMIT 50"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1040,4 +1223,7 @@ QUERIES = {
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "repetition_quality": (q_repetition_quality, SQL_REPETITION_QUALITY),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
 }

@@ -39,6 +39,31 @@ def test_lsh_band_cap_bounds_boilerplate_pairs(spark, boiler_dir):
     assert len(pairs) < m  # nowhere near quadratic
 
 
+@pytest.fixture(scope="module")
+def simhash_boiler_dir(spark, tmp_path_factory):
+    """A boilerplate cluster bigger than _SIMHASH_BAND_CAP: identical docs
+    share a simhash, so both of its band buckets exceed the cap."""
+    d = tmp_path_factory.mktemp("shboiler")
+    m = DQ._SIMHASH_BAND_CAP + 10
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(m)]
+    rows += [(9000 + i, f"unique{i} solitary{i} text{i} body{i} words{i}")
+             for i in range(8)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    return str(d)
+
+
+def test_simhash_band_cap_bounds_boilerplate_pairs(spark, simhash_boiler_dir):
+    m = DQ._SIMHASH_BAND_CAP + 10
+    pairs = DQ.q_simhash_pairs(spark, simhash_boiler_dir).collect()
+    # both band buckets of the cluster's shared signature have M > cap
+    # members → dropped before the self-join: none of the M·(M−1)/2
+    # hamming-0 pairs reach the join or the output
+    assert all(not (p["da"] < m and p["db"] < m) for p in pairs)
+
+
 def test_shingle_df_cap_bounds_boilerplate_pairs(spark, boiler_dir):
     m = DQ._LSH_BAND_CAP + 10
     top = DQ.q_ngram_jaccard(spark, boiler_dir).collect()
