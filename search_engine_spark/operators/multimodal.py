@@ -11,11 +11,13 @@ container signature:
   scanline un-filtering per the public PNG spec; 8-bit non-interlaced
   gray/RGB/RGBA).  Both paths yield identical pixel bytes
   (tests/test_multimodal.py asserts it when PIL is present).
+* WAV (RIFF PCM) audio decodes FOR REAL via the stdlib ``wave`` module:
+  sample rate, channel count, and the raw PCM frame bytes.
 * ``synthesize_media``'s deterministic fake container (header below) is
   the test/bench stand-in for codecs genuinely absent from this
-  container (audio/video); unknown containers raise — ``ValueError``
-  normally, ``NotImplementedError`` in strict mode — so a real
-  torchaudio/av decoder drops into ``_decode_payload`` with the
+  container (compressed audio, video); unknown containers raise —
+  ``ValueError`` normally, ``NotImplementedError`` in strict mode — so a
+  real torchaudio/av decoder drops into ``_decode_payload`` with the
   distributed plumbing untouched.
 
 Fake payload layout (deterministic from the source row):
@@ -161,14 +163,32 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     return int(width), int(height), out.astype(np.uint8).tobytes()
 
 
+def _is_wav(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL WAV decode via the stdlib ``wave`` module (RIFF chunk walk +
+    integer-PCM frames — no third-party deps).  Returns (sample_rate,
+    n_channels, raw PCM frame bytes)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        return (w.getframerate(), w.getnchannels(),
+                w.readframes(w.getnframes()))
+
+
 def _decode_payload(payload: bytes, have_pil: bool,
                     strict: bool) -> tuple[int, int, bytes]:
     """Container dispatch → (width-ish, height-ish, decoded body bytes).
 
-    PNG is decoded for real (PIL preferred, built-in decoder otherwise);
-    the SMM1 fake container covers media whose codecs are absent here;
-    anything else raises (NotImplementedError in strict mode, naming the
-    missing codec — the extension point for torchaudio/av)."""
+    PNG is decoded for real (PIL preferred, built-in decoder otherwise),
+    as is WAV PCM audio (stdlib wave; the (w, h) slots carry sample_rate
+    and n_channels); the SMM1 fake container covers media whose codecs
+    are absent here; anything else raises (NotImplementedError in strict
+    mode, naming the missing codec — the extension point for
+    torchaudio/av)."""
     if payload[:4] == MAGIC:
         _, a, b, body = _decode_fake(payload)
         return a, b, body
@@ -181,10 +201,13 @@ def _decode_payload(payload: bytes, have_pil: bool,
             with PIL.Image.open(io.BytesIO(payload)) as im:
                 return im.width, im.height, im.tobytes()
         return _decode_png(payload)
+    if _is_wav(payload):
+        return _decode_wav(payload)
     if strict:
         raise NotImplementedError(
-            "no codec for this container (PNG and the SMM1 fake container "
-            "are supported; audio/video need torchaudio/av)"
+            "no codec for this container (PNG, WAV PCM, and the SMM1 fake "
+            "container are supported; compressed audio/video need "
+            "torchaudio/av)"
         )
     raise ValueError("unknown media container")
 

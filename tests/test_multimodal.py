@@ -94,6 +94,45 @@ def test_extract_features_decodes_real_png(spark):
     assert r["n_bytes"] == len(payload)
 
 
+def _encode_wav(rate: int, channels: int, frames: bytes) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_wav_decode_real_round_trip():
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-32768, 32767, size=400, dtype=np.int16).tobytes()
+    payload = _encode_wav(22050, 2, pcm)
+    rate, ch, body = M._decode_wav(payload)
+    assert (rate, ch) == (22050, 2)
+    assert body == pcm
+
+
+def test_extract_features_decodes_real_wav(spark):
+    pcm = np.arange(1000, dtype=np.int16).tobytes()
+    payload = _encode_wav(16000, 1, pcm)
+    media = spark.createDataFrame(
+        [(2, 2, "audio", payload, {"width": 16000, "height": 1,
+                                   "mime": "audio/wav"})],
+        M.MEDIA_SCHEMA,
+    )
+    r = M.extract_features(media, strict=True).collect()[0]
+    # the (width, height) slots carry (sample_rate, n_channels) for audio
+    assert (r["width"], r["height"]) == (16000, 1)
+    arr = np.frombuffer(pcm, dtype=np.uint8)
+    want = np.bincount(arr >> 4, minlength=16) / arr.size
+    assert np.allclose(np.array(r["features"]), want)
+    assert r["n_bytes"] == len(payload)
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     docs = spark.createDataFrame(
@@ -134,9 +173,11 @@ def test_strict_mode_names_missing_codec(spark, media):
     # stand-in for codec-less media) ...
     assert M.extract_features(media, strict=True).count() == 30
     # ... but an unknown real container must raise NotImplementedError
+    # (OggS: a real-world signature with no codec here; RIFF/WAVE now
+    # routes to the real stdlib decoder instead)
     bad = spark.createDataFrame(
-        [(1, 1, "audio", b"RIFFxxxxWAVEfmt ", {"width": 1, "height": 1,
-                                               "mime": "audio/wav"})],
+        [(1, 1, "audio", b"OggS\x00junkjunkjunk", {"width": 1, "height": 1,
+                                                   "mime": "audio/ogg"})],
         M.MEDIA_SCHEMA,
     )
     with pytest.raises(Exception) as ei:
