@@ -125,3 +125,17 @@ def test_connected_components_crafted_graph(spark):
            for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_deep_chain_pointer_doubling(spark):
+    """A 200-node path has diameter 199: plain min-label propagation needs
+    ~199 rounds, pointer doubling must land it within max_rounds=12
+    (≈ log₂ 200 + edge-propagation slack)."""
+    from search_engine_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "da long, db long"
+    )
+    got = connected_components(pairs, max_rounds=12).collect()
+    assert len(got) == 201
+    assert all(r["cluster"] == 0 for r in got)
