@@ -11,14 +11,22 @@ container signature:
   scanline un-filtering per the public PNG spec; 8-bit non-interlaced
   gray/RGB/RGBA).  Both paths yield identical pixel bytes
   (tests/test_multimodal.py asserts it when PIL is present).
+* GIF payloads decode FOR REAL — built-in LZW decoder (variable code
+  width, LSB-first bit packing per the GIF89a spec), global/local color
+  tables, interlace un-weaving; first frame, palette-mapped to RGB
+  (PIL-parity tested when PIL is present).
 * WAV (RIFF PCM) audio decodes FOR REAL via the stdlib ``wave`` module:
   sample rate, channel count, and the raw PCM frame bytes.
+* Y4M (YUV4MPEG2) video decodes FOR REAL — the uncompressed planar-YUV
+  interchange format: header parse (W/H/C colorspace), per-FRAME walk,
+  raw plane bytes; ``sample_frames`` decodes only the sampled frames'
+  luma planes (the point of a frame-sampler).
 * ``synthesize_media``'s deterministic fake container (header below) is
   the test/bench stand-in for codecs genuinely absent from this
-  container (compressed audio, video); unknown containers raise —
-  ``ValueError`` normally, ``NotImplementedError`` in strict mode — so a
-  real torchaudio/av decoder drops into ``_decode_payload`` with the
-  distributed plumbing untouched.
+  container (compressed audio/video: JPEG, MP3, H.264 …); unknown
+  containers raise — ``ValueError`` normally, ``NotImplementedError`` in
+  strict mode — so a real torchaudio/av decoder drops into
+  ``_decode_payload`` with the distributed plumbing untouched.
 
 Fake payload layout (deterministic from the source row):
   bytes 0..3   magic b"SMM1"
@@ -51,7 +59,14 @@ FEATURES_SCHEMA = (
     "features array<float>, n_bytes long"
 )
 
-FRAME_SAMPLE_SCHEMA = "media_id long, n_frames int, sampled array<int>"
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, n_frames int, sampled array<int>, "
+    "luma_means array<float>"
+)
+
+RESIZE_SCHEMA = (
+    "media_id long, width int, height int, channels int, pixels binary"
+)
 
 
 def _fake_payload(kind_code: int, a: int, b: int, body: bytes) -> bytes:
@@ -163,6 +178,172 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     return int(width), int(height), out.astype(np.uint8).tobytes()
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-flavor LZW (spec appendix F): codes are packed LSB-first,
+    code width starts at min+1 and grows to 12 bits, CLEAR resets the
+    table, EOI terminates.  Returns the palette-index byte stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, nbits = 0, len(data) * 8
+    while bitpos + code_size <= nbits:
+        i = bitpos >> 3
+        code = (int.from_bytes(data[i:i + 3], "little") >> (bitpos & 7)) & (
+            (1 << code_size) - 1
+        )
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("gif: corrupt LZW stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, bytes]:
+    """Minimal REAL GIF decoder (no third-party deps): logical screen
+    descriptor → color tables → extension-block skip → first image
+    descriptor → LZW decompress → de-interlace → palette-map to RGB.
+    Returns (width, height, RGB bytes row-major) for the FIRST frame —
+    byte-identical to PIL's convert("RGB").tobytes() for the same
+    image."""
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF stream")
+    packed = payload[10]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label byte + sub-block chain
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos:pos + 9]
+            )
+            pos += 9
+            ct = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 7)
+                ct = payload[pos:pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("gif: no color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _gif_lzw_decode(min_code, bytes(data)), dtype=np.uint8
+            )
+            if idx.size < w * h:
+                raise ValueError("gif: truncated pixel data")
+            idx = idx[:w * h].reshape(h, w)
+            if ipacked & 0x40:  # interlaced: 4-pass row weave (spec 20.c)
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2),
+                ])
+                rows = np.empty_like(idx)
+                rows[order] = idx
+                idx = rows
+            pal = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 3)
+            return int(w), int(h), pal[idx].tobytes()
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError("gif: bad block marker")
+    raise ValueError("gif: no image data")
+
+
+Y4M_SIG = b"YUV4MPEG2 "
+
+
+def _y4m_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the YUV4MPEG2 stream header → (width, height, frame_bytes,
+    offset of the first FRAME marker).  Frame size follows the C
+    (colorspace) tag: 4:2:0 → 3/2 bytes per pixel, 4:2:2 → 2, 4:4:4 → 3,
+    mono → 1 (the public y4m convention; default C420)."""
+    nl = payload.index(b"\n")
+    w = h = None
+    cs = "420"
+    for p in payload[len(Y4M_SIG):nl].split(b" "):
+        if p[:1] == b"W":
+            w = int(p[1:])
+        elif p[:1] == b"H":
+            h = int(p[1:])
+        elif p[:1] == b"C":
+            cs = p[1:].decode("ascii")
+    if w is None or h is None:
+        raise ValueError("y4m: header missing W or H")
+    if cs.startswith("420"):
+        fsz = w * h * 3 // 2
+    elif cs.startswith("422"):
+        fsz = w * h * 2
+    elif cs.startswith("444"):
+        fsz = w * h * 3
+    elif cs.startswith("mono"):
+        fsz = w * h
+    else:
+        raise NotImplementedError(f"y4m: colorspace C{cs} not supported")
+    return w, h, fsz, nl + 1
+
+
+def _y4m_frame_offsets(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Walk the FRAME markers → (width, height, frame_bytes, byte offset
+    of each frame's plane data).  O(n_frames) header hops, no plane
+    copies — sampling then touches only the sampled frames."""
+    w, h, fsz, pos = _y4m_header(payload)
+    offsets = []
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("y4m: bad FRAME marker")
+        pos = payload.index(b"\n", pos) + 1
+        if len(payload) - pos < fsz:
+            raise ValueError("y4m: truncated frame")
+        offsets.append(pos)
+        pos += fsz
+    return w, h, fsz, offsets
+
+
+def _decode_y4m(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL Y4M decode: every frame's raw planar YUV bytes, concatenated
+    in stream order.  Returns (width, height, plane bytes)."""
+    w, h, fsz, offsets = _y4m_frame_offsets(payload)
+    return w, h, b"".join(payload[o:o + fsz] for o in offsets)
+
+
 def _is_wav(payload: bytes) -> bool:
     return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
 
@@ -183,11 +364,12 @@ def _decode_payload(payload: bytes, have_pil: bool,
                     strict: bool) -> tuple[int, int, bytes]:
     """Container dispatch → (width-ish, height-ish, decoded body bytes).
 
-    PNG is decoded for real (PIL preferred, built-in decoder otherwise),
-    as is WAV PCM audio (stdlib wave; the (w, h) slots carry sample_rate
-    and n_channels); the SMM1 fake container covers media whose codecs
-    are absent here; anything else raises (NotImplementedError in strict
-    mode, naming the missing codec — the extension point for
+    PNG and GIF are decoded for real (PIL preferred for PNG, built-in
+    decoders otherwise), as are WAV PCM audio (stdlib wave; the (w, h)
+    slots carry sample_rate and n_channels) and Y4M uncompressed video
+    (raw planar YUV frames); the SMM1 fake container covers media whose
+    codecs are absent here; anything else raises (NotImplementedError in
+    strict mode, naming the missing codec — the extension point for
     torchaudio/av)."""
     if payload[:4] == MAGIC:
         _, a, b, body = _decode_fake(payload)
@@ -201,13 +383,17 @@ def _decode_payload(payload: bytes, have_pil: bool,
             with PIL.Image.open(io.BytesIO(payload)) as im:
                 return im.width, im.height, im.tobytes()
         return _decode_png(payload)
+    if payload[:6] in GIF_SIGS:
+        return _decode_gif(payload)
     if _is_wav(payload):
         return _decode_wav(payload)
+    if payload[:10] == Y4M_SIG:
+        return _decode_y4m(payload)
     if strict:
         raise NotImplementedError(
-            "no codec for this container (PNG, WAV PCM, and the SMM1 fake "
-            "container are supported; compressed audio/video need "
-            "torchaudio/av)"
+            "no codec for this container (PNG, GIF, WAV PCM, Y4M, and the "
+            "SMM1 fake container are supported; compressed audio/video "
+            "need torchaudio/av)"
         )
     raise ValueError("unknown media container")
 
@@ -254,18 +440,42 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
-    """Video frame sampling: emit every k-th frame index from the container
-    metadata (decode of the frames themselves is the stubbed step)."""
+    """Video frame sampling as a mapInPandas batch op.
+
+    Y4M containers are sampled FOR REAL: the FRAME walk finds every
+    frame's byte offset, then only the sampled frames' luma (Y) planes
+    are touched — ``luma_means`` carries their per-frame mean, the
+    stand-in for handing the sampled frames to a vision encoder.  The
+    SMM1 fake container carries a frame *count* but no frame data, so
+    its ``luma_means`` is empty.  Either way nothing is collected and no
+    unsampled frame is decoded — the property that matters when a 100-TB
+    video lake flows through this operator."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _, n_frames, _fps, _ = _decode_fake(bytes(payload))
+                payload = bytes(payload)
+                if payload[:10] == Y4M_SIG:
+                    w, h, _fsz, offsets = _y4m_frame_offsets(payload)
+                    n_frames = len(offsets)
+                    sampled = np.arange(0, n_frames, every_k, dtype=np.int32)
+                    means = [
+                        float(np.frombuffer(
+                            payload[offsets[i]:offsets[i] + w * h],
+                            dtype=np.uint8,
+                        ).mean())
+                        for i in sampled
+                    ]
+                else:
+                    _, n_frames, _fps, _ = _decode_fake(payload)
+                    sampled = np.arange(0, n_frames, every_k, dtype=np.int32)
+                    means = []
                 out.append({
                     "media_id": int(mid),
                     "n_frames": int(n_frames),
-                    "sampled": np.arange(0, n_frames, every_k, dtype=np.int32),
+                    "sampled": sampled,
+                    "luma_means": means,
                 })
             yield pd.DataFrame(out)
 
@@ -273,4 +483,49 @@ def sample_frames(media: DataFrame, every_k: int = 10) -> DataFrame:
         media.filter(F.col("kind") == "video")
         .select("media_id", "payload")
         .mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+    )
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int,
+                  strict: bool = False) -> DataFrame:
+    """Nearest-neighbor image resize over decoded pixel grids (PNG/GIF —
+    any container whose decode yields width*height*channels bytes).
+    Pure numpy fancy-indexing per Arrow batch; emits the resized
+    interleaved pixel bytes.  Payloads whose decoded body is not a pixel
+    grid (the fake container's text body) raise ValueError — filter to
+    real image rows first."""
+    try:
+        import PIL.Image  # noqa: F401
+        have_pil = True
+    except Exception:
+        have_pil = False
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, body = _decode_payload(bytes(payload), have_pil, strict)
+                if w <= 0 or h <= 0 or len(body) % (w * h):
+                    raise ValueError(
+                        f"media_id={mid}: decoded body ({len(body)} bytes) "
+                        f"is not a {w}x{h} pixel grid"
+                    )
+                ch = len(body) // (w * h)
+                px = np.frombuffer(body, dtype=np.uint8).reshape(h, w, ch)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                resized = px[rows][:, cols]
+                out.append({
+                    "media_id": int(mid),
+                    "width": out_w,
+                    "height": out_h,
+                    "channels": ch,
+                    "pixels": resized.tobytes(),
+                })
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=RESIZE_SCHEMA)
     )

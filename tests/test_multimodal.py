@@ -203,3 +203,227 @@ def test_rejects_unknown_container(spark):
     )
     with pytest.raises(Exception):
         M.extract_features(bad).collect()
+
+
+# ---------------------------------------------------------------- GIF ----
+
+def _naive_lzw(min_code: int, indices) -> bytes:
+    """Valid-but-naive GIF LZW stream for tests: a CLEAR before every
+    pixel code keeps the code table at its initial size, so the code
+    width never grows.  Decoders must handle repeated clears."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    csize = min_code + 1
+    out, acc, nacc = bytearray(), 0, 0
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += csize
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    for p in indices:
+        emit(clear)
+        emit(int(p))
+    emit(eoi)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(idx: np.ndarray, palette, interlaced=False, with_ext=False,
+                local=False) -> bytes:
+    """Independent GIF writer for round-trip tests (naive LZW above)."""
+    h, w = idx.shape
+    depth = max(2, (len(palette) - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h,
+                       (0 if local else 0x80) | (depth - 1), 0, 0)
+    pal = bytes(c for rgb in palette for c in rgb)
+    pal += b"\x00" * ((3 << depth) - len(pal))  # pad to 2^depth entries
+    if not local:
+        out += pal
+    if with_ext:  # graphic control extension + a comment extension
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        out += b"\x21\xfe\x05hello\x00"
+    ipacked = (0x80 | (depth - 1) if local else 0) | (0x40 if interlaced
+                                                      else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    if local:
+        out += pal
+    rows = idx
+    if interlaced:
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        rows = idx[order]
+    data = _naive_lzw(depth, rows.reshape(-1))
+    out += bytes([depth])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+_PALETTE4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (40, 50, 60)]
+
+
+def test_gif_decode_round_trip():
+    rng = np.random.default_rng(5)
+    idx = rng.integers(0, 4, size=(7, 6), dtype=np.uint8)
+    for local, with_ext in ((False, False), (True, True)):
+        payload = _encode_gif(idx, _PALETTE4, with_ext=with_ext, local=local)
+        w, h, body = M._decode_gif(payload)
+        assert (w, h) == (6, 7)
+        pal = np.array(_PALETTE4 + [(0, 0, 0)] * 0, dtype=np.uint8)
+        assert body == pal[idx].tobytes()
+
+
+def test_gif_decode_interlaced():
+    rng = np.random.default_rng(6)
+    idx = rng.integers(0, 4, size=(11, 3), dtype=np.uint8)
+    payload = _encode_gif(idx, _PALETTE4, interlaced=True)
+    w, h, body = M._decode_gif(payload)
+    pal = np.array(_PALETTE4, dtype=np.uint8)
+    assert (w, h) == (3, 11)
+    assert body == pal[idx].tobytes()
+
+
+def test_gif_lzw_kwkwk_case():
+    # handcrafted stream exercising the code==len(table) (KwKwK) branch:
+    # min_code=2 → clear=4, eoi=5, width 3; codes [4, 1, 6, 5] decode to
+    # [1] then the not-yet-defined code 6 = prev + prev[0] = [1, 1]
+    acc = 0
+    for i, code in enumerate([4, 1, 6, 5]):
+        acc |= code << (3 * i)
+    data = acc.to_bytes(2, "little")
+    assert M._gif_lzw_decode(2, data) == b"\x01\x01\x01"
+
+
+def test_gif_decode_matches_pil():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(12)
+    idx = rng.integers(0, 4, size=(9, 8), dtype=np.uint8)
+    payload = _encode_gif(idx, _PALETTE4, with_ext=True)
+    with PIL.open(io.BytesIO(payload)) as im:
+        pil_rgb = im.convert("RGB").tobytes()
+    assert M._decode_gif(payload)[2] == pil_rgb
+
+
+def test_extract_features_decodes_real_gif(spark):
+    idx = np.tile(np.arange(4, dtype=np.uint8), 8).reshape(4, 8)
+    payload = _encode_gif(idx, _PALETTE4)
+    media = spark.createDataFrame(
+        [(3, 3, "image", payload, {"width": 8, "height": 4,
+                                   "mime": "image/gif"})],
+        M.MEDIA_SCHEMA,
+    )
+    r = M.extract_features(media, strict=True).collect()[0]
+    assert (r["width"], r["height"]) == (8, 4)
+    pal = np.array(_PALETTE4, dtype=np.uint8)
+    body = np.frombuffer(pal[idx].tobytes(), dtype=np.uint8)
+    want = np.bincount(body >> 4, minlength=16) / body.size
+    assert np.allclose(np.array(r["features"]), want)
+
+
+# ---------------------------------------------------------------- Y4M ----
+
+def _encode_y4m(frames: list[bytes], w: int, h: int,
+                cs: bytes = b"C420") -> bytes:
+    head = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, cs)
+    return head + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def test_y4m_decode_round_trip():
+    w, h = 4, 4
+    fsz = w * h * 3 // 2
+    frames = [bytes([i * 10] * (w * h)) + bytes(fsz - w * h)
+              for i in range(5)]
+    payload = _encode_y4m(frames, w, h)
+    dw, dh, body = M._decode_y4m(payload)
+    assert (dw, dh) == (4, 4)
+    assert body == b"".join(frames)
+
+
+def test_y4m_colorspaces():
+    w, h = 2, 2
+    for cs, fsz in ((b"C444", 12), (b"C422", 8), (b"Cmono", 4),
+                    (b"C420jpeg", 6)):
+        payload = _encode_y4m([bytes(range(fsz))], w, h, cs)
+        assert M._decode_y4m(payload)[2] == bytes(range(fsz))
+    with pytest.raises(NotImplementedError):
+        M._decode_y4m(_encode_y4m([b""], 2, 2, b"C411"))
+
+
+def test_sample_frames_real_y4m(spark):
+    w, h = 4, 2
+    fsz = w * h * 3 // 2
+    frames = [bytes([i * 10] * (w * h)) + bytes(fsz - w * h)
+              for i in range(7)]
+    media = spark.createDataFrame(
+        [(9, 9, "video", _encode_y4m(frames, w, h),
+          {"width": w, "height": h, "mime": "video/x-y4m"})],
+        M.MEDIA_SCHEMA,
+    )
+    r = M.sample_frames(media, every_k=3).collect()[0]
+    assert r["n_frames"] == 7
+    assert list(r["sampled"]) == [0, 3, 6]
+    assert [round(x, 4) for x in r["luma_means"]] == [0.0, 30.0, 60.0]
+
+
+def test_extract_features_decodes_real_y4m(spark):
+    w, h = 4, 4
+    fsz = w * h * 3 // 2
+    frames = [bytes([7] * fsz), bytes([200] * fsz)]
+    payload = _encode_y4m(frames, w, h)
+    media = spark.createDataFrame(
+        [(10, 10, "video", payload, {"width": w, "height": h,
+                                     "mime": "video/x-y4m"})],
+        M.MEDIA_SCHEMA,
+    )
+    r = M.extract_features(media, strict=True).collect()[0]
+    assert (r["width"], r["height"]) == (4, 4)
+    arr = np.frombuffer(b"".join(frames), dtype=np.uint8)
+    want = np.bincount(arr >> 4, minlength=16) / arr.size
+    assert np.allclose(np.array(r["features"]), want)
+
+
+def test_fake_video_has_no_luma(media):
+    for r in M.sample_frames(media, every_k=7).collect():
+        assert list(r["luma_means"]) == []
+
+
+# -------------------------------------------------------------- resize ----
+
+def test_resize_images_nearest_neighbor(spark):
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    png = _encode_png(px, filters=[0, 1, 2, 4])
+    gif_idx = np.arange(16, dtype=np.uint8).reshape(4, 4) % 4
+    gif = _encode_gif(gif_idx, _PALETTE4)
+    media = spark.createDataFrame(
+        [(1, 1, "image", png, {"width": 4, "height": 4, "mime": "image/png"}),
+         (2, 2, "image", gif, {"width": 4, "height": 4, "mime": "image/gif"}),
+         (3, 3, "video", b"ignored", {"width": 0, "height": 0, "mime": "x"})],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r
+            for r in M.resize_images(media, 2, 2, strict=True).collect()}
+    assert set(rows) == {1, 2}  # kind filter dropped the video row
+    want_png = px[[0, 2]][:, [0, 2]]
+    assert bytes(rows[1]["pixels"]) == want_png.tobytes()
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (
+        2, 2, 3)
+    pal = np.array(_PALETTE4, dtype=np.uint8)
+    want_gif = pal[gif_idx][[0, 2]][:, [0, 2]]
+    assert bytes(rows[2]["pixels"]) == want_gif.tobytes()
+
+
+def test_resize_rejects_non_pixel_grid(spark, media):
+    imgs = media.filter(F.col("kind") == "image").limit(1)
+    with pytest.raises(Exception) as ei:
+        M.resize_images(imgs, 2, 2).collect()
+    assert "pixel grid" in str(ei.value)
