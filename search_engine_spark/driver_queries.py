@@ -833,6 +833,91 @@ SQL_TOKEN_COUNT = r"""SELECT doc_id,
 FROM documents"""
 
 
+_PACK_LEN = 512
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: concatenate every document's token
+    stream in doc_id order, chop the global stream into fixed
+    _PACK_LEN-token training chunks, and emit each doc's absolute token
+    offset plus the chunk range it lands in (the manifest a training
+    loader shards on).
+
+    Scale shape: the global running offset is a DISTRIBUTED PREFIX SUM —
+    range-partition by doc_id, cumsum locally inside each range (window
+    partitioned by the range id: no cross-partition data movement), then
+    add each range's base offset, computed by a cumulative sum over the
+    k-row per-range totals and broadcast back.  Both branches hang off
+    the SAME repartitionByRange exchange (ReuseExchange dedups the
+    scan), and nothing is collected.  A bare Window.orderBy(doc_id)
+    would funnel 10^12 rows through ONE task; this is the same two-level
+    scan the build pipeline's doc-id stamping uses
+    (operators/docids.py).
+    """
+    from pyspark.sql import Window
+
+    txt = F.lower(F.col("text"))
+    ws = F.size(F.filter(F.split(txt, r"\s+"), lambda x: x != ""))
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", ws.cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .repartitionByRange(8, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = tok.withColumn(
+        "_cum",
+        F.sum("n_tokens").over(Window.partitionBy("_pid").orderBy("doc_id"))
+        - F.col("n_tokens"),
+    )
+    # k-row side plan (k = #ranges): running base offset per range
+    bases = (
+        tok.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_base")
+    )
+    start = F.col("_base") + F.col("_cum")
+    return (
+        local.join(F.broadcast(bases), "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            F.floor(start / _PACK_LEN).cast("long").alias("first_chunk"),
+            F.floor((start + F.col("n_tokens") - 1) / _PACK_LEN)
+            .cast("long").alias("last_chunk"),
+        )
+    )
+
+
+SQL_PACK_SEQUENCES = r"""WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM tok WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS first_chunk,
+       CAST((start_offset + n_tokens - 1) // 512 AS BIGINT) AS last_chunk
+FROM cum"""
+
+
 _IVF_K = 8
 
 
@@ -1226,4 +1311,5 @@ QUERIES = {
     "repetition_quality": (q_repetition_quality, SQL_REPETITION_QUALITY),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
 }
