@@ -918,6 +918,120 @@ SELECT doc_id, n_tokens,
 FROM cum"""
 
 
+_SAMPLE_MOD = 1000
+# per-language keep rates: rebalance an en-heavy web corpus toward the tail
+_SAMPLE_RATES = {"en": 0.3}          # every other language keeps 1.0
+_SAMPLE_DEFAULT_RATE = 1.0
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified (per-language) downsampling with inverse-
+    probability reweighting — the mixture-rebalance step of a training-data
+    pipeline (keep 30% of 'en', all of the tail languages).
+
+    The keep/drop decision is a pure function of doc_id (Knuth
+    multiplicative hash mod 1000), so the sample is reproducible across
+    runs, engines, and cluster sizes — no rand(), no seed plumbing, no
+    driver state.  `weight` = 1/rate makes downstream token counts
+    unbiased.  Scale shape: a narrow filter (no shuffle at all); at 10^12
+    rows production would swap the toy hash for xxhash64(doc_id) — same
+    shape, identical guarantees.
+    """
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == lng, F.lit(r)) for lng, r in _SAMPLE_RATES.items()],
+        F.lit(_SAMPLE_DEFAULT_RATE),
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(_SAMPLE_MOD))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", rate.alias("_rate"), bucket.alias("_b"))
+        .filter(F.col("_b") < F.col("_rate") * _SAMPLE_MOD)
+        .select("doc_id", "lang", _r4(F.lit(1.0) / F.col("_rate")).alias("weight"))
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END AS rate,
+         (doc_id * 2654435761) % {_SAMPLE_MOD} AS b
+  FROM documents
+)
+SELECT doc_id, lang, round(1.0 / rate, 4) AS weight
+FROM d WHERE b < rate * {_SAMPLE_MOD}"""
+
+
+def q_domain_mix(spark, sf_dir):
+    """Domain-mixture statistics: per-source doc/token counts, corpus
+    share, and the DoReMi-style reweight factor toward a uniform target
+    mix (target_share / actual_share).  The per-source aggregation gets
+    map-side partial combine (one n_sources-row shuffle); the corpus
+    total is a 1-row broadcast side plan, not a driver collect."""
+    txt = F.lower(F.col("text"))
+    ws = F.size(F.filter(F.split(txt, r"\s+"), lambda x: x != ""))
+    per = (
+        _docs(spark, sf_dir)
+        .select("source", ws.cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot"), F.count("*").alias("_k")
+    )
+    share = F.col("n_tokens") / F.col("_tot")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            _r4(share).alias("share"),
+            _r4((F.lit(1.0) / F.col("_k")) / share).alias("mix_weight"),
+        )
+    )
+
+
+SQL_DOMAIN_MIX = r"""WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS t, count(*) AS k FROM per)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / t, 4) AS share,
+       round((1.0 / k) / (n_tokens / t), 4) AS mix_weight
+FROM per CROSS JOIN tot"""
+
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (C4-style cleanup): replace emails and phone numbers
+    with tags, report per-doc match counts and the md5 of the scrubbed
+    text (proves the replacement is byte-identical to the oracle's).  A
+    narrow map — regexes run inside whole-stage codegen, zero shuffle.
+    The patterns are deliberately in the Java∩RE2 common subset so the
+    same strings drive both engines."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>",
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
+    )
+
+
+SQL_PII_SCRUB = f"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM documents"""
+
+
 _IVF_K = 8
 
 
@@ -1312,4 +1426,7 @@ QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
 }
