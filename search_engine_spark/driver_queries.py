@@ -1032,6 +1032,135 @@ SQL_PII_SCRUB = f"""SELECT doc_id,
 FROM documents"""
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality score: cross-entropy of each document under
+    the corpus unigram model, in nats — the cheap proxy for 'how typical
+    is this text' used to quality-bucket web corpora before training.
+
+    Shape at scale: per-doc tf (one map-side-combined shuffle), a
+    vocab-sized term-count table joined BROADCAST (vocab ≪ corpus), and
+    a 1-row total as a broadcast side plan — no global sort, no driver
+    state."""
+    tf = _tf(spark, sf_dir)
+    ct = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    tot = ct.agg(F.sum("ct").alias("_t"))
+    return (
+        tf.join(F.broadcast(ct), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            _r4(
+                F.sum(F.col("tf") * -F.log(F.col("ct") / F.col("_t")))
+                / F.sum("tf")
+            ).alias("xent_nats"),
+        )
+    )
+
+
+SQL_UNIGRAM_LOGPROB = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+ct AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY term),
+tot AS (SELECT sum(ct) AS t FROM ct)
+SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       round(sum(tf.tf * -ln(ct.ct / tot.t)) / sum(tf.tf), 4) AS xent_nats
+FROM tf JOIN ct ON tf.term = ct.term CROSS JOIN tot
+GROUP BY tf.doc_id"""
+
+
+def q_length_filter(spark, sf_dir):
+    """Exact length-percentile band filter (drop the shortest 5% and
+    longest 5% by n_chars): the thresholds are a 1-ROW exact-percentile
+    side plan broadcast into a narrow filter — NOT a percent_rank()
+    window, whose empty-frame global sort funnels 10^12 rows through one
+    task.  At 100 TB the same shape holds with approx_percentile."""
+    d = _docs(spark, sf_dir)
+    thr = d.agg(
+        F.expr("percentile(n_chars, array(0.05, 0.95))").alias("q")
+    ).select(F.col("q")[0].alias("_lo"), F.col("q")[1].alias("_hi"))
+    return (
+        d.crossJoin(F.broadcast(thr))
+        .filter((F.col("n_chars") >= F.col("_lo")) & (F.col("n_chars") <= F.col("_hi")))
+        .select("doc_id", "n_chars")
+    )
+
+
+SQL_LENGTH_FILTER = """WITH thr AS (
+  SELECT quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents
+)
+SELECT doc_id, n_chars
+FROM documents CROSS JOIN thr
+WHERE n_chars >= lo AND n_chars <= hi"""
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-class embedding centroids + intra-class cohesion (mean cosine
+    of members to their centroid) — the class-balance / cluster-quality
+    readout of a labeled embedding table.  Two map-side-combined
+    aggregations; centroids rejoin BROADCAST (n_labels rows)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dims = emb.select("vec_id", "label", F.posexplode("e").alias("dim", "v"))
+    cent = (
+        dims.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cent")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "cent", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda col: F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            (dot / (nrm(F.col("e")) * nrm(F.col("cent")))).alias("_cos"),
+            nrm(F.col("cent")).alias("_cn"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            _r4(F.min("_cn")).alias("centroid_norm"),
+            _r4(F.avg("_cos")).alias("mean_cos"),
+        )
+    )
+
+
+SQL_LABEL_CENTROIDS = """WITH dims AS (
+  SELECT vec_id, label, u.v AS v, u.dim AS dim
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding::DOUBLE[], 1) AS dim) u
+),
+cent AS (
+  SELECT label, list(c ORDER BY dim) AS cent
+  FROM (SELECT label, dim, avg(v) AS c FROM dims GROUP BY label, dim)
+  GROUP BY label
+),
+scored AS (
+  SELECT e.label,
+         list_dot_product(e.embedding::DOUBLE[], c.cent)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.cent, c.cent))) AS cos,
+         sqrt(list_dot_product(c.cent, c.cent)) AS cn
+  FROM embeddings e JOIN cent c ON e.label = c.label
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(min(cn), 4) AS centroid_norm,
+       round(avg(cos), 4) AS mean_cos
+FROM scored GROUP BY label"""
+
+
 _IVF_K = 8
 
 
@@ -1429,4 +1558,7 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "length_filter": (q_length_filter, SQL_LENGTH_FILTER),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
 }

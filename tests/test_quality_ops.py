@@ -1,0 +1,64 @@
+"""unigram_logprob / length_filter / label_centroids: quality-bucketing,
+length banding, and class-cohesion readouts of a training-data pipeline."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from search_engine_spark import driver_queries as DQ
+
+
+def test_unigram_logprob_matches_hand_model(spark, tmp_path):
+    # corpus: 'a' x6, 'b' x3, 'c' x1  -> p(a)=.6 p(b)=.3 p(c)=.1
+    rows = [
+        (0, "a a a b", "en", "s"),        # xent = (3*-ln.6 + -ln.3)/4
+        (1, "a a a b b c", "en", "s"),    # xent = (3*-ln.6+2*-ln.3+-ln.1)/6
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in
+           DQ.q_unigram_logprob(spark, str(tmp_path)).collect()}
+    w0 = (3 * -math.log(0.6) + -math.log(0.3)) / 4
+    w1 = (3 * -math.log(0.6) + 2 * -math.log(0.3) + -math.log(0.1)) / 6
+    assert out[0]["n_tokens"] == 4 and out[1]["n_tokens"] == 6
+    assert abs(out[0]["xent_nats"] - round(w0, 4)) < 1e-9
+    assert abs(out[1]["xent_nats"] - round(w1, 4)) < 1e-9
+    # the doc with the rare token is less 'typical'
+    assert out[1]["xent_nats"] > out[0]["xent_nats"]
+
+
+def test_length_filter_drops_tails(spark, tmp_path):
+    rows = [(i, "x", "en", "s", (i + 1) * 10) for i in range(100)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    kept = sorted(
+        r["doc_id"] for r in DQ.q_length_filter(spark, str(tmp_path)).collect()
+    )
+    # exact percentile band [p5, p95] over 10..1000 keeps the middle ~90%
+    assert 85 <= len(kept) <= 95
+    assert 0 not in kept and 99 not in kept      # extreme tails dropped
+    assert 50 in kept                            # median kept
+
+
+def test_label_centroids_cohesion(spark, tmp_path):
+    # label 0: tight cluster near (1,0); label 1: two orthogonal vectors
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [1.0, 0.05], 0),
+        (3, [1.0, 0.0], 1),
+        (4, [0.0, 1.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["label"]: r for r in
+           DQ.q_label_centroids(spark, str(tmp_path)).collect()}
+    assert out[0]["n_vecs"] == 3 and out[1]["n_vecs"] == 2
+    # tight cluster is more cohesive than the orthogonal pair
+    assert out[0]["mean_cos"] > 0.99
+    assert out[1]["mean_cos"] < 0.75
+    # label-1 centroid is (.5,.5): norm = sqrt(.5)
+    assert abs(out[1]["centroid_norm"] - round(math.sqrt(0.5), 4)) < 1e-9
