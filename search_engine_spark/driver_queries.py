@@ -79,22 +79,33 @@ def _dl(spark, sf_dir) -> DataFrame:
     return _tokens(spark, sf_dir).groupBy("doc_id").agg(F.count("*").alias("dl"))
 
 
-def _scored(spark, sf_dir) -> DataFrame:
-    """Mirror of the oracle's `scored` CTE, built from engine scoring exprs."""
-    tf = _tf(spark, sf_dir)
+def _scored(spark, sf_dir, terms: list[str] | None = None) -> DataFrame:
+    """Value-identical to the oracle's `scored` CTE, but planned the way a
+    query engine would: the query-term filter is pushed BELOW the tf
+    aggregation (a term's df only counts docs containing that term, so
+    filtering first changes nothing), corpus stats (n_docs, avgdl) are a
+    1-ROW broadcast side plan instead of a separate driver collect job,
+    and only |terms| posting lists — not the full vocabulary — reach the
+    tf shuffle and the dl join.  At 10^12 docs this is the difference
+    between shuffling the whole inverted index per query and shuffling
+    the query terms' postings."""
+    toks = _tokens(spark, sf_dir)
+    if terms is not None:
+        toks = toks.filter(F.col("term").isin(terms))
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
     dl = _dl(spark, sf_dir)
     stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+        F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
+    )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     return (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "score",
-            bm25.idf_col(F.col("df"), n_docs)
-            * bm25.weight_col(F.col("tf"), F.col("dl"), avgdl),
+            bm25.idf_col(F.col("df"), F.col("_n_docs").cast("double"))
+            * bm25.weight_col(F.col("tf"), F.col("dl"), F.col("_avgdl")),
         )
         .select("term", "doc_id", "score")
     )
@@ -177,7 +188,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}"""
 
 def q_bm25_single(spark, sf_dir):
     """X1+R7/R8: single-term BM25 top-10."""
-    s = _scored(spark, sf_dir).filter(F.col("term") == "merge")
+    s = _scored(spark, sf_dir, ["merge"]).filter(F.col("term") == "merge")
     return (
         s.select("doc_id", _r4("score").alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -191,7 +202,7 @@ SQL_BM25_SINGLE = f"""WITH {_BM25_CORE_SQL}
 
 def q_bm25_and(spark, sf_dir):
     """X3: conjunction = inner join on doc_id, score = sum."""
-    s = _scored(spark, sf_dir)
+    s = _scored(spark, sf_dir, ["merge", "join"])
     a = s.filter(F.col("term") == "merge").select("doc_id", F.col("score").alias("sa"))
     b = s.filter(F.col("term") == "join").select("doc_id", F.col("score").alias("sb"))
     return (
@@ -210,7 +221,7 @@ b AS (SELECT doc_id, score AS sb FROM scored WHERE term = 'join')
 
 def q_bm25_or(spark, sf_dir):
     """X4: disjunction = full outer join, coalesced sum."""
-    s = _scored(spark, sf_dir)
+    s = _scored(spark, sf_dir, ["merge", "join"])
     a = s.filter(F.col("term") == "merge").select("doc_id", F.col("score").alias("sa"))
     b = s.filter(F.col("term") == "join").select("doc_id", F.col("score").alias("sb"))
     return (
@@ -235,7 +246,7 @@ b AS (SELECT doc_id, score AS sb FROM scored WHERE term = 'join')
 
 def q_bm25_not(spark, sf_dir):
     """X6: anti-join NOT (the reference's unfinished operator, done right)."""
-    s = _scored(spark, sf_dir)
+    s = _scored(spark, sf_dir, ["merge", "join"])
     a = s.filter(F.col("term") == "merge").select("doc_id", "score")
     b = s.filter(F.col("term") == "join").select("doc_id")
     return (
@@ -264,21 +275,23 @@ def q_bm25_phrase(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("ptf"))
     )
     dl = _dl(spark, sf_dir)
-    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    stats = dl.agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
     # phrase df INSIDE the same plan via a global window count over the
-    # (small) matching set — no persist()+count() driver action, one job
+    # (small) matching set — no persist()+count() driver action; corpus
+    # stats a 1-row broadcast side plan — ONE job total
     # (the same trick as plans/executor.py's phrase leaf)
     from pyspark.sql import Window
 
     starts = starts.withColumn("_pdf", F.count("*").over(Window.partitionBy()))
     return (
         starts.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
             "ptf",
             _r4(
-                bm25.idf_col(F.col("_pdf").cast("double"), stats["n"])
-                * bm25.weight_col(F.col("ptf"), F.col("dl"), float(stats["avgdl"]))
+                bm25.idf_col(F.col("_pdf").cast("double"), F.col("_n").cast("double"))
+                * bm25.weight_col(F.col("ptf"), F.col("dl"), F.col("_avgdl"))
             ).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -1523,6 +1536,179 @@ ORDER BY hamming, da, db LIMIT 50"""
 # registry
 # ---------------------------------------------------------------------------
 
+def q_pmi_bigrams(spark, sf_dir):
+    """Collocation mining: top-20 bigrams by pointwise mutual information
+    (count >= 5) — the phrase-discovery pass a fulltext pipeline runs to
+    seed its phrase dictionary.  Bigrams are built NARROWLY from the split
+    array (_word_grams: no token explode + self-join), the two corpus
+    totals are 1-ROW broadcast side plans, and the two unigram joins are
+    plain key joins — every shuffle key is a term, no hot cartesian.
+    PMI = ln( p(ab) / (p(a)·p(b)) ) with p from bigram/unigram totals."""
+    bi = (
+        _word_grams(spark, sf_dir, 2)
+        .groupBy("g")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    nbi = bi.agg(F.sum("c_ab").alias("_nbi"))
+    uni = _tokens(spark, sf_dir).groupBy("term").agg(F.count("*").alias("c"))
+    nuni = uni.agg(F.sum("c").alias("_nuni"))
+    sp = F.split("g", " ")
+    cand = (
+        bi.filter(F.col("c_ab") >= 5)
+        .select(sp[0].alias("term_a"), sp[1].alias("term_b"), "c_ab")
+        .join(uni.select(F.col("term").alias("term_a"), F.col("c").alias("_ca")),
+              "term_a")
+        .join(uni.select(F.col("term").alias("term_b"), F.col("c").alias("_cb")),
+              "term_b")
+        .crossJoin(F.broadcast(nbi))
+        .crossJoin(F.broadcast(nuni))
+    )
+    pmi = F.log(
+        (F.col("c_ab") / F.col("_nbi"))
+        / ((F.col("_ca") / F.col("_nuni")) * (F.col("_cb") / F.col("_nuni")))
+    )
+    return (
+        cand.select(
+            "term_a", "term_b", F.col("c_ab").cast("long").alias("c_ab"),
+            _r4(pmi).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(20)
+    )
+
+
+SQL_PMI_BIGRAMS = f"""WITH {_TOKS_SQL},
+bi AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS c_ab
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+nbi AS (SELECT sum(c_ab) AS nbi FROM bi),
+uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+nuni AS (SELECT sum(c) AS nuni FROM uni)
+SELECT bi.term_a AS term_a, bi.term_b AS term_b,
+       CAST(bi.c_ab AS BIGINT) AS c_ab,
+       round(ln((bi.c_ab / nbi.nbi)
+                / ((ua.c / nuni.nuni) * (ub.c / nuni.nuni))), 4) AS pmi
+FROM bi
+JOIN uni ua ON bi.term_a = ua.term
+JOIN uni ub ON bi.term_b = ub.term
+CROSS JOIN nbi CROSS JOIN nuni
+WHERE bi.c_ab >= 5
+ORDER BY pmi DESC, term_a, term_b LIMIT 20"""
+
+
+_SIM_QUERY_DOC = 42
+
+
+def q_doc_similarity(spark, sf_dir):
+    """Sparse tf-idf cosine document similarity: top-10 docs most similar
+    to doc 42 — the SPARSE twin of the dense-embedding ANN entries (the
+    'find me more like this page' query a fulltext index answers without
+    an embedding model).  w(t,d) = tf·ln(N/df); the query doc's weight
+    vector is a BROADCAST |terms(q)|-row side, so candidate scoring is one
+    map-side join + per-doc aggregation over only the postings of the
+    query's terms.  Norms come from one map-side-combined per-doc agg.
+    At 10^12 docs the same plan holds with impact-ordered pruning of the
+    query's head terms (WAND), which this entry's exact form upper-bounds."""
+    tf = _tf(spark, sf_dir)
+    nd = _docs(spark, sf_dir).agg(F.count("*").alias("_n"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term", "doc_id",
+            (F.col("tf") * F.log(F.col("_n") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_nrm")
+    )
+    q = w.filter(F.col("doc_id") == _SIM_QUERY_DOC).select(
+        "term", F.col("w").alias("_wq")
+    )
+    qn = norms.filter(F.col("doc_id") == _SIM_QUERY_DOC).select(
+        F.col("_nrm").alias("_qn")
+    )
+    return (
+        w.join(F.broadcast(q), "term")
+        .filter(F.col("doc_id") != _SIM_QUERY_DOC)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("_wq")).alias("_dot"))
+        .join(norms, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            _r4(F.col("_dot") / (F.col("_nrm") * F.col("_qn"))).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_DOC_SIMILARITY = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+nd AS (SELECT count(*) AS n FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (
+  SELECT tf.term, tf.doc_id, tf.tf * ln(nd.n / df.df) AS w
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+q AS (SELECT term, w AS wq FROM w WHERE doc_id = {_SIM_QUERY_DOC}),
+qn AS (SELECT nrm AS qn FROM norms WHERE doc_id = {_SIM_QUERY_DOC}),
+dots AS (
+  SELECT w.doc_id, sum(w.w * q.wq) AS dot
+  FROM w JOIN q ON w.term = q.term
+  WHERE w.doc_id <> {_SIM_QUERY_DOC}
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id AS doc_id, round(d.dot / (n.nrm * qn.qn), 4) AS cos
+FROM dots d JOIN norms n ON d.doc_id = n.doc_id CROSS JOIN qn
+ORDER BY cos DESC, doc_id ASC LIMIT 10"""
+
+
+def q_dedup_keep(spark, sf_dir):
+    """End-to-end MinHash-LSH near-dedup KEEP LIST: shingle → signature →
+    capped band join → connected components → keep one representative
+    (the min doc_id, i.e. the cluster label) per near-dup cluster plus
+    every unpaired doc.  This is the single call a training-data pipeline
+    actually makes — the pairs/clusters entries are its observable stages.
+    The anti-join's right side is only the non-representative members of
+    dup clusters (pair-graph-sized, orders of magnitude smaller than the
+    corpus at 10^12 docs)."""
+    from search_engine_spark.operators.components import connected_components
+
+    clusters = connected_components(q_minhash_lsh_pairs(spark, sf_dir))
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    return (
+        _docs(spark, sf_dir)
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
+SQL_DEDUP_KEEP = f"""WITH RECURSIVE {_SHINGLES_SQL},
+{_LSH_BANDS_SQL},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION ALL SELECT db, da FROM pairs
+),
+closure AS (
+  SELECT src AS doc, src AS reach FROM edges
+  UNION
+  SELECT c.doc, e.dst FROM closure c JOIN edges e ON e.src = c.reach
+),
+clusters AS (SELECT doc, min(reach) AS cluster FROM closure GROUP BY doc)
+SELECT d.doc_id AS doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc FROM clusters WHERE cluster <> doc)"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -1561,4 +1747,7 @@ QUERIES = {
     "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "length_filter": (q_length_filter, SQL_LENGTH_FILTER),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
+    "doc_similarity": (q_doc_similarity, SQL_DOC_SIMILARITY),
+    "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
 }

@@ -22,14 +22,20 @@ K1 = 1.2
 B = 0.75
 
 
-def idf_col(df_col: Column, n_docs: int) -> Column:
-    return F.log((F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5) + 1.0)
+def _as_col(x) -> Column:
+    """Accept a Python scalar or a Column (so corpus stats can be a 1-row
+    broadcast side plan instead of a driver collect)."""
+    return x if isinstance(x, Column) else F.lit(float(x))
 
 
-def weight_col(tf_col: Column, dl_col: Column, avgdl: float,
+def idf_col(df_col: Column, n_docs) -> Column:
+    return F.log((_as_col(n_docs) - df_col + 0.5) / (df_col + 0.5) + 1.0)
+
+
+def weight_col(tf_col: Column, dl_col: Column, avgdl,
                k1: float = K1, b: float = B) -> Column:
     return (tf_col * (k1 + 1.0)) / (
-        tf_col + k1 * (1.0 - b + b * dl_col / F.lit(float(avgdl)))
+        tf_col + k1 * (1.0 - b + b * dl_col / _as_col(avgdl))
     )
 
 

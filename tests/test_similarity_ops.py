@@ -1,0 +1,90 @@
+"""pmi_bigrams / doc_similarity / dedup_keep: collocation mining, sparse
+tf-idf document similarity, and the end-to-end near-dedup keep list."""
+
+import math
+import re
+from collections import Counter
+
+from search_engine_spark import driver_queries as DQ
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _pmi_expected(texts, k=20, min_count=5):
+    """Pure-Python twin of q_pmi_bigrams (same tokenizer, same formula)."""
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        ts = _toks(t)
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    nuni, nbi = sum(uni.values()), sum(bi.values())
+    rows = []
+    for (a, b), c in bi.items():
+        if c < min_count:
+            continue
+        pmi = math.log((c / nbi) / ((uni[a] / nuni) * (uni[b] / nuni)))
+        rows.append((a, b, c, round(pmi, 4)))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return rows[:k]
+
+
+def test_pmi_bigrams_matches_hand_model(spark, tmp_path):
+    # 'new york' always adjacent (6x); 'the' is everywhere, so 'the NOUN'
+    # bigrams exist but carry low PMI; filler bigrams stay under min_count
+    texts = [
+        "new york is the city the people the lights",
+        "new york has the subway the bridge the park",
+        "i saw new york and the river the harbor",
+        "new york new york the twin the mention",
+        "flying into new york over the water the bay",
+    ]
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        (r["term_a"], r["term_b"], r["c_ab"], r["pmi"])
+        for r in DQ.q_pmi_bigrams(spark, str(tmp_path)).collect()
+    ]
+    want = _pmi_expected(texts)
+    assert got == want
+    assert got[0][:2] == ("new", "york")     # the collocation wins
+
+
+def test_doc_similarity_ranks_identical_doc_first(spark, tmp_path):
+    rows = [
+        (DQ._SIM_QUERY_DOC, "apple banana cherry", "en", "s"),
+        (1, "apple banana cherry", "en", "s"),     # identical -> cos 1.0
+        (2, "apple banana dog", "en", "s"),        # partial overlap
+        (3, "egg fig grape", "en", "s"),           # disjoint -> absent
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = DQ.q_doc_similarity(spark, str(tmp_path)).collect()
+    by_id = {r["doc_id"]: r["cos"] for r in got}
+    assert by_id[1] == 1.0
+    assert 3 not in by_id                      # no shared terms, no candidate
+    assert got[0]["doc_id"] == 1 and by_id[1] > by_id[2] > 0
+
+
+def test_dedup_keep_keeps_one_representative(spark, tmp_path):
+    rows = [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (1002, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    rows += [(2000 + i, f"unique{i} solitary{i} text{i} body{i} words{i}")
+             for i in range(4)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    kept = sorted(
+        r["doc_id"] for r in DQ.q_dedup_keep(spark, str(tmp_path)).collect()
+    )
+    # the near-dup cluster {1000,1001,1002} collapses to its min id
+    assert 1000 in kept and 1001 not in kept and 1002 not in kept
+    # distinct docs all survive
+    assert [d for d in kept if d >= 2000] == [2000, 2001, 2002, 2003]
