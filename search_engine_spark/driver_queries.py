@@ -1709,6 +1709,133 @@ SELECT d.doc_id AS doc_id FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc FROM clusters WHERE cluster <> doc)"""
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """KenLM-style LM quality score, one order up from unigram_logprob:
+    per-doc cross-entropy under the corpus BIGRAM model with unigram
+    backoff, p(w2|w1) = (c(w1 w2) + c(w2)/N) / (c(w1) + 1) — the
+    stronger 'how typical is this text' signal CCNet-style pipelines
+    bucket on.  Bigram instances are built narrowly from the split array
+    (_word_grams), the count tables join on term keys, and the corpus
+    total is a 1-row broadcast side plan.  Docs with < 2 tokens have no
+    transitions and drop out (same on both sides)."""
+    inst = _word_grams(spark, sf_dir, 2)
+    cbi = inst.groupBy("g").agg(F.count("*").alias("_cbi"))
+    uni = _tokens(spark, sf_dir).groupBy("term").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.sum("c").alias("_n"))
+    sp = F.split("g", " ")
+    p = (F.col("_cbi") + F.col("_c2") / F.col("_n")) / (F.col("_c1") + 1)
+    return (
+        inst.join(cbi, "g")
+        .select("doc_id", sp[0].alias("_w1"), sp[1].alias("_w2"), "_cbi")
+        .join(uni.select(F.col("term").alias("_w1"), F.col("c").alias("_c1")),
+              "_w1")
+        .join(uni.select(F.col("term").alias("_w2"), F.col("c").alias("_c2")),
+              "_w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            _r4(F.avg(-F.log(p))).alias("xent_nats"),
+        )
+    )
+
+
+SQL_BIGRAM_LOGPROB = f"""WITH {_TOKS_SQL},
+bi AS (
+  SELECT a.doc_id AS doc_id, a.term AS w1, b.term AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+cbi AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT sum(c) AS n FROM uni)
+SELECT bi.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((cbi.c + u2.c * 1.0 / tot.n) / (u1.c + 1))), 4)
+         AS xent_nats
+FROM bi
+JOIN cbi ON bi.w1 = cbi.w1 AND bi.w2 = cbi.w2
+JOIN uni u1 ON bi.w1 = u1.term
+JOIN uni u2 ON bi.w2 = u2.term
+CROSS JOIN tot
+GROUP BY bi.doc_id"""
+
+
+def q_ttr_quality(spark, sf_dir):
+    """Lexical-diversity quality signals: per-doc type-token ratio and
+    hapax ratio (share of the doc's distinct terms that occur exactly
+    once in it) — the repetitiveness complement to the surface-ratio
+    text_quality entry.  One map-side-combined (term, doc) aggregation,
+    then one per-doc aggregation; nothing global."""
+    tf = _tf(spark, sf_dir)
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        _r4(F.count("*") / F.sum("tf")).alias("ttr"),
+        _r4(
+            F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)) / F.count("*")
+        ).alias("hapax_ratio"),
+    )
+
+
+SQL_TTR_QUALITY = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(count(*) * 1.0 / sum(tf), 4) AS ttr,
+       round(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS hapax_ratio
+FROM tf GROUP BY doc_id"""
+
+
+# fixed, deterministic logistic weights — stand-in for a trained
+# fastText-style quality model's inference pass
+_QC_W_LEN, _QC_W_STOP, _QC_W_TTR, _QC_BIAS = 0.8, 6.0, 1.5, -3.0
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering as pure JVM expressions: a logistic
+    model over per-doc features (mean token length, stopword ratio,
+    type-token ratio) with FIXED weights — the inference shape of the
+    fastText/linear quality classifiers web-corpus pipelines apply at
+    10^12 docs.  Features come from one per-doc aggregation; scoring is
+    a narrow column expression (no UDF, no shuffle beyond the agg)."""
+    toks = _tokens(spark, sf_dir)
+    stops = [s.strip("'") for s in _EN_STOPS.strip("()").split(",")]
+    feats = toks.groupBy("doc_id").agg(
+        F.avg(F.length("term")).alias("_len"),
+        (F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0))
+         / F.count("*")).alias("_stop"),
+        (F.count_distinct("term") / F.count("*")).alias("_ttr"),
+    )
+    z = (
+        F.lit(_QC_W_LEN) * F.col("_len")
+        + F.lit(_QC_W_STOP) * F.col("_stop")
+        + F.lit(_QC_W_TTR) * F.col("_ttr")
+        + F.lit(_QC_BIAS)
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id", _r4(p).alias("p_keep"), (_r4(p) >= 0.5).alias("keep")
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""WITH {_TOKS_SQL},
+feats AS (
+  SELECT doc_id, avg(length(term)) AS len,
+         sum(CASE WHEN term IN {_EN_STOPS} THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS stop,
+         count(DISTINCT term) * 1.0 / count(*) AS ttr
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({_QC_W_LEN} * len + {_QC_W_STOP} * stop
+                               + {_QC_W_TTR} * ttr + ({_QC_BIAS})))), 4)
+         AS p_keep,
+       round(1.0 / (1.0 + exp(-({_QC_W_LEN} * len + {_QC_W_STOP} * stop
+                               + {_QC_W_TTR} * ttr + ({_QC_BIAS})))), 4) >= 0.5
+         AS keep
+FROM feats"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -1750,4 +1877,7 @@ QUERIES = {
     "pmi_bigrams": (q_pmi_bigrams, SQL_PMI_BIGRAMS),
     "doc_similarity": (q_doc_similarity, SQL_DOC_SIMILARITY),
     "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
+    "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+    "ttr_quality": (q_ttr_quality, SQL_TTR_QUALITY),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
 }
