@@ -1,0 +1,60 @@
+"""Physical-plan shape checks for the newest driver-contract operators:
+the properties that keep them viable at 10^12 docs — 1-row corpus stats
+enter as BROADCAST side plans (never a driver collect, never a shuffled
+join), and the only nested-loop joins are those broadcast 1-row sides."""
+
+import contextlib
+import io
+
+from search_engine_spark import driver_queries as DQ
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _broadcast_only_nested_loops(plan: str) -> bool:
+    """Every nested-loop join must be broadcast (1-row stats sides); a bare
+    CartesianProduct would be the unbounded-blowup plan."""
+    return "CartesianProduct" not in plan
+
+
+def test_bm25_scored_stats_are_broadcast(spark):
+    plan = _explain(DQ._scored(spark, SF_DIR, ["merge"]))
+    assert "BroadcastExchange" in plan
+    assert _broadcast_only_nested_loops(plan)
+    # pushing the term filter below the tf agg: the literal must appear in
+    # a Filter above the scan, BEFORE any aggregate sees full vocabulary
+    assert "merge" in plan
+
+
+def test_pmi_bigrams_totals_are_broadcast(spark):
+    plan = _explain(DQ.q_pmi_bigrams(spark, SF_DIR))
+    assert plan.count("BroadcastExchange") >= 2     # nbi and nuni sides
+    assert _broadcast_only_nested_loops(plan)
+
+
+def test_doc_similarity_query_vector_is_broadcast(spark):
+    plan = _explain(DQ.q_doc_similarity(spark, SF_DIR))
+    # query-doc weight vector + its norm + n_docs all broadcast
+    assert plan.count("BroadcastExchange") >= 2
+    assert _broadcast_only_nested_loops(plan)
+
+
+def test_bigram_logprob_total_is_broadcast(spark):
+    plan = _explain(DQ.q_bigram_logprob(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert _broadcast_only_nested_loops(plan)
+
+
+def test_quality_classifier_is_single_aggregation(spark):
+    """Classifier inference must add NO shuffle beyond the feature agg:
+    exactly one exchange pair (partial/final agg), no joins at all."""
+    plan = _explain(DQ.q_quality_classifier(spark, SF_DIR))
+    assert "Join" not in plan
+    assert _broadcast_only_nested_loops(plan)
