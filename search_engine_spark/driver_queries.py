@@ -659,6 +659,44 @@ count(*) AS n, round(sum(value), 4) AS total
 FROM events GROUP BY 1, 2"""
 
 
+def q_events_topk_window(spark, sf_dir):
+    """Windowed top-k by group: per tumbling 1h window, the top-3 event
+    types by total value — the trending-terms / leaderboard shape.  The
+    rank window is PARTITIONED BY the time bucket (bounded groups: each
+    task ranks one hour's handful of event types), never a global sort;
+    at 10^12 events the same plan holds because cardinality after the
+    first aggregation is n_windows × n_types, not n_events."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("win"),
+        "event_type",
+    ).agg(_r4(F.sum("value")).alias("total"))
+    rk = F.row_number().over(
+        Window.partitionBy("win").orderBy(F.col("total").desc(), "event_type")
+    )
+    return (
+        agg.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("win", "event_type", "total", "rk")
+    )
+
+
+SQL_EVENTS_TOPK_WINDOW = """WITH agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS win, event_type,
+         round(sum(value), 4) AS total
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT win, event_type, total,
+         row_number() OVER (PARTITION BY win
+                            ORDER BY total DESC, event_type) AS rk
+  FROM agg
+)
+SELECT win, event_type, total, rk FROM ranked WHERE rk <= 3"""
+
+
 def q_events_json(spark, sf_dir):
     """Scalar-function surface: JSON extraction + arithmetic."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1880,4 +1918,5 @@ QUERIES = {
     "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
     "ttr_quality": (q_ttr_quality, SQL_TTR_QUALITY),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "events_topk_window": (q_events_topk_window, SQL_EVENTS_TOPK_WINDOW),
 }

@@ -88,3 +88,31 @@ def test_dedup_keep_keeps_one_representative(spark, tmp_path):
     assert 1000 in kept and 1001 not in kept and 1002 not in kept
     # distinct docs all survive
     assert [d for d in kept if d >= 2000] == [2000, 2001, 2002, 2003]
+
+
+def test_events_topk_window_ranks_within_hour(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 10, 5)
+    rows = []
+    # hour 10: a=30, b=20, c=10, d=5  -> top3 a,b,c
+    for et, v, n in (("a", 10.0, 3), ("b", 10.0, 2), ("c", 10.0, 1), ("d", 5.0, 1)):
+        for i in range(n):
+            rows.append((len(rows), base + dt.timedelta(minutes=i), 1, et, v, "{}"))
+    # hour 11: only two types -> both kept, ranks 1..2
+    base2 = dt.datetime(2026, 1, 1, 11, 30)
+    rows += [(len(rows), base2, 1, "x", 7.0, "{}"),
+             (len(rows) + 1, base2, 1, "y", 9.0, "{}")]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{tmp_path}/events.parquet")
+    from search_engine_spark import driver_queries as DQ
+
+    out = DQ.q_events_topk_window(spark, str(tmp_path)).collect()
+    h10 = sorted([(r["rk"], r["event_type"], r["total"]) for r in out
+                  if r["win"].hour == 10])
+    assert h10 == [(1, "a", 30.0), (2, "b", 20.0), (3, "c", 10.0)]
+    h11 = sorted([(r["rk"], r["event_type"]) for r in out if r["win"].hour == 11])
+    assert h11 == [(1, "y"), (2, "x")]
