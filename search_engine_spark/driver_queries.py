@@ -1215,21 +1215,19 @@ FROM scored GROUP BY label"""
 _IVF_K = 8
 
 
-def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN with TRAINED centroids, fully declarative k-means:
-    K=8 cells seeded from fixed vec_ids (1..K), ONE Lloyd refinement
-    (assign to nearest seed → element-wise mean per cell), re-assign, then
-    single-probe search of only the query's cell.
+def _ivf_assignments(spark, sf_dir) -> DataFrame:
+    """(vec_id, cl, e): every vector's trained-IVF cell — the shared
+    front half of q_ann_ivf_topk and q_semantic_dedup.  K=8 cells seeded
+    from fixed vec_ids (1..K), ONE declarative Lloyd refinement (assign
+    to nearest seed → element-wise mean per cell), re-assign.
 
     Scale shape: the train set is a tiny broadcast both times (K rows),
     assignment is a narrow map over the corpus, the centroid mean is one
-    (cell, dim) shuffle, and the probe touches ~n/K vectors — brute force
-    (q_ann_cosine_topk) stays as the accuracy baseline.  At 10^12 vectors
-    K grows to ~√n cells trained on a sample, same plan shape.
+    (cell, dim) shuffle.  At 10^12 vectors K grows to ~√n cells trained
+    on a sample, same plan shape.
 
     Centroid coordinates are rounded to 6 decimals on BOTH engines so the
-    discrete assignment never flips on cross-engine float-sum ulps.
-    """
+    discrete assignment never flips on cross-engine float-sum ulps."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
@@ -1269,7 +1267,14 @@ def q_ann_ivf_topk(spark, sf_dir):
         .agg(F.sort_array(F.collect_list(F.struct("i", "cv"))).alias("_s"))
         .select("cl", F.col("_s.cv").alias("cv"))
     )
-    final = assign(emb, cents, "cv")
+    return assign(emb, cents, "cv")
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with TRAINED centroids (_ivf_assignments), single-probe
+    search of only the query's cell — the probe touches ~n/K vectors;
+    brute force (q_ann_cosine_topk) stays as the accuracy baseline."""
+    final = _ivf_assignments(spark, sf_dir)
 
     q = final.filter(F.col("vec_id") == 0).select(
         F.col("cl").alias("qcl"), F.col("e").alias("qv")
@@ -1290,7 +1295,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
-SQL_ANN_IVF_TOPK = f"""WITH emb AS (
+_IVF_ASSIGN_SQL = f"""emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
 seeds AS (SELECT vec_id::INT AS cl, e AS sv FROM emb
@@ -1310,7 +1315,9 @@ a2 AS (
     PARTITION BY vec_id ORDER BY list_distance(e, cv) ASC, cl ASC) AS rn
   FROM emb CROSS JOIN cents
 ),
-final AS (SELECT vec_id, cl, e FROM a2 WHERE rn = 1),
+final AS (SELECT vec_id, cl, e FROM a2 WHERE rn = 1)"""
+
+SQL_ANN_IVF_TOPK = f"""WITH {_IVF_ASSIGN_SQL},
 q AS (SELECT cl AS qcl, e AS qv FROM final WHERE vec_id = 0)
 SELECT f.vec_id AS vec_id,
        round(list_dot_product(f.e, q.qv)
@@ -1874,6 +1881,79 @@ SELECT doc_id,
 FROM feats"""
 
 
+# Cosine threshold above which two vectors in the same IVF cell count as
+# semantic duplicates.  The driver's synthetic embeddings are near-random
+# (max pairwise cos ≈ 0.51), so the driver-scale constant sits at 0.45 to
+# exercise real clusters; a production run over model embeddings uses
+# ~0.95+ — the plan is identical, only this literal changes.
+_SEMDEDUP_COS = 0.45
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic near-dedup KEEP LIST over the embedding
+    table: assign every vector to a trained IVF cell (_ivf_assignments),
+    generate candidate pairs ONLY within a cell (cos ≥ threshold),
+    consolidate with connected components, keep the min-vec_id
+    representative per cluster plus every unpaired vector.
+
+    Scale shape: the quadratic is bounded per cell (~n/K members; K ~ √n
+    at 10^12 vectors, trained on a sample), the pair graph is orders of
+    magnitude smaller than the corpus, and the final anti-join's right
+    side is only the dropped members.  This is the embedding-space twin
+    of `dedup_keep` (MinHash-LSH on text)."""
+    from search_engine_spark.operators.components import connected_components
+
+    final = _ivf_assignments(spark, sf_dir)
+    a = final.select("cl", F.col("vec_id").alias("da"), F.col("e").alias("_ea"))
+    b = final.select("cl", F.col("vec_id").alias("db"), F.col("e").alias("_eb"))
+    dot = F.aggregate(
+        F.zip_with("_ea", "_eb", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        a.join(b, "cl")
+        .filter(F.col("da") < F.col("db"))
+        .withColumn("_cos", F.round(dot / (nrm("_ea") * nrm("_eb")), 4))
+        .filter(F.col("_cos") >= _SEMDEDUP_COS)
+        .select("da", "db")
+    )
+    clusters = connected_components(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .join(drop, "vec_id", "left_anti")
+        .select("vec_id")
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""WITH RECURSIVE {_IVF_ASSIGN_SQL},
+pairs AS (
+  SELECT a.vec_id AS da, b.vec_id AS db
+  FROM final a JOIN final b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 4) >= {_SEMDEDUP_COS}
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION ALL SELECT db, da FROM pairs
+),
+closure AS (
+  SELECT src AS doc, src AS reach FROM edges
+  UNION
+  SELECT c.doc, e.dst FROM closure c JOIN edges e ON e.src = c.reach
+),
+clusters AS (SELECT doc, min(reach) AS cluster FROM closure GROUP BY doc)
+SELECT v.vec_id AS vec_id FROM embeddings v
+WHERE v.vec_id NOT IN (SELECT doc FROM clusters WHERE cluster <> doc)"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -1919,4 +1999,5 @@ QUERIES = {
     "ttr_quality": (q_ttr_quality, SQL_TTR_QUALITY),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "events_topk_window": (q_events_topk_window, SQL_EVENTS_TOPK_WINDOW),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
 }

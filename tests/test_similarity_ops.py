@@ -116,3 +116,28 @@ def test_events_topk_window_ranks_within_hour(spark, tmp_path):
     assert h10 == [(1, "a", 30.0), (2, "b", 20.0), (3, "c", 10.0)]
     h11 = sorted([(r["rk"], r["event_type"]) for r in out if r["win"].hour == 11])
     assert h11 == [(1, "y"), (2, "x")]
+
+
+def test_semantic_dedup_drops_same_cell_neardups(spark, tmp_path):
+    import numpy as np
+
+    rows = []
+    # ids 0,1,9: one tight direction (axis 0) with tiny perturbations —
+    # only id 1 is an IVF seed (seeds are ids 1..8), so the whole trio
+    # lands in seed 1's cell instead of each dup anchoring its own cell
+    for i, eps in ((0, 0.0), (1, 0.01), (9, 0.02)):
+        v = np.zeros(8); v[0] = 1.0; v[1] = eps
+        rows.append((i, [float(x) for x in v], 0))
+    # ids 2..8: one-hot on distinct axes -> pairwise cos 0 with everything
+    for j, i in enumerate(range(2, 9)):
+        v = np.zeros(8); v[j + 1] = 1.0
+        rows.append((i, [float(x) for x in v], 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    from search_engine_spark import driver_queries as DQ
+
+    kept = sorted(r["vec_id"] for r in
+                  DQ.q_semantic_dedup(spark, str(tmp_path)).collect())
+    # the near-dup trio {0,1,9} lands in one IVF cell and collapses to 0
+    assert kept == [0, 2, 3, 4, 5, 6, 7, 8]
