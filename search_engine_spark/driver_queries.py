@@ -486,7 +486,7 @@ FROM shingles GROUP BY doc_id"""
 _LSH_BAND_CAP = 50
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
+def q_minhash_lsh_pairs(spark, sf_dir, band_cap=None):
     """LSH banding: candidate pairs agreeing on any of the 4 signature bands
     (band size 1) — the bucket-join stage of MinHash-LSH.
 
@@ -494,12 +494,17 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     value shared by M docs yields M²/2 pairs in ONE join task, so a
     boilerplate cluster of 10^5 near-identical docs would emit 5·10^9 pairs
     — the unbounded hot key at 10^12 docs.  Bands with more than
-    _LSH_BAND_CAP members are dropped BEFORE the self-join (true dup
-    clusters that large still surface: every doc pair in them also agrees
-    on its other, rarer bands, and exact dedup catches byte-identical
-    copies first)."""
+    `band_cap` (default _LSH_BAND_CAP) members are dropped BEFORE the
+    self-join.  The trade is RECALL for hot-key safety: byte-identical
+    copies are still guaranteed caught upstream by exact dedup, but a
+    homogeneous NEAR-identical cluster larger than the cap can saturate
+    all four of its bands and slip through entirely — callers that prefer
+    recall over boundedness can raise `band_cap` (or sub-bucket, as
+    q_semantic_dedup does for hot IVF cells)."""
     from pyspark.sql import Window
 
+    if band_cap is None:
+        band_cap = _LSH_BAND_CAP
     sig = q_minhash_signature(spark, sf_dir)
     bands = None
     for i in range(4):
@@ -511,7 +516,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     # join sides reuse the same exchange
     bands = (
         bands.withColumn("_m", F.count("*").over(Window.partitionBy("band")))
-        .filter(F.col("_m") <= _LSH_BAND_CAP)
+        .filter(F.col("_m") <= band_cap)
         .select("doc_id", "band")
     )
     a = bands.select(F.col("doc_id").alias("da"), "band")
@@ -970,6 +975,9 @@ FROM cum"""
 
 
 _SAMPLE_MOD = 1000
+# doc_id is folded mod this prime before the Knuth multiply, keeping the
+# product within int64 for all doc_ids (DuckDB raises on bigint overflow)
+_SAMPLE_PRIME = 1000003
 # per-language keep rates: rebalance an en-heavy web corpus toward the tail
 _SAMPLE_RATES = {"en": 0.3}          # every other language keeps 1.0
 _SAMPLE_DEFAULT_RATE = 1.0
@@ -984,15 +992,21 @@ def q_stratified_sample(spark, sf_dir):
     multiplicative hash mod 1000), so the sample is reproducible across
     runs, engines, and cluster sizes — no rand(), no seed plumbing, no
     driver state.  `weight` = 1/rate makes downstream token counts
-    unbiased.  Scale shape: a narrow filter (no shuffle at all); at 10^12
-    rows production would swap the toy hash for xxhash64(doc_id) — same
-    shape, identical guarantees.
+    unbiased.  Scale shape: a narrow filter (no shuffle at all).
+
+    doc_id is reduced mod a prime BEFORE the multiply so the product
+    (< 10^6 · 2^31.3 ≈ 2^51) never exceeds int64 for ANY doc_id — a raw
+    `doc_id * 2654435761` silently wraps in Spark but RAISES in DuckDB
+    once doc_id ≳ 3.5e9, so the unreduced form only matched at toy scale.
     """
     rate = F.coalesce(
         *[F.when(F.col("lang") == lng, F.lit(r)) for lng, r in _SAMPLE_RATES.items()],
         F.lit(_SAMPLE_DEFAULT_RATE),
     )
-    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(_SAMPLE_MOD))
+    bucket = F.pmod(
+        (F.col("doc_id") % F.lit(_SAMPLE_PRIME)) * F.lit(2654435761),
+        F.lit(_SAMPLE_MOD),
+    )
     return (
         _docs(spark, sf_dir)
         .select("doc_id", "lang", rate.alias("_rate"), bucket.alias("_b"))
@@ -1004,7 +1018,7 @@ def q_stratified_sample(spark, sf_dir):
 SQL_STRATIFIED_SAMPLE = f"""WITH d AS (
   SELECT doc_id, lang,
          CASE WHEN lang = 'en' THEN 0.3 ELSE 1.0 END AS rate,
-         (doc_id * 2654435761) % {_SAMPLE_MOD} AS b
+         ((doc_id % {_SAMPLE_PRIME}) * 2654435761) % {_SAMPLE_MOD} AS b
   FROM documents
 )
 SELECT doc_id, lang, round(1.0 / rate, 4) AS weight
@@ -1267,7 +1281,14 @@ def _ivf_assignments(spark, sf_dir) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("i", "cv"))).alias("_s"))
         .select("cl", F.col("_s.cv").alias("cv"))
     )
-    return assign(emb, cents, "cv")
+    # `nrm` is computed ONCE per vector here (O(n·dim) total) so every
+    # downstream cosine — IVF probe, SemDeDup pair scoring — multiplies two
+    # precomputed scalars instead of re-folding O(dim) per candidate PAIR;
+    # at 10^12 vectors the pair-side fold would dominate the flop count.
+    return assign(emb, cents, "cv").withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -1277,19 +1298,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     final = _ivf_assignments(spark, sf_dir)
 
     q = final.filter(F.col("vec_id") == 0).select(
-        F.col("cl").alias("qcl"), F.col("e").alias("qv")
+        F.col("cl").alias("qcl"), F.col("e").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     dot = F.aggregate(
         F.zip_with("e", "qv", lambda a, b: a * b), F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     return (
         final.filter(F.col("vec_id") != 0)
         .join(F.broadcast(q), F.col("cl") == F.col("qcl"))
-        .select("vec_id", _r4(dot / (nrm("e") * nrm("qv"))).alias("cos"))
+        .select("vec_id",
+                _r4(dot / (F.col("nrm") * F.col("qnrm"))).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(10)
     )
@@ -1315,14 +1335,14 @@ a2 AS (
     PARTITION BY vec_id ORDER BY list_distance(e, cv) ASC, cl ASC) AS rn
   FROM emb CROSS JOIN cents
 ),
-final AS (SELECT vec_id, cl, e FROM a2 WHERE rn = 1)"""
+final AS (SELECT vec_id, cl, e,
+                 sqrt(list_dot_product(e, e)) AS nrm
+          FROM a2 WHERE rn = 1)"""
 
 SQL_ANN_IVF_TOPK = f"""WITH {_IVF_ASSIGN_SQL},
-q AS (SELECT cl AS qcl, e AS qv FROM final WHERE vec_id = 0)
+q AS (SELECT cl AS qcl, e AS qv, nrm AS qnrm FROM final WHERE vec_id = 0)
 SELECT f.vec_id AS vec_id,
-       round(list_dot_product(f.e, q.qv)
-             / (sqrt(list_dot_product(f.e, f.e))
-                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+       round(list_dot_product(f.e, q.qv) / (f.nrm * q.qnrm), 4) AS cos
 FROM final f CROSS JOIN q
 WHERE f.cl = q.qcl AND f.vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 10"""
@@ -1887,39 +1907,72 @@ FROM feats"""
 # exercise real clusters; a production run over model embeddings uses
 # ~0.95+ — the plan is identical, only this literal changes.
 _SEMDEDUP_COS = 0.45
+# max members per IVF cell before the pair join: larger cells are split
+# into ceil(m/cap) deterministic sub-buckets (vec_id % n_sub) so no single
+# task ever materializes more than ~cap²/2 candidate pairs
+_SEMDEDUP_CELL_CAP = 200
+
+
+def _semantic_pairs(spark, sf_dir):
+    """Candidate (da, db) pairs for SemDeDup: cos ≥ threshold within one
+    IVF cell, with a HOT-CELL CAP — a cell with more than
+    _SEMDEDUP_CELL_CAP members is deterministically split into
+    ceil(m / cap) sub-buckets (vec_id % n_sub) and pairs are generated
+    only within a (cell, sub-bucket), so the per-task pair count is
+    bounded by ~cap²/2 no matter how degenerate the embedding
+    distribution is (the same unbounded-hot-key failure _LSH_BAND_CAP and
+    _SIMHASH_BAND_CAP guard against).  The trade is recall, not safety: a
+    boilerplate cluster of M ≫ cap near-identical vectors collapses to
+    one representative PER SUB-BUCKET (n_sub ≈ M/cap keepers instead of
+    1) rather than being skipped outright.  Norms come precomputed from
+    _ivf_assignments — no per-pair O(dim) fold."""
+    from pyspark.sql import Window
+
+    final = _ivf_assignments(spark, sf_dir)
+    # window-count over the cell key sizes each cell; n_sub = ceil(m/cap)
+    # derives the split factor row-locally (no driver round-trip)
+    sub = (
+        final.withColumn("_m", F.count("*").over(Window.partitionBy("cl")))
+        .withColumn(
+            "_sb",
+            F.col("vec_id")
+            % F.ceil(F.col("_m") / F.lit(float(_SEMDEDUP_CELL_CAP))),
+        )
+    )
+    a = sub.select("cl", "_sb", F.col("vec_id").alias("da"),
+                   F.col("e").alias("_ea"), F.col("nrm").alias("_na"))
+    b = sub.select("cl", "_sb", F.col("vec_id").alias("db"),
+                   F.col("e").alias("_eb"), F.col("nrm").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with("_ea", "_eb", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["cl", "_sb"])
+        .filter(F.col("da") < F.col("db"))
+        .withColumn("_cos", F.round(dot / (F.col("_na") * F.col("_nb")), 4))
+        .filter(F.col("_cos") >= _SEMDEDUP_COS)
+        .select("da", "db")
+    )
 
 
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic near-dedup KEEP LIST over the embedding
     table: assign every vector to a trained IVF cell (_ivf_assignments),
-    generate candidate pairs ONLY within a cell (cos ≥ threshold),
-    consolidate with connected components, keep the min-vec_id
-    representative per cluster plus every unpaired vector.
+    generate candidate pairs ONLY within a cell (cos ≥ threshold, hot
+    cells sub-bucketed — see _semantic_pairs), consolidate with connected
+    components, keep the min-vec_id representative per cluster plus every
+    unpaired vector.
 
-    Scale shape: the quadratic is bounded per cell (~n/K members; K ~ √n
-    at 10^12 vectors, trained on a sample), the pair graph is orders of
-    magnitude smaller than the corpus, and the final anti-join's right
-    side is only the dropped members.  This is the embedding-space twin
-    of `dedup_keep` (MinHash-LSH on text)."""
+    Scale shape: the quadratic is bounded per (cell, sub-bucket) —
+    ≤ _SEMDEDUP_CELL_CAP members each, even for adversarial boilerplate
+    clusters; K ~ √n cells at 10^12 vectors, trained on a sample.  The
+    pair graph is orders of magnitude smaller than the corpus, and the
+    final anti-join's right side is only the dropped members.  This is
+    the embedding-space twin of `dedup_keep` (MinHash-LSH on text)."""
     from search_engine_spark.operators.components import connected_components
 
-    final = _ivf_assignments(spark, sf_dir)
-    a = final.select("cl", F.col("vec_id").alias("da"), F.col("e").alias("_ea"))
-    b = final.select("cl", F.col("vec_id").alias("db"), F.col("e").alias("_eb"))
-    dot = F.aggregate(
-        F.zip_with("_ea", "_eb", lambda x, y: x * y), F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    pairs = (
-        a.join(b, "cl")
-        .filter(F.col("da") < F.col("db"))
-        .withColumn("_cos", F.round(dot / (nrm("_ea") * nrm("_eb")), 4))
-        .filter(F.col("_cos") >= _SEMDEDUP_COS)
-        .select("da", "db")
-    )
+    pairs = _semantic_pairs(spark, sf_dir)
     clusters = connected_components(pairs)
     drop = clusters.filter(F.col("doc_id") != F.col("cluster")).select(
         F.col("doc_id").alias("vec_id")
@@ -1933,12 +1986,21 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 SQL_SEMANTIC_DEDUP = f"""WITH RECURSIVE {_IVF_ASSIGN_SQL},
+sized AS (
+  SELECT vec_id, cl, e, nrm, count(*) OVER (PARTITION BY cl) AS m
+  FROM final
+),
+sub AS (
+  SELECT vec_id, cl, e, nrm,
+         vec_id % CAST(ceil(m / {_SEMDEDUP_CELL_CAP}.0) AS BIGINT) AS sb
+  FROM sized
+),
 pairs AS (
   SELECT a.vec_id AS da, b.vec_id AS db
-  FROM final a JOIN final b ON a.cl = b.cl AND a.vec_id < b.vec_id
-  WHERE round(list_dot_product(a.e, b.e)
-              / (sqrt(list_dot_product(a.e, a.e))
-                 * sqrt(list_dot_product(b.e, b.e))), 4) >= {_SEMDEDUP_COS}
+  FROM sub a JOIN sub b
+    ON a.cl = b.cl AND a.sb = b.sb AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)
+        >= {_SEMDEDUP_COS}
 ),
 edges AS (
   SELECT da AS src, db AS dst FROM pairs

@@ -141,3 +141,45 @@ def test_semantic_dedup_drops_same_cell_neardups(spark, tmp_path):
                   DQ.q_semantic_dedup(spark, str(tmp_path)).collect())
     # the near-dup trio {0,1,9} lands in one IVF cell and collapses to 0
     assert kept == [0, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_semantic_dedup_hot_cell_pairs_bounded(spark, tmp_path, monkeypatch):
+    """A boilerplate embedding cluster (M near-identical vectors in ONE
+    IVF cell) must NOT produce M²/2 candidate pairs in one task: cells
+    above _SEMDEDUP_CELL_CAP are split into ceil(m/cap) sub-buckets, so
+    the pair count is bounded and the cluster still dedups to one
+    representative per sub-bucket."""
+    import numpy as np
+
+    from search_engine_spark import driver_queries as DQ
+
+    rows = []
+    # ids {0, 1, 100..137}: 40 near-identical vectors along axis 0.  Only
+    # id 1 is an IVF seed (seeds are ids 1..8) so the whole cluster lands
+    # in seed 1's cell.
+    hot = [0, 1] + list(range(100, 138))
+    for j, i in enumerate(hot):
+        v = np.zeros(8); v[0] = 1.0; v[1] = 0.0005 * j
+        rows.append((i, [float(x) for x in v], 0))
+    # seeds 2..8: one-hot on distinct axes, each anchoring its own cell
+    for j, i in enumerate(range(2, 9)):
+        v = np.zeros(8); v[j + 1] = 1.0
+        rows.append((i, [float(x) for x in v], 1))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    monkeypatch.setattr(DQ, "_SEMDEDUP_CELL_CAP", 10)
+    pairs = DQ._semantic_pairs(spark, str(tmp_path)).collect()
+    m, cap = len(hot), 10
+    n_sub = -(-m // cap)                      # ceil(40/10) = 4
+    per_bucket = -(-m // n_sub) + 1           # ≤ 11 members per residue
+    bound = n_sub * per_bucket * (per_bucket - 1) // 2
+    assert len(pairs) <= bound                # ≪ C(40,2) = 780
+    assert len(pairs) < m * (m - 1) // 2 / 3  # genuinely sub-quadratic
+
+    kept = sorted(r["vec_id"] for r in
+                  DQ.q_semantic_dedup(spark, str(tmp_path)).collect())
+    # one representative per sub-bucket (vec_id % 4): residue minima are
+    # 0, 1, 102, 103; seeds 2..8 are untouched singles
+    assert kept == [0, 1, 2, 3, 4, 5, 6, 7, 8, 102, 103]
