@@ -1229,9 +1229,10 @@ FROM scored GROUP BY label"""
 _IVF_K = 8
 
 
-def _ivf_assignments(spark, sf_dir) -> DataFrame:
-    """(vec_id, cl, e): every vector's trained-IVF cell — the shared
-    front half of q_ann_ivf_topk and q_semantic_dedup.  K=8 cells seeded
+def _ivf_model(spark, sf_dir):
+    """(assignments, centroids): every vector's trained-IVF cell plus the
+    trained centroid table — the shared front half of q_ann_ivf_topk,
+    q_ann_ivf_recall and q_semantic_dedup.  K=8 cells seeded
     from fixed vec_ids (1..K), ONE declarative Lloyd refinement (assign
     to nearest seed → element-wise mean per cell), re-assign.
 
@@ -1246,12 +1247,7 @@ def _ivf_assignments(spark, sf_dir) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-
-    def l2(a, b):   # sqrt-L2, mirroring DuckDB list_distance
-        return F.sqrt(F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        ))
+    l2 = _l2
 
     def assign(vecs, cents, cvec):
         # argmin via min_by with map-side partial aggregation: all K copies
@@ -1285,10 +1281,25 @@ def _ivf_assignments(spark, sf_dir) -> DataFrame:
     # downstream cosine — IVF probe, SemDeDup pair scoring — multiplies two
     # precomputed scalars instead of re-folding O(dim) per candidate PAIR;
     # at 10^12 vectors the pair-side fold would dominate the flop count.
-    return assign(emb, cents, "cv").withColumn(
+    final = assign(emb, cents, "cv").withColumn(
         "nrm",
         F.sqrt(F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)),
     )
+    return final, cents
+
+
+def _l2(a, b):
+    """sqrt-L2 over two array<double> columns, mirroring DuckDB
+    list_distance."""
+    return F.sqrt(F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+
+
+def _ivf_assignments(spark, sf_dir) -> DataFrame:
+    """(vec_id, cl, e, nrm): the assignment half of _ivf_model."""
+    return _ivf_model(spark, sf_dir)[0]
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -1346,6 +1357,112 @@ SELECT f.vec_id AS vec_id,
 FROM final f CROSS JOIN q
 WHERE f.cl = q.qcl AND f.vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
+_RECALL_NQ = 20     # query vectors: vec_ids 0.._RECALL_NQ-1
+_RECALL_K = 10      # recall@K
+
+
+def ivf_recall(spark, sf_dir, nprobe=1):
+    """Per-query recall@K of nprobe-cell IVF search against the exact
+    brute-force top-K, over _RECALL_NQ query vectors drawn from the
+    corpus (self excluded) — the accuracy/probe trade-off an ANN user
+    measures before trusting the index at scale.
+
+    Scale shape: queries × centroids is a broadcast crossJoin (nq × K
+    rows), the probe candidate set is ~nprobe·n/K per query, and both
+    top-K ranks are windowed per query — no global sort.  The exact side
+    is O(nq·n) by definition (it IS the ground truth); at 10^12 vectors
+    you run it once over a query sample, which is what this operator is.
+    At nprobe=K the probe set is the whole corpus, so recall == 1.0
+    identically — asserted in tests."""
+    from pyspark.sql import Window
+
+    final, cents = _ivf_model(spark, sf_dir)
+    qs = final.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "qv", lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("nrm") * F.col("qnrm")), 4)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_cos").desc(), F.col("vec_id").asc()
+    )
+
+    def topk(cand):
+        return (
+            cand.filter(F.col("vec_id") != F.col("qid"))
+            .withColumn("_cos", cos)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= _RECALL_K)
+            .select("qid", "vec_id")
+        )
+
+    exact = topk(final.crossJoin(F.broadcast(qs)))
+    # probe set: the nprobe nearest trained centroids per query (same
+    # (dist, cl) tie-break as assignment, so nprobe=1 ≡ the query's own
+    # cell and matches q_ann_ivf_topk's single-probe semantics)
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("_d", _l2("qv", "cv"))
+        .withColumn("_pr", F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.col("_d").asc(), F.col("cl").asc())))
+        .filter(F.col("_pr") <= nprobe)
+        .select("qid", "cl", "qv", "qnrm")
+    )
+    ivf = topk(final.join(F.broadcast(probes), "cl"))
+    hits = (
+        ivf.join(exact, ["qid", "vec_id"])
+        .groupBy("qid").agg(F.count("*").alias("_h"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.round(F.coalesce(F.col("_h"), F.lit(0)).cast("double")
+                    / _RECALL_K, 4).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """recall@10 of the single-probe trained IVF (the configuration
+    q_ann_ivf_topk serves) against the exact brute-force top-10."""
+    return ivf_recall(spark, sf_dir, nprobe=1)
+
+
+SQL_ANN_IVF_RECALL = f"""WITH {_IVF_ASSIGN_SQL},
+qs AS (SELECT vec_id AS qid, cl AS qcl, e AS qv, nrm AS qnrm
+       FROM final WHERE vec_id < {_RECALL_NQ}),
+exact AS (
+  SELECT q.qid, f.vec_id, row_number() OVER (PARTITION BY q.qid
+    ORDER BY round(list_dot_product(f.e, q.qv) / (f.nrm * q.qnrm), 4) DESC,
+             f.vec_id ASC) AS rn
+  FROM final f CROSS JOIN qs q WHERE f.vec_id <> q.qid
+),
+ivf AS (
+  SELECT q.qid, f.vec_id, row_number() OVER (PARTITION BY q.qid
+    ORDER BY round(list_dot_product(f.e, q.qv) / (f.nrm * q.qnrm), 4) DESC,
+             f.vec_id ASC) AS rn
+  FROM final f JOIN qs q ON f.cl = q.qcl WHERE f.vec_id <> q.qid
+),
+hits AS (
+  SELECT e.qid, count(*) AS h
+  FROM (SELECT qid, vec_id FROM exact WHERE rn <= {_RECALL_K}) e
+  JOIN (SELECT qid, vec_id FROM ivf WHERE rn <= {_RECALL_K}) i
+    ON e.qid = i.qid AND e.vec_id = i.vec_id
+  GROUP BY e.qid
+)
+SELECT q.qid AS qid,
+       round(coalesce(h, 0)::DOUBLE / {_RECALL_K}, 4) AS recall
+FROM qs q LEFT JOIN hits ON q.qid = hits.qid
+ORDER BY qid"""
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -2042,6 +2159,7 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "repetition_quality": (q_repetition_quality, SQL_REPETITION_QUALITY),

@@ -183,3 +183,26 @@ def test_semantic_dedup_hot_cell_pairs_bounded(spark, tmp_path, monkeypatch):
     # one representative per sub-bucket (vec_id % 4): residue minima are
     # 0, 1, 102, 103; seeds 2..8 are untouched singles
     assert kept == [0, 1, 2, 3, 4, 5, 6, 7, 8, 102, 103]
+
+
+def test_ivf_recall_rises_with_nprobe(spark):
+    """The accuracy/probe trade an ANN user measures: per-query recall@10
+    of nprobe-cell IVF vs the exact brute-force top-10 is monotone in
+    nprobe (candidate supersets can only add exact hits under the shared
+    (cos desc, vec_id) comparator) and identically 1.0 once every cell is
+    probed (the probe set IS the brute-force candidate set)."""
+    from search_engine_spark import driver_queries as DQ
+
+    sf = "/root/testdata/sf0.001"
+    by_np = {}
+    for np_ in (1, 2, DQ._IVF_K):
+        by_np[np_] = {r["qid"]: r["recall"]
+                      for r in DQ.ivf_recall(spark, sf, nprobe=np_).collect()}
+    assert len(by_np[1]) == DQ._RECALL_NQ
+    # per-query monotone, not just on average
+    for q in by_np[1]:
+        assert by_np[1][q] <= by_np[2][q] <= by_np[DQ._IVF_K][q]
+    mean1 = sum(by_np[1].values()) / len(by_np[1])
+    mean2 = sum(by_np[2].values()) / len(by_np[2])
+    assert mean1 < mean2          # single-probe genuinely lossy here
+    assert all(v == 1.0 for v in by_np[DQ._IVF_K].values())
