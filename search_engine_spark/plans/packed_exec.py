@@ -483,6 +483,167 @@ def search_packed(engine, ast: Expr, k: int = 10) -> DataFrame:
     )
 
 
+def batch_general_candidates(engine, items: list[tuple[str, "Expr"]],
+                             k: int = 10) -> DataFrame:
+    """(query, doc_id, score) candidate rows for MANY arbitrary ASTs —
+    phrases, NOT, synonyms, mixed — in ONE kernel pass over the packed
+    index, the general-AST twin of search_batch's flat dense kernel.
+
+    Per bucket the postings are decoded ONCE and one shared _BucketEval
+    (term-score + phrase-match caches) serves every query's slot spec, so
+    an offline batch of thousands of phrase/NOT queries costs one Spark
+    job instead of one job per query (the round-3 driver-side bottleneck;
+    reference analogue: csolver serving every query from the same loaded
+    chunks, csolver.cpp:123-165).
+
+    Finalization stays declarative and UNIFORM across queries: the kernel
+    emits per (query, doc) the summed word-slot score plus SPARSE
+    (global-phrase-slot, ptf) pairs; identical (stems, decorated) phrase
+    variants across queries share one global df slot, counted by a single
+    shared subplan and broadcast as one array column.  Phrase-free trees
+    are truncated to the bucket-exact top-k in-kernel (their slot value IS
+    the final score), so a bare-NOT query emits k rows per bucket, not the
+    bucket's complement.
+
+    Rows still need the caller's per-query global rank window — this
+    returns candidates, exactly like the flat kernel path."""
+    from search_engine_spark.plans.executor import _collect_keys
+
+    specs = [Spec(ast) for _, ast in items]
+    need_pos = any(_tree_has_phrase_anywhere(ast) for _, ast in items)
+    outer = any(sp.zero_match for sp in specs)
+    all_keys = sorted({key for _, ast in items for key in _collect_keys(ast)})
+    cols = ["term", "df", "doc_ids", "tfs"] + (["pos"] if need_pos else [])
+    per_bucket_rows = _bucket_rows_for(engine, all_keys, cols, outer)
+
+    # global df-slot table: one entry per distinct (stems, decorated)
+    # phrase variant across the WHOLE batch; per-query local slot j maps to
+    # gdf index gmaps[qi][j]
+    gslots: dict[tuple, int] = {}
+    gmaps: list[list[int]] = []
+    for sp in specs:
+        gmaps.append([gslots.setdefault(ps, len(gslots)) for ps in sp.pslots])
+
+    wslots_l = [sp.wslots for sp in specs]
+    roots = [sp.root for sp in specs]
+    nw_l = [len(sp.wslots) for sp in specs]
+    np_l = [len(sp.pslots) for sp in specs]
+    zm_l = [sp.zero_match for sp in specs]
+    n_docs, avgdl = engine.n_docs, engine.avgdl
+    k1, b = engine.k1, engine.b
+    kk = k
+    nq = len(items)
+
+    def kernel(batches):
+        for pdf in batches:
+            o_qi, o_id, o_dl, o_ws, o_pi, o_pt = [], [], [], [], [], []
+            for brow in pdf.itertuples(index=False):
+                start = int(brow.start)
+                dls = np.asarray(brow.dls, dtype=np.float64)
+                decoded = _decode_rows(brow.trows, need_pos)
+                ev = _BucketEval(decoded, start, dls.size, dls, n_docs,
+                                 avgdl, k1, b)
+                for qi in range(nq):
+                    if not decoded and not zm_l[qi]:
+                        continue
+                    ev.seval_slot = (
+                        lambda i, _ev=ev, _w=wslots_l[qi]: _ev.seval(_w[i])
+                    )
+                    ids, wmat, pmat = ev.keval(roots[qi], nw_l[qi], np_l[qi])
+                    if ids.size == 0:
+                        continue
+                    if np_l[qi] == 0 and ids.size > kk:
+                        # phrase-free ⇒ one word slot whose value IS the
+                        # score: bucket-exact top-k suffices
+                        order = np.lexsort((ids, -wmat[:, 0]))[:kk]
+                        order.sort()
+                        ids, wmat, pmat = ids[order], wmat[order], pmat[order]
+                    gm = gmaps[qi]
+                    ws = wmat.sum(axis=1)
+                    o_qi.extend([qi] * ids.size)
+                    o_id.extend(ids.tolist())
+                    o_dl.extend(dls[ids - start].astype(np.int64).tolist())
+                    o_ws.extend(ws.tolist())
+                    if np_l[qi]:
+                        rows = pmat.tolist()
+                        o_pi.extend(
+                            [[gm[j] for j, v in enumerate(r) if v]
+                             for r in rows]
+                        )
+                        o_pt.extend([[v for v in r if v] for r in rows])
+                    else:
+                        o_pi.extend([[]] * ids.size)
+                        o_pt.extend([[]] * ids.size)
+            yield pd.DataFrame({
+                "qi": pd.Series(o_qi, dtype="int32"),
+                "doc_id": pd.Series(o_id, dtype="int64"),
+                "dl": pd.Series(o_dl, dtype="int64"),
+                "ws": pd.Series(o_ws, dtype="float64"),
+                "pidx": pd.Series(o_pi, dtype="object"),
+                "ptf": pd.Series(o_pt, dtype="object"),
+            })
+
+    docs = per_bucket_rows.mapInPandas(
+        kernel,
+        schema=("qi int, doc_id long, dl long, ws double, "
+                "pidx array<int>, ptf array<long>"),
+    )
+
+    n_g = len(gslots)
+    score = F.col("ws")
+    if n_g:
+        gs_list: list[tuple] = [None] * n_g
+        for ps, g in gslots.items():
+            gs_list[g] = ps
+        pkeys = sorted({("@" + s if deco else s)
+                        for stems, deco in gs_list for s in stems})
+        pcols = ["term", "df", "doc_ids", "tfs", "pos"]
+        prows = _bucket_rows_for(engine, pkeys, pcols, outer=False)
+
+        def count_kernel(batches):
+            for pdf in batches:
+                out = []
+                for brow in pdf.itertuples(index=False):
+                    dls = np.asarray(brow.dls, dtype=np.float64)
+                    decoded = _decode_rows(brow.trows, True)
+                    ev = _BucketEval(decoded, int(brow.start), dls.size, dls,
+                                     n_docs, avgdl, k1, b)
+                    out.append([int(ev.phrase_match(stems, deco)[0].size)
+                                for stems, deco in gs_list])
+                yield pd.DataFrame({"c": pd.Series(out, dtype="object")})
+
+        # ONE shared count subplan for every phrase in the batch, folded to
+        # a single broadcast row carrying the global dfs as an array
+        counts = (
+            prows.mapInPandas(count_kernel, schema="c array<long>")
+            .agg(*[F.sum(F.element_at("c", j + 1)).alias(f"_pdf{j}")
+                   for j in range(n_g)])
+            .select(F.array(*[F.col(f"_pdf{j}").cast("double")
+                              for j in range(n_g)]).alias("_pdfs"))
+        )
+        docs = docs.crossJoin(F.broadcast(counts))
+        # uniform phrase finalization: only nonzero ptf slots were emitted,
+        # each contributing idf(global df) * bm25_weight(ptf, dl) — the
+        # identical expressions the per-query path builds in _score_expr
+        score = score + F.aggregate(
+            F.zip_with(
+                "pidx", "ptf",
+                lambda i, t: bm25.idf_col(
+                    F.element_at("_pdfs", i + F.lit(1)), n_docs
+                ) * bm25.weight_col(
+                    t.cast("double"), F.col("dl").cast("double"), avgdl, k1, b
+                ),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    qmap = F.array(*[F.lit(q) for q, _ in items])
+    return docs.select(
+        F.element_at(qmap, F.col("qi") + 1).alias("query"),
+        "doc_id", score.alias("score"),
+    )
+
+
 def _tree_has_phrase_anywhere(e: Expr) -> bool:
     """Unlike has_phrase (score positions), this also sees phrases under
     Not children, which need positions for membership."""

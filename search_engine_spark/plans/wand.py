@@ -315,10 +315,14 @@ class PackedQueryEngine:
         cluster scale: one scan of the union of the queries' shards, one
         kernel task per doc bucket evaluating every query against the
         bucket's decoded postings, then a per-query windowed top-k.  The
-        driver submits O(1) jobs regardless of |queries| for the flat
-        subset; non-flat queries (phrases/NOT/synonyms) are routed through
-        the exhaustive fallback WITHIN the same call and unioned into the
-        one result frame — the batch is total, nothing is silently dropped.
+        driver submits O(1) jobs regardless of |queries|: flat AND/OR
+        queries share the dense kernel, and ALL non-flat queries
+        (phrases/NOT/synonyms) share ONE general-kernel pass
+        (packed_exec.batch_general_candidates — per-bucket postings are
+        decoded once and every AST's slot spec is evaluated against them,
+        with one shared phrase-df subplan).  Only pre-``pos``-warehouse
+        phrase queries fall back to the logical executor per query.  The
+        batch is total, nothing is silently dropped.
         """
         plans: list[tuple[str, str, list[str]]] = []  # (query, mode, stems)
         nonflat: list[tuple[str, Expr]] = []
@@ -418,17 +422,23 @@ class PackedQueryEngine:
                 kernel, schema="query string, doc_id long, score double"
             )
             parts.append(per_bucket)
-        # non-flat queries: packed general kernel (shard-pruned, one extra
-        # job each, k rows); unioned pre-rank so the whole batch ranks
-        # through one window
-        for q, ast in nonflat:
-            if self._can_general(ast):
-                part = self._search_general(ast, k)
-            else:
-                part = self.fallback.search_ast(ast, k=k)
+        # non-flat queries: ONE shared general-kernel pass for every AST
+        # the packed path can serve (phrases/NOT/synonyms); unioned
+        # pre-rank so the whole batch ranks through one window
+        servable = [(q, ast) for q, ast in nonflat if self._can_general(ast)]
+        if servable:
+            from search_engine_spark.plans import packed_exec
+
             parts.append(
-                part.select(F.lit(q).alias("query"), "doc_id", "score")
+                packed_exec.batch_general_candidates(self, servable, k)
             )
+        for q, ast in nonflat:
+            if not self._can_general(ast):
+                # pre-pos warehouse phrase query: logical-executor fallback
+                parts.append(
+                    self.fallback.search_ast(ast, k=k)
+                    .select(F.lit(q).alias("query"), "doc_id", "score")
+                )
         candidates = functools.reduce(DataFrame.unionByName, parts)
         w = Window.partitionBy("query").orderBy(
             F.col("score").desc(), F.col("doc_id").asc()

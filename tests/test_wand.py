@@ -146,3 +146,49 @@ def test_packed_engine_fallback_paths(engine, packed_engine):
         got = _rows(packed_engine.search(q, k=10))
         want = _rows(engine.search(q, k=10))
         assert got == want, q
+
+
+def _jobs_for(spark, group: str, fn) -> int:
+    """Run fn() under a job group and return how many Spark jobs it
+    submitted (statusTracker is the public API for this in local mode)."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_search_batch_job_count_is_constant_in_queries(packed_engine):
+    """The scale contract of batch retrieval: a mixed batch (flat +
+    phrases + NOT + synonyms) must submit O(1) Spark jobs regardless of
+    |queries| — every non-flat AST shares ONE general-kernel pass and ONE
+    phrase-df subplan, instead of one job per query (the round-3
+    driver-side bottleneck)."""
+    spark = packed_engine.spark
+    packed_engine._n_buckets()          # warm the cached count job
+
+    def mixed(n: int) -> list[str]:
+        base = [
+            "w{} engine".format,        # flat AND
+            'search | w{}'.format,      # flat OR
+            '"w{} w1"'.format,          # phrase
+            "search - w{}".format,      # NOT
+            '"w0 w1" w{}'.format,       # phrase + AND
+        ]
+        return [base[i % len(base)](i % 7) for i in range(n)]
+
+    small = _jobs_for(
+        spark, "batch-small",
+        lambda: packed_engine.search_batch(mixed(5), k=5).count(),
+    )
+    large = _jobs_for(
+        spark, "batch-large",
+        lambda: packed_engine.search_batch(mixed(40), k=5).count(),
+    )
+    assert large == small, (small, large)
+    # a fixed handful (kernel + phrase-df subplan + range samplings +
+    # broadcasts), NOT O(|queries|): 40 mixed queries at ~3 jobs each
+    # would be 100+
+    assert small <= 20, small
