@@ -76,10 +76,11 @@ def _engine_catalog(spark: SparkSession):
     from search_engine_spark.operators.pipeline import run_build
     from search_engine_spark.sources.pages import cached_pages
 
-    # _v3: bump when the warehouse layout changes (v3 = packed positions
-    # column for first-class phrase queries) so a stale cache never mixes
+    # _v4: bump when the warehouse layout changes (v3 = packed positions
+    # column for first-class phrase queries; v4 = merge-time block headers
+    # + dlb partials for incremental append) so a stale cache never mixes
     # schemas across rounds
-    wh = f"/tmp/se_entry_wh_n{_ENGINE_CORPUS_DOCS}_v3"
+    wh = f"/tmp/se_entry_wh_n{_ENGINE_CORPUS_DOCS}_v4"
     pages = spark.read.parquet(str(cached_pages(_ENGINE_CORPUS_DOCS)))
     return run_build(spark, pages, wh, pack=True)
 

@@ -90,27 +90,30 @@ def _enc_pos_row(positions: pd.Series) -> pd.Series:
 _ENC_T = StructType([
     StructField("doc_ids", BinaryType()),
     StructField("tfs", BinaryType()),
+    StructField("dlb", BinaryType()),
     StructField("pos", BinaryType()),
-    StructField("block_last", ArrayType(LongType())),
-    StructField("block_maxw", ArrayType(DoubleType())),
 ])
 
 
 @pandas_udf(_ENC_T)
-def _enc_posting(ids: pd.Series, tfs: pd.Series, ws: pd.Series,
+def _enc_posting(ids: pd.Series, tfs: pd.Series, dls: pd.Series,
                  posbs: pd.Series) -> pd.DataFrame:
+    """Partials carry NO block headers: WAND bounds depend on avgdl, which
+    is only final at merge time (an incremental append changes it), so the
+    merge pass computes them — exact for whatever corpus the merge sees.
+    Instead each partial carries ``dlb`` (varbyte per-posting doc lengths,
+    ~1 byte each), which is what the merge needs to weight postings without
+    a doclens join (a second corpus-wide shuffle of the payloads)."""
     rows = []
-    for i, t, w, pb in zip(ids, tfs, ws, posbs):
+    for i, t, dl, pb in zip(ids, tfs, dls, posbs):
         ia = np.asarray(i, dtype=np.int64)
-        last, maxw = codec.block_headers(ia, np.asarray(w, dtype=np.float64))
         rows.append({
             "doc_ids": codec.encode_docids(ia),
             "tfs": codec.encode_tfs(np.asarray(t, dtype=np.int64)),
+            "dlb": codec.varbyte_encode(np.asarray(dl, dtype=np.int64)),
             # per-doc streams are already individually delta-encoded and
             # doc-ordered (sort_array upstream) — plain concatenation
             "pos": b"".join(bytes(x) for x in pb),
-            "block_last": last,
-            "block_maxw": maxw,
         })
     return pd.DataFrame(rows)
 
@@ -127,58 +130,68 @@ _MERGED_T = StructType([
 ])
 
 
-@pandas_udf(_MERGED_T)
-def _merge_parts(parts: pd.Series) -> pd.DataFrame:
-    """Concatenate one term's bucket-ordered partial streams; only the first
-    varbyte group of each appended stream is rewritten (first-gap rebase) —
-    payloads are never decoded."""
-    rows = []
-    for plist in parts:
-        ids_buf = bytearray()
-        tfs_buf = bytearray()
-        pos_buf = bytearray()
-        blast: list[np.ndarray] = []
-        bmaxw: list[np.ndarray] = []
-        prev_last = None
-        n = 0
-        for p in plist:
-            chunk = bytes(p["doc_ids"])
-            if prev_last is not None:
-                chunk = codec.rebase_first_gap(chunk, prev_last)
-            ids_buf += chunk
-            tfs_buf += bytes(p["tfs"])
-            pos_buf += bytes(p["pos"])  # per-doc streams restart absolute
-            blast.append(np.asarray(p["block_last"], dtype=np.int64))
-            bmaxw.append(np.asarray(p["block_maxw"], dtype=np.float64))
-            prev_last = int(p["last_docid"])
-            n += int(p["n_docs"])
-        rows.append({
-            "n_docs": n,
-            "doc_ids": bytes(ids_buf),
-            "tfs": bytes(tfs_buf),
-            "pos": bytes(pos_buf),
-            "block_last": np.concatenate(blast),
-            "block_maxw": np.concatenate(bmaxw),
-            "first_docid": int(plist[0]["first_docid"]),
-            "last_docid": prev_last,
-        })
-    return pd.DataFrame(rows)
+def _make_merge_udf(avgdl: float, k1: float = bm25.K1, b: float = bm25.B):
+    """Merge UDF with the FINAL corpus avgdl bound in: concatenate one
+    term's bucket-ordered partial streams (only the first varbyte group of
+    each appended stream is rewritten — first-gap rebase; position payloads
+    are never decoded), then compute the block-max WAND headers EXACTLY
+    over the merged stream.  Computing headers here (not at pack time) is
+    what makes incremental appends converge bit-identically to a
+    from-scratch build: an append changes avgdl, which would invalidate
+    any header a partial had baked in."""
+
+    @pandas_udf(_MERGED_T)
+    def _merge_parts(parts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for plist in parts:
+            ids_buf = bytearray()
+            tfs_buf = bytearray()
+            dlb_buf = bytearray()
+            pos_buf = bytearray()
+            prev_last = None
+            n = 0
+            for p in plist:
+                chunk = bytes(p["doc_ids"])
+                if prev_last is not None:
+                    chunk = codec.rebase_first_gap(chunk, prev_last)
+                ids_buf += chunk
+                tfs_buf += bytes(p["tfs"])
+                dlb_buf += bytes(p["dlb"])
+                pos_buf += bytes(p["pos"])  # per-doc streams restart absolute
+                prev_last = int(p["last_docid"])
+                n += int(p["n_docs"])
+            ids = codec.decode_docids(bytes(ids_buf))
+            tfs = codec.decode_tfs(bytes(tfs_buf)).astype(np.float64)
+            dls = codec.varbyte_decode(bytes(dlb_buf)).astype(np.float64)
+            w = tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            last, maxw = codec.block_headers(ids, w)
+            rows.append({
+                "n_docs": n,
+                "doc_ids": bytes(ids_buf),
+                "tfs": bytes(tfs_buf),
+                "pos": bytes(pos_buf),
+                "block_last": last,
+                "block_maxw": maxw,
+                "first_docid": int(plist[0]["first_docid"]),
+                "last_docid": prev_last,
+            })
+        return pd.DataFrame(rows)
+
+    return _merge_parts
 
 
 def pack_partials(
     postings: DataFrame,
-    avgdl: float,
     num_shards: int,
     bucket_width: int,
 ) -> DataFrame:
     """p6a: logical postings → per-(term, doc_bucket) encoded partial rows.
 
     No join: postings carry ``dl`` inline (build_postings), so the
-    per-posting weight is a pure column expression."""
-    w = bm25.weight_col(F.col("tf"), F.col("dl"), avgdl)
+    per-posting doc length rides into the partial's ``dlb`` stream as a
+    pure column expression.  Headers are merge-time (see _enc_posting)."""
     plist = (
         postings.select("term", "doc_id", "tf", "dl", "positions")
-        .withColumn("weight", w)
         # narrow pre-shuffle compression: each posting's positions become a
         # self-contained varbyte stream, so the pack shuffle moves bytes,
         # not 8-byte ints, and the merge pass never re-encodes them
@@ -188,7 +201,7 @@ def pack_partials(
         .groupBy("term", "bucket")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("doc_id", "tf", "weight", "posb"))
+                F.collect_list(F.struct("doc_id", "tf", "dl", "posb"))
             ).alias("plist"),
             F.count("*").alias("n_docs"),
         )
@@ -199,7 +212,7 @@ def pack_partials(
             "n_docs",
             F.col("plist.doc_id").alias("_ids"),
             F.col("plist.tf").alias("_tfs"),
-            F.col("plist.weight").alias("_ws"),
+            F.col("plist.dl").alias("_dls"),
             F.col("plist.posb").alias("_posbs"),
         )
     )
@@ -209,47 +222,60 @@ def pack_partials(
         "bucket",
         F.col("n_docs").alias("df_local"),
         "n_docs",
-        _enc_posting("_ids", "_tfs", "_ws", "_posbs").alias("p"),
+        _enc_posting("_ids", "_tfs", "_dls", "_posbs").alias("p"),
         F.element_at("_ids", 1).alias("first_docid"),
         F.element_at("_ids", -1).alias("last_docid"),
     ).select(
         "term", "shard", "bucket", "df_local", "n_docs",
-        "p.doc_ids", "p.tfs", "p.pos", "p.block_last", "p.block_maxw",
+        "p.doc_ids", "p.tfs", "p.dlb", "p.pos",
         "first_docid", "last_docid",
     )
 
 
-def merge_partials(partials: DataFrame, merge_factor: int) -> DataFrame:
+def merge_partials(partials: DataFrame, merge_factor: int,
+                   avgdl: float) -> DataFrame:
     """p6b: shuffle-merge each term's doc-ordered partial streams into
     merge_factor-coarser buckets; attach global df.
 
-    The concatenation never decodes payloads: the appended stream's first
-    varbyte gap is rebased against the previous stream's last doc id.
-    Block headers concatenate as-is (block boundaries are intra-partial,
-    which only makes WAND bounds *finer*, never wrong).
+    The concatenation never decodes position payloads: the appended
+    stream's first varbyte gap is rebased against the previous stream's
+    last doc id.  Block-max headers are computed HERE, exactly, over the
+    merged stream with the final corpus ``avgdl`` (see _make_merge_udf) —
+    so partials written by earlier builds stay valid inputs after an
+    incremental append shifts the corpus stats.
     """
+    if "dlb" not in partials.columns:
+        raise ValueError(
+            "postings_partial lacks the per-posting dlb stream (written by "
+            "an older layout); re-run the pack phase with force to rebuild "
+            "partials before merging"
+        )
     df_global = partials.groupBy("term").agg(F.sum("df_local").alias("df"))
 
     with_key = partials.join(df_global, "term").withColumn(
         "mbucket", (F.col("bucket") / F.lit(merge_factor)).cast("int")
     )
-    # sort_array on array<struct> orders by leading field(s) → bucket order
+    # sort_array on array<struct> orders by leading field(s) → (bucket,
+    # first_docid) order; first_docid is the within-bucket tiebreak so an
+    # APPENDED partial sharing its first fine bucket with the base build's
+    # last partial still concatenates in doc order
     grouped = with_key.groupBy("term", "shard", "mbucket", "df").agg(
         F.sort_array(
             F.collect_list(
                 F.struct(
-                    "bucket", "n_docs", "doc_ids", "tfs", "pos",
-                    "block_last", "block_maxw", "first_docid", "last_docid",
+                    "bucket", "first_docid", "n_docs", "doc_ids", "tfs",
+                    "dlb", "pos", "last_docid",
                 )
             )
         ).alias("parts")
     )
+    merge_udf = _make_merge_udf(avgdl)
     return grouped.select(
         "term",
         "shard",
         F.col("mbucket").alias("bucket"),
         "df",
-        _merge_parts("parts").alias("m"),
+        merge_udf("parts").alias("m"),
     ).select(
         "term", "shard", "bucket", "df",
         "m.n_docs", "m.doc_ids", "m.tfs", "m.pos", "m.block_last",
@@ -277,12 +303,15 @@ def build_doclens(docmeta: DataFrame, bucket_width: int) -> DataFrame:
 def pack_and_merge(cat, num_shards: int = 32, salt_buckets: int = 16,
                    merge_factor: int | None = None,
                    postings_table: str = "postings",
-                   docmeta_table: str = "docmeta") -> None:
+                   docmeta_table: str = "docmeta",
+                   bucket_width: int | None = None) -> None:
     """Run both passes with checkpoint/resume through the catalog.
 
     ``postings_table``/``docmeta_table`` let the streaming path consolidate
     its appended partials (postings_stream/docmeta_stream) with the same
-    merge machinery."""
+    merge machinery.  ``bucket_width`` overrides the n_docs-derived salt
+    width — an incremental append must keep the ORIGINAL width so its new
+    partials land on the same bucket grid as the base build's."""
     if not cat.exists("index_stats"):
         from search_engine_spark.operators import build as B
 
@@ -292,7 +321,8 @@ def pack_and_merge(cat, num_shards: int = 32, salt_buckets: int = 16,
         )
     stats = cat.read("index_stats").collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    bucket_width = max(1, math.ceil(n_docs / salt_buckets))
+    if bucket_width is None:
+        bucket_width = max(1, math.ceil(n_docs / salt_buckets))
     if merge_factor is None:
         merge_factor = max(1, salt_buckets // 4)
 
@@ -316,7 +346,7 @@ def pack_and_merge(cat, num_shards: int = 32, salt_buckets: int = 16,
 
     if not cat.exists("postings_partial"):
         partials = pack_partials(
-            cat.read(postings_table), avgdl, num_shards, bucket_width
+            cat.read(postings_table), num_shards, bucket_width
         )
         # align rows to their shard before the partitioned write: otherwise
         # every write task opens a file in every shard dir (tasks×shards
@@ -340,7 +370,7 @@ def pack_and_merge(cat, num_shards: int = 32, salt_buckets: int = 16,
         cat.write("doclens", build_doclens(cat.read(docmeta_table), mwidth))
         cat.log_phase("p6b_doclens", cat.read("doclens"), {"bucket_width": mwidth})
 
-    merged = merge_partials(cat.read("postings_partial"), merge_factor)
+    merged = merge_partials(cat.read("postings_partial"), merge_factor, avgdl)
     cat.write(
         "postings_packed",
         merged.repartition(num_shards, "shard"),

@@ -39,6 +39,7 @@ def run_build(
     merge_factor: int | None = None,
     force: bool = False,
     pack: bool = True,
+    bucket_width: int | None = None,
 ) -> IndexCatalog:
     import time
 
@@ -156,11 +157,155 @@ def run_build(
 
             merge.pack_and_merge(
                 cat, num_shards=num_shards, salt_buckets=salt_buckets,
-                merge_factor=merge_factor,
+                merge_factor=merge_factor, bucket_width=bucket_width,
             )
             return "postings_packed"
 
         timed("p6_packed", p6)
 
+    cat.write_metrics_tables()
+    return cat
+
+
+def run_append(
+    spark: SparkSession,
+    pages: DataFrame,
+    warehouse: str,
+    label: str = "delta1",
+) -> IndexCatalog:
+    """Incrementally index a NEW pages batch into an EXISTING packed
+    warehouse — the crawl-refresh shape at 100 TB: extract + id-stamp only
+    the delta, append its logical postings and pack partials, then run ONE
+    merge pass over all partials (old + new).  Nothing from the base build
+    is re-extracted, re-shuffled, or re-packed; the merge pass is the
+    LSM-style compaction (stream concatenation, positions never decoded).
+
+    Layout (bucket_width / merge_factor / num_shards) is inherited from the
+    base build's persisted catalog properties, so new partials land on the
+    same doc-bucket grid.  Doc ids continue densely from the base build's
+    max (url-rank WITHIN the delta); urls already indexed are dropped
+    (first batch wins — the batch twin of the streaming consolidator's
+    first-wins rule).  Corpus stats (n_docs/avgdl) and doclens are
+    recomputed over the union, and the merge recomputes every block-max
+    header against the NEW avgdl — which is why an append converges
+    bit-identically to a from-scratch build of the union corpus (asserted
+    by tests/test_packed_index.py) whenever the delta's urls sort after the
+    base corpus's (otherwise ids permute and results are rank-identical by
+    url rather than byte-identical).
+
+    The expensive delta phases (extract, dedup shuffle, id stamp) are
+    checkpointed per ``label``; the apply step (appends + merge) is guarded
+    by a catalog property so a completed append is never re-applied.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.merge import (
+        build_doclens, merge_partials, pack_partials, shard_col,
+    )
+
+    cat = IndexCatalog(spark, warehouse)
+    for t in ("docmeta", "postings", "postings_partial", "postings_packed"):
+        if not cat.exists(t):
+            raise ValueError(f"run_append needs an existing warehouse ({t} missing)")
+    applied_key = f"append_{label}_applied"
+    if cat.get_prop(applied_key):
+        return cat
+
+    num_shards = int(cat.get_prop("p6a_num_shards"))
+    bucket_width = int(cat.get_prop("p6a_bucket_width"))
+    merge_factor = int(cat.get_prop("p6a_merge_factor"))
+
+    def timed(phase: str, fn) -> None:
+        t0 = time.perf_counter()
+        table = fn()
+        cat.log_phase(
+            phase, cat.read(table),
+            {"seconds": round(time.perf_counter() - t0, 2), "append": label},
+        )
+
+    raw_t, sorted_t, docs_t = (f"{t}_{label}" for t in
+                               ("docs_raw", "docs_sorted", "docs"))
+
+    if not cat.exists(raw_t):
+        def p1() -> str:
+            raw = extract.extract_docs(pages)
+            raw = extract.drop_overlong_titles(raw)
+            # urls the base build (or an earlier append) already indexed
+            # lose first-wins against the existing corpus
+            raw = raw.join(
+                cat.read("docmeta").select("url"), "url", "left_anti"
+            )
+            cat.write(raw_t, raw)
+            return raw_t
+
+        timed(f"a1_{raw_t}", p1)
+
+    if not cat.exists(sorted_t):
+        def p2a() -> str:
+            cat.write(sorted_t, docids.sorted_dedup(cat.read(raw_t)))
+            return sorted_t
+
+        timed(f"a2a_{sorted_t}", p2a)
+
+    if not cat.exists(docs_t):
+        def p2b() -> str:
+            # dense url-rank ids WITHIN the delta, offset to continue the
+            # base build's id space (1-row max job over docmeta)
+            base = cat.read("docmeta").agg(
+                F.max("doc_id").alias("m")).collect()[0]["m"] + 1
+            offsets = docids.partition_offsets_from_footers(
+                cat.path(sorted_t), spark=spark
+            )
+            stamped = docids.stamp_doc_ids(cat.read(sorted_t), offsets)
+            cat.write(docs_t, stamped.withColumn(
+                "doc_id", F.col("doc_id") + F.lit(int(base))))
+            return docs_t
+
+        timed(f"a2b_{docs_t}", p2b)
+
+    delta = cat.read(docs_t)
+
+    # ---- apply: append delta tables, refresh stats, one merge pass -------
+    cat.write("docmeta", B.build_docmeta(delta), mode="append")
+    posts = B.build_postings(delta).withColumn(
+        "shard", shard_col(num_shards=num_shards)
+    ).sortWithinPartitions("shard", "term")
+    cat.write("postings", posts, partition_by=["shard"], mode="append")
+
+    cat.drop("index_stats")
+    cat.write(
+        "index_stats",
+        B.build_index_stats(cat.read("docmeta"), cat.read("postings")),
+    )
+    stats = cat.read("index_stats").collect()[0]
+    avgdl = float(stats["avgdl"])
+
+    mwidth = bucket_width * merge_factor
+    cat.drop("doclens")
+    cat.write("doclens", build_doclens(cat.read("docmeta"), mwidth))
+
+    # new partials only over the delta's postings (doc ids > base max)
+    delta_posts = B.build_postings(delta)
+    cat.write(
+        "postings_partial",
+        pack_partials(delta_posts, num_shards, bucket_width)
+        .repartition(num_shards, "shard"),
+        partition_by=["shard"], mode="append",
+    )
+    timed_t0 = time.perf_counter()
+    merged = merge_partials(cat.read("postings_partial"), merge_factor, avgdl)
+    cat.drop("postings_packed")
+    cat.write(
+        "postings_packed",
+        merged.repartition(num_shards, "shard"),
+        partition_by=["shard"],
+    )
+    cat.log_phase(
+        f"a6_merge_{label}", cat.read("postings_packed"),
+        {"seconds": round(time.perf_counter() - timed_t0, 2), "append": label},
+    )
+    cat.set_prop(applied_key, 1)
     cat.write_metrics_tables()
     return cat

@@ -186,3 +186,143 @@ def test_resume_skips_completed_phases(catalog, spark, pages_path, tmp_path):
         for t in ("docs", "docmeta", "postings", "postings_packed")
     }
     assert before == after
+
+
+# ---------------------------------------------------------------------------
+# incremental append (crawl refresh): new partials + ONE merge pass must
+# converge bit-identically to a from-scratch build of the union corpus
+# ---------------------------------------------------------------------------
+
+def _mk_pages(spark, specs):
+    """specs: [(url, body_words)] → a pages frame (html synthesized)."""
+    import datetime as dt
+
+    from search_engine_spark import schemas
+
+    rows = []
+    for url, words in specs:
+        # page content is a pure function of the URL so the same url
+        # produces the same page in the base+append and union builds
+        h = sum(url.encode())
+        html = (f"<html><head><title>alpha t{h % 5}</title></head>"
+                f"<body>{words}</body></html>")
+        rows.append((url, dt.datetime(2026, 1, 1) + dt.timedelta(seconds=h),
+                     html.encode(), "", "en"))
+    return spark.createDataFrame(rows, schemas.PAGES)
+
+
+def _packed_fingerprint(cat):
+    rows = cat.read("postings_packed").collect()
+    out = {}
+    for r in rows:
+        out[(r["term"], r["bucket"])] = (
+            r["shard"], r["df"], r["n_docs"],
+            bytes(r["doc_ids"]), bytes(r["tfs"]), bytes(r["pos"]),
+            tuple(r["block_last"]), tuple(r["block_maxw"]),
+            r["first_docid"], r["last_docid"],
+        )
+    return out
+
+
+def test_incremental_append_converges_to_from_scratch(spark, tmp_path):
+    from search_engine_spark.operators.pipeline import run_append, run_build
+
+    rng_words = lambda i: " ".join(  # noqa: E731
+        ["common engine"] + [f"word{j}" for j in (i % 7, i % 11, i % 13)]
+    )
+    # batch2 urls sort strictly AFTER batch1's, so the delta's url-rank ids
+    # continue the base build's id space exactly as a union build would
+    batch1 = [(f"http://aaa{i:03d}.com/p", rng_words(i)) for i in range(58)]
+    batch2 = [(f"http://zzz{i:03d}.com/p", rng_words(100 + i))
+              for i in range(40)]
+
+    base = run_build(
+        spark, _mk_pages(spark, batch1), str(tmp_path / "wh_inc"),
+        num_shards=8, salt_buckets=4, merge_factor=2,
+    )
+    width = int(base.get_prop("p6a_bucket_width"))
+    assert 58 % width != 0          # the append genuinely straddles a bucket
+
+    inc = run_append(
+        spark, _mk_pages(spark, batch2), str(tmp_path / "wh_inc")
+    )
+    full = run_build(
+        spark, _mk_pages(spark, batch1 + batch2), str(tmp_path / "wh_full"),
+        num_shards=8, salt_buckets=4, merge_factor=2,
+        bucket_width=width,         # appends inherit the base build's grid
+    )
+
+    assert _packed_fingerprint(inc) == _packed_fingerprint(full)
+    # forward index + stats converge too
+    dl_inc = {r["bucket"]: (r["start"], list(r["dls"]))
+              for r in inc.read("doclens").collect()}
+    dl_full = {r["bucket"]: (r["start"], list(r["dls"]))
+               for r in full.read("doclens").collect()}
+    assert dl_inc == dl_full
+    s_inc = inc.read("index_stats").collect()[0]
+    s_full = full.read("index_stats").collect()[0]
+    assert (s_inc["n_docs"], s_inc["avgdl"]) == (s_full["n_docs"], s_full["avgdl"])
+
+    # the append is guarded: re-running it is a no-op, not a double-append
+    n_meta = inc.read("docmeta").count()
+    run_append(spark, _mk_pages(spark, batch2), str(tmp_path / "wh_inc"))
+    assert inc.read("docmeta").count() == n_meta
+
+    # and queries over the appended warehouse equal the union build's
+    from search_engine_spark.plans.wand import PackedQueryEngine
+
+    e_inc = PackedQueryEngine.from_catalog(inc)
+    e_full = PackedQueryEngine.from_catalog(full)
+    for q in ("common engine", "word3 | word5", '"alpha t1"'):
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in e_inc.search(q, k=10).collect()]
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in e_full.search(q, k=10).collect()]
+        assert got == want, q
+
+
+def test_adversarial_head_term_salting_torture(spark, tmp_path):
+    """North-rule skew handling at the adversarial extreme (beyond Zipf):
+    ONE stem present in 100% of documents.  The salted pack must bound
+    every task's group by bucket_width (no task ever sees the whole
+    posting list) and the merge must see exactly salt_buckets partials for
+    that term, folded into salt_buckets/merge_factor packed rows."""
+    from search_engine_spark.operators.pipeline import run_build
+
+    n = 64
+    specs = [(f"http://h{i:03d}.com/p",
+              f"everywhere filler{i % 9} tail{i % 5}") for i in range(n)]
+    cat = run_build(
+        spark, _mk_pages(spark, specs), str(tmp_path / "wh_skew"),
+        num_shards=8, salt_buckets=4, merge_factor=2,
+    )
+    width = int(cat.get_prop("p6a_bucket_width"))
+    assert width == 16                     # ceil(64/4)
+
+    partials = cat.read("postings_partial").collect()
+    # the head stem is the one with global df == n
+    df_by_term = {}
+    for r in partials:
+        df_by_term[r["term"]] = df_by_term.get(r["term"], 0) + r["n_docs"]
+    head = [t for t, d in df_by_term.items() if d == n and not t.startswith("@")]
+    assert head, "expected a stem present in every doc"
+    ht = head[0]
+
+    hrows = [r for r in partials if r["term"] == ht]
+    # exactly one bounded partial per doc bucket — the whole list never
+    # materializes in one task
+    assert len(hrows) == 4                 # == salt_buckets
+    assert all(r["n_docs"] == width for r in hrows)
+    assert sorted(r["bucket"] for r in hrows) == [0, 1, 2, 3]
+
+    packed = [r for r in cat.read("postings_packed").collect()
+              if r["term"] == ht]
+    assert len(packed) == 2                # salt_buckets / merge_factor
+    assert all(r["df"] == n for r in packed)
+    assert sorted(r["n_docs"] for r in packed) == [32, 32]
+    # every posting survived the two-level aggregation
+    got = np.concatenate([
+        codec.decode_docids(bytes(r["doc_ids"]))
+        for r in sorted(packed, key=lambda r: r["bucket"])
+    ])
+    assert np.array_equal(got, np.arange(n))

@@ -76,7 +76,7 @@ def test_pack_phase_prunes_flags_not_positions(catalog):
     only the dynamic parity ranker reads."""
     from search_engine_spark.operators import merge
 
-    df = merge.pack_partials(catalog.read("postings"), avgdl=100.0,
+    df = merge.pack_partials(catalog.read("postings"),
                              num_shards=8, bucket_width=100)
     plan = _explain(df)
     rs = plan.split("ReadSchema")[1].splitlines()[0]
