@@ -112,6 +112,26 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+def _png_check_supported(payload: bytes) -> None:
+    """Raise the builtin decoder's NotImplementedError for any PNG outside
+    its supported subset (8-bit, non-interlaced, gray/LA/RGB/RGBA) — used
+    by the PIL fast path so decode support is identical with and without
+    PIL installed."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG stream")
+    (length,) = struct.unpack(">I", payload[8:12])
+    if payload[12:16] != b"IHDR" or length < 13:
+        raise ValueError("png: missing IHDR")
+    _w, _h, bit_depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", payload[16:29]
+    )
+    if bit_depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"png: only 8-bit non-interlaced gray/RGB(A) supported "
+            f"(depth={bit_depth} color={color} interlace={interlace})"
+        )
+
+
 def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     """Minimal REAL PNG decoder (no third-party deps): chunk walk → IHDR
     dims → zlib-inflate the IDAT stream → reverse the per-scanline filters
@@ -380,6 +400,14 @@ def _decode_payload(payload: bytes, have_pil: bool,
 
             import PIL.Image
 
+            # PIL is a FAST path, not a capability widener: accept exactly
+            # the subset the builtin decoder accepts (8-bit non-interlaced
+            # gray/LA/RGB/RGBA, checked against IHDR) so whether a payload
+            # decodes — and what bytes it decodes to — never depends on
+            # whether PIL happens to be importable in this environment.
+            # (A palette PNG via PIL would yield INDEX bytes, not RGB, a
+            # silent semantic divergence on top of the availability one.)
+            _png_check_supported(payload)
             with PIL.Image.open(io.BytesIO(payload)) as im:
                 return im.width, im.height, im.tobytes()
         return _decode_png(payload)

@@ -35,7 +35,17 @@ SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, total double"
 )
-# parallel arrays: one entry per unsealed session, ascending by start
+# parallel arrays: one entry per unsealed session, ascending by start.
+#
+# STATE VERSION 2 — checkpoint compatibility: this schema replaced the
+# round-2 scalar-field state (one unsealed session per user).  Structured
+# Streaming persists state rows in the checkpoint, so a query resumed from
+# a pre-change checkpoint would deserialize old state under the new schema
+# and fail or corrupt sessions.  Discard the old checkpoint directory when
+# upgrading (callers are encouraged to version their checkpoint paths,
+# e.g. .../sessionize_v2 — the same convention __spark_entry__ uses for
+# its _v4 warehouse cache).
+_STATE_VERSION = 2
 _STATE_SCHEMA = (
     "starts array<long>, ends array<long>, ns array<long>, "
     "totals array<double>"

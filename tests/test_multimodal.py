@@ -427,3 +427,32 @@ def test_resize_rejects_non_pixel_grid(spark, media):
     with pytest.raises(Exception) as ei:
         M.resize_images(imgs, 2, 2).collect()
     assert "pixel grid" in str(ei.value)
+
+
+def test_png_support_check_is_pil_independent():
+    """The PIL fast path must reject exactly what the builtin decoder
+    rejects — decode support never depends on PIL availability.  A
+    palette (color type 3) PNG raises the same NotImplementedError from
+    the IHDR check alone, no PIL needed."""
+    import struct
+
+    import pytest as _pytest
+
+    from search_engine_spark.operators import multimodal as M
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)  # palette
+    payload = (M.PNG_SIG + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+               + b"\x00\x00\x00\x00")
+    with _pytest.raises(NotImplementedError, match="color=3"):
+        M._png_check_supported(payload)
+    # interlaced RGB rejected too
+    ihdr2 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    payload2 = (M.PNG_SIG + struct.pack(">I", len(ihdr2)) + b"IHDR" + ihdr2
+                + b"\x00\x00\x00\x00")
+    with _pytest.raises(NotImplementedError, match="interlace=1"):
+        M._png_check_supported(payload2)
+    # the supported subset passes the check silently
+    ihdr3 = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    payload3 = (M.PNG_SIG + struct.pack(">I", len(ihdr3)) + b"IHDR" + ihdr3
+                + b"\x00\x00\x00\x00")
+    M._png_check_supported(payload3)
