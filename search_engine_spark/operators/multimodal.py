@@ -21,12 +21,16 @@ container signature:
   interchange format: header parse (W/H/C colorspace), per-FRAME walk,
   raw plane bytes; ``sample_frames`` decodes only the sampled frames'
   luma planes (the point of a frame-sampler).
+* Baseline JPEG decodes FOR REAL — operators/jpeg.py (huffman entropy
+  decode + dequant + float IDCT + YCbCr→RGB per ITU-T T.81); progressive
+  and arithmetic-coded JPEGs raise NotImplementedError naming the
+  feature.
 * ``synthesize_media``'s deterministic fake container (header below) is
   the test/bench stand-in for codecs genuinely absent from this
-  container (compressed audio/video: JPEG, MP3, H.264 …); unknown
-  containers raise — ``ValueError`` normally, ``NotImplementedError`` in
-  strict mode — so a real torchaudio/av decoder drops into
-  ``_decode_payload`` with the distributed plumbing untouched.
+  container (compressed audio/video: MP3, H.264 …); unknown containers
+  raise — ``ValueError`` normally, ``NotImplementedError`` in strict
+  mode — so a real torchaudio/av decoder drops into ``_decode_payload``
+  with the distributed plumbing untouched.
 
 Fake payload layout (deterministic from the source row):
   bytes 0..3   magic b"SMM1"
@@ -417,11 +421,17 @@ def _decode_payload(payload: bytes, have_pil: bool,
         return _decode_wav(payload)
     if payload[:10] == Y4M_SIG:
         return _decode_y4m(payload)
+    from search_engine_spark.operators import jpeg
+
+    if payload[:2] == jpeg.JPEG_SIG:
+        # REAL baseline-JPEG decode (operators/jpeg.py: huffman + dequant
+        # + float IDCT + YCbCr→RGB); progressive/arithmetic raise inside
+        return jpeg.decode_jpeg(payload)
     if strict:
         raise NotImplementedError(
-            "no codec for this container (PNG, GIF, WAV PCM, Y4M, and the "
-            "SMM1 fake container are supported; compressed audio/video "
-            "need torchaudio/av)"
+            "no codec for this container (PNG, GIF, baseline JPEG, WAV "
+            "PCM, Y4M, and the SMM1 fake container are supported; "
+            "compressed audio/video need torchaudio/av)"
         )
     raise ValueError("unknown media container")
 
