@@ -131,6 +131,18 @@ def main() -> None:
     timings["engine_batch_search"] = round(batch_s, 4)
     batch_qps = len(batch_queries) / batch_s
 
+    # ---- MIXED one-job batch: flat + phrase + NOT + synonym-shaped ---------
+    # queries all share the general bucket kernel (one pass, one shared
+    # phrase-df subplan) instead of one job per non-flat query — the
+    # round-4 batching of the offline-retrieval path
+    mixed_all = [q for q in QUERY_STRINGS if compile_query(q) is not None]
+    mixed_queries = mixed_all * 40
+    t0 = time.perf_counter()
+    eng.search_batch(mixed_queries, k=10).count()
+    mixed_s = time.perf_counter() - t0
+    timings["engine_batch_mixed"] = round(mixed_s, 4)
+    mixed_qps = len(mixed_queries) / mixed_s
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -146,6 +158,8 @@ def main() -> None:
                 "n_queries": len(QUERY_STRINGS),
                 "batch_qps": round(batch_qps, 2),
                 "batch_queries": len(batch_queries),
+                "batch_mixed_qps": round(mixed_qps, 2),
+                "batch_mixed_queries": len(mixed_queries),
                 "cpus": CPUS,
             }
         )
