@@ -552,6 +552,100 @@ SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
 FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id"""
 
 
+_LSH_TRUE_TAU = 0.35
+
+
+def q_lsh_recall(spark, sf_dir):
+    """Candidate-recall diagnostic for MinHash-LSH dedup — the text twin
+    of ann_ivf_recall: ground truth = exact 3-gram Jaccard ≥ τ over the
+    df-capped shingle set, candidates = the LSH banding pairs; one row of
+    (n_true, n_cand, n_hit, recall, precision).  This is the number a
+    dedup-pipeline owner needs before trusting the banded approximation —
+    recall says how many real near-dup pairs the bands surface, precision
+    says how much the downstream verifier pays per surfaced pair.
+
+    Scale shape: ground truth is quadratic BY DEFINITION, so at 10^12
+    docs it runs over a sample — which is exactly what this operator is;
+    both sides reuse the bounded production plans (df-capped shingle join,
+    band-capped LSH)."""
+    sh = _shingles(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh = sh.join(df_ok, "sh", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("da"), "sh")
+    b = sh.select(F.col("doc_id").alias("db"), "sh")
+    true_pairs = (
+        a.join(b, "sh")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("da"),
+                           F.col("sz").alias("sza")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"),
+                           F.col("sz").alias("szb")), "db")
+        .filter(
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+            >= _LSH_TRUE_TAU
+        )
+        .select("da", "db")
+    )
+    cand = q_minhash_lsh_pairs(spark, sf_dir)
+    n_true = true_pairs.agg(F.count("*").alias("n_true"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    n_hit = (
+        true_pairs.join(cand, ["da", "db"])
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        n_true.crossJoin(n_cand).crossJoin(n_hit)
+        .select(
+            "n_true", "n_cand", "n_hit",
+            _r4(F.col("n_hit") / F.col("n_true")).alias("recall"),
+            _r4(F.col("n_hit") / F.col("n_cand")).alias("precision"),
+        )
+    )
+
+
+SQL_LSH_RECALL = f"""WITH {_SHINGLES_SQL},
+capped AS (
+  SELECT s.doc_id, s.sh FROM shingles s
+  JOIN (SELECT sh FROM shingles GROUP BY sh
+        HAVING count(*) <= {_SHINGLE_DF_CAP}) ok ON s.sh = ok.sh
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+true_pairs AS (
+  SELECT da, db FROM inter
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {_LSH_TRUE_TAU}
+),
+{_LSH_BANDS_SQL},
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+counts AS (
+  SELECT (SELECT count(*) FROM true_pairs) AS n_true,
+         (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM true_pairs t
+          JOIN cand c ON t.da = c.da AND t.db = c.db) AS n_hit
+)
+SELECT n_true, n_cand, n_hit,
+       round(n_hit * 1.0 / n_true, 4) AS recall,
+       round(n_hit * 1.0 / n_cand, 4) AS precision
+FROM counts"""
+
+
+
 _EN_STOPS = "('the','a','an','and','or','of','to','in','is','it','for','on')"
 
 
@@ -2149,6 +2243,7 @@ QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

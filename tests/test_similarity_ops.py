@@ -206,3 +206,28 @@ def test_ivf_recall_rises_with_nprobe(spark):
     mean2 = sum(by_np[2].values()) / len(by_np[2])
     assert mean1 < mean2          # single-probe genuinely lossy here
     assert all(v == 1.0 for v in by_np[DQ._IVF_K].values())
+
+
+def test_lsh_recall_diagnostic(spark, tmp_path):
+    """lsh_recall reports candidate recall/precision of the banded LSH
+    against exact capped-shingle Jaccard — near-dup pairs must be counted
+    as both true and hit (recall 1.0 here: 1-hash bands always collide on
+    high-Jaccard docs sharing a min shingle)."""
+    from search_engine_spark import driver_queries as DQ
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    rows += [(100 + i, f"unique{i} solitary{i} text{i} body{i} words{i} "
+                       f"extra{i} more{i} stuff{i}") for i in range(6)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    r = DQ.q_lsh_recall(spark, str(tmp_path)).collect()[0]
+    assert r["n_true"] >= 3            # the {1,2,3} clique
+    assert r["n_hit"] == r["n_true"]   # all true pairs surfaced
+    assert r["recall"] == 1.0
+    assert 0 < r["precision"] <= 1.0
+    assert r["n_cand"] >= r["n_hit"]
