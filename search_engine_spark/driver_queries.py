@@ -463,6 +463,68 @@ JOIN sizes sb ON sb.doc_id = db
 ORDER BY jaccard DESC, da ASC, db ASC LIMIT 20"""
 
 
+_WINNOW_W = 4   # winnowing window (consecutive 3-gram hashes)
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03):
+    per document, hash every 3-word gram, slide a window of _WINNOW_W
+    consecutive hashes, keep each window's minimum — a position-robust
+    fingerprint set guaranteeing any shared run of ≥ k+w-1 words between
+    two documents shares a fingerprint.  Emitted as (doc_id, fp) rows —
+    joining on fp is the candidate generator for local (passage-level)
+    overlap, complementing MinHash (document-level) and the 4-gram
+    decontaminator (benchmark-targeted).
+
+    Scale shape: pure narrow array expressions per document (sequence →
+    transform → array_min over slices), no shuffle until the consumer
+    joins on fp; docs shorter than k+w-1 words produce no fingerprints by
+    construction."""
+    arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                   lambda x: x != "")
+    d = _docs(spark, sf_dir).select("doc_id", arr.alias("_t"))
+    n = F.size("_t")
+    gram = lambda i: F.md5(F.concat_ws(  # noqa: E731
+        " ", F.element_at("_t", i), F.element_at("_t", i + 1),
+        F.element_at("_t", i + 2)))
+    # guard: F.sequence(1, x) with x < 1 generates a DESCENDING sequence
+    grams = F.when(n >= 3, F.transform(F.sequence(F.lit(1), n - 2), gram)) \
+             .otherwise(F.array().cast("array<string>"))
+    g = F.size("_g")
+    fps = F.when(
+        g >= _WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(1), g - (_WINNOW_W - 1)),
+            lambda j: F.array_min(F.slice("_g", j, _WINNOW_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", grams.alias("_g"))
+        .select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = "WITH" + _TOKS_SQL + f""",
+grams AS (
+  SELECT a.doc_id, a.pos,
+         md5(a.term || ' ' || b.term || ' ' || c.term) AS h
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+sized AS (SELECT doc_id, count(*) AS g FROM grams GROUP BY doc_id),
+wmin AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {_WINNOW_W - 1} FOLLOWING) AS fp
+  FROM grams
+)
+SELECT DISTINCT w.doc_id AS doc_id, w.fp AS fp
+FROM wmin w JOIN sized s ON s.doc_id = w.doc_id
+WHERE w.pos <= s.g - {_WINNOW_W} + 1"""
+
+
 def q_minhash_signature(spark, sf_dir):
     """MinHash signatures (4 salted md5 min-hashes over 3-gram shingles) —
     the signature stage of MinHash-LSH dedup."""
@@ -2244,6 +2306,7 @@ QUERIES = {
     "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

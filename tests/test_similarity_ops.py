@@ -231,3 +231,39 @@ def test_lsh_recall_diagnostic(spark, tmp_path):
     assert r["recall"] == 1.0
     assert 0 < r["precision"] <= 1.0
     assert r["n_cand"] >= r["n_hit"]
+
+
+def _winnow_expected(text, w=4):
+    import hashlib
+
+    toks = _toks(text)
+    grams = [hashlib.md5(" ".join(toks[i:i + 3]).encode()).hexdigest()
+             for i in range(len(toks) - 2)]
+    fps = {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+    return fps if len(grams) >= w else set()
+
+
+def test_winnow_fingerprints_match_hand_model(spark, tmp_path):
+    from search_engine_spark import driver_queries as DQ
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog near the river bank",
+        2: "completely different words about boats sailing across the quiet "
+           "harbor before dawn breaks",
+        # shares the 8-word run 'fox jumps over the lazy dog near the' with
+        # doc 1 -> winnowing GUARANTEES a shared fingerprint (k+w-1=6 < 8)
+        3: "another opening then fox jumps over the lazy dog near the "
+           "closing words here",
+        4: "too short",            # < k words -> no fingerprints at all
+    }
+    spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got: dict[int, set] = {}
+    for r in DQ.q_winnow_fingerprints(spark, str(tmp_path)).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in texts.items():
+        assert got.get(i, set()) == _winnow_expected(t), i
+    assert got[1] & got[3]             # shared-run guarantee
+    assert not (got[1] & got[2])       # unrelated docs: disjoint here
+    assert 4 not in got
