@@ -525,6 +525,105 @@ FROM wmin w JOIN sized s ON s.doc_id = w.doc_id
 WHERE w.pos <= s.g - {_WINNOW_W} + 1"""
 
 
+_DUPSPAN_L = 8   # exact-substring dedup: gram length in tokens
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — ExactSubstr): every
+    maximal token interval whose every `_DUPSPAN_L`-gram occurs at least
+    twice corpus-wide, i.e. the interval's text is verbatim-repeated
+    somewhere (another document, or earlier in the same one).  One row
+    per maximal span: (doc_id, span_start, span_end, span_len), 1-based
+    inclusive token positions — the cut list a trainer uses to remove
+    repeated passages WITHOUT dropping whole documents (the failure mode
+    of doc-level MinHash on long shared boilerplate).
+
+    The paper builds a suffix array over the concatenated corpus; the
+    Spark-native shape finds the same spans with no global sort:
+    (1) narrow per-doc L-gram hashing (`transform` over the token
+    array), (2) one map-side-combined count by gram hash, (3) join the
+    >=2-occurrence hashes back — output is LINEAR in duplicated
+    positions (occurrences never meet each other, only their count; no
+    pair blowup, unlike similarity self-joins), and (4) a per-doc
+    gaps-and-islands merge of overlapping/adjacent duplicated gram
+    starts into maximal intervals (window partitioned by doc).  Every
+    stage is bounded per key at 10^12 docs: the hash count has partial
+    aggregation, the join's fan-out equals the occurrence count itself,
+    and the island window is per-document."""
+    from pyspark.sql import Window
+
+    L = _DUPSPAN_L
+    arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                   lambda x: x != "")
+    d = _docs(spark, sf_dir).select("doc_id", arr.alias("_t"))
+    n = F.size("_t")
+    grams = F.when(
+        n >= L,
+        F.transform(F.sequence(F.lit(1), n - (L - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("_t", i, L)))),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        d.select("doc_id", F.posexplode(grams).alias("p0", "h"))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "h")
+    )
+    dup_h = g.groupBy("h").agg(F.count("*").alias("c")) \
+             .filter(F.col("c") >= 2).select("h")
+    dup = g.join(dup_h, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # a new island starts when this gram no longer overlaps/abuts the
+    # previous duplicated gram's interval [prev, prev+L-1]
+    brk = F.when(F.col("pos") > F.lag("pos", 1, -(10 ** 9)).over(w) + L,
+                 F.lit(1)).otherwise(F.lit(0))
+    isl = dup.withColumn("_b", brk).withColumn("_i", F.sum("_b").over(w))
+    return (
+        isl.groupBy("doc_id", "_i")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + (L - 1)).cast("long").alias("span_end"))
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+SQL_DUP_SPANS = "WITH" + _TOKS_SQL + f""",
+sized AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+grams AS (
+  SELECT t.doc_id, t.pos,
+         md5(string_agg(t2.term, ' ' ORDER BY t2.pos)) AS h
+  FROM toks t
+  JOIN sized s ON s.doc_id = t.doc_id
+  JOIN toks t2 ON t2.doc_id = t.doc_id
+             AND t2.pos BETWEEN t.pos AND t.pos + {_DUPSPAN_L - 1}
+  WHERE t.pos <= s.n - {_DUPSPAN_L} + 1
+  GROUP BY t.doc_id, t.pos
+),
+dup AS (
+  SELECT g.doc_id, g.pos
+  FROM grams g
+  JOIN (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2) d ON d.h = g.h
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id
+                                                 ORDER BY pos),
+                                  -1000000000) + {_DUPSPAN_L}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS i
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {_DUPSPAN_L - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {_DUPSPAN_L - 1} - min(pos) + 1 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, i"""
+
+
 def q_minhash_signature(spark, sf_dir):
     """MinHash signatures (4 salted md5 min-hashes over 3-gram shingles) —
     the signature stage of MinHash-LSH dedup."""
@@ -2307,6 +2406,7 @@ QUERIES = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "lsh_recall": (q_lsh_recall, SQL_LSH_RECALL),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -58,3 +58,14 @@ def test_quality_classifier_is_single_aggregation(spark):
     plan = _explain(DQ.q_quality_classifier(spark, SF_DIR))
     assert "Join" not in plan
     assert _broadcast_only_nested_loops(plan)
+
+
+def test_dup_spans_has_no_pair_join(spark):
+    """ExactSubstr dedup must stay linear: a count-then-join on the gram
+    hash (HashAggregate with partial agg + an equi-join), never a pair
+    self-join or cartesian; the island merge is a per-doc window."""
+    plan = _explain(DQ.q_dup_spans(spark, SF_DIR))
+    assert _broadcast_only_nested_loops(plan)
+    assert "Window" in plan
+    # partial (map-side) aggregation on the gram-hash count
+    assert "HashAggregate" in plan

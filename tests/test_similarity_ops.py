@@ -267,3 +267,64 @@ def test_winnow_fingerprints_match_hand_model(spark, tmp_path):
     assert got[1] & got[3]             # shared-run guarantee
     assert not (got[1] & got[2])       # unrelated docs: disjoint here
     assert 4 not in got
+
+
+def _dup_spans_expected(texts, L=8):
+    """Pure-Python twin of q_dup_spans: count L-gram occurrences corpus-wide,
+    keep positions whose gram occurs >= 2x, merge overlapping/adjacent."""
+    grams = {}                       # gram-text -> count
+    per_doc = {}                     # doc -> [1-based positions]
+    for i, t in texts.items():
+        ts = _toks(t)
+        per_doc[i] = [
+            (p + 1, " ".join(ts[p:p + L])) for p in range(len(ts) - L + 1)
+        ]
+        for _, g in per_doc[i]:
+            grams[g] = grams.get(g, 0) + 1
+    out = {}
+    for i, pgs in per_doc.items():
+        dup_pos = [p for p, g in pgs if grams[g] >= 2]
+        spans = []
+        for p in dup_pos:
+            if spans and p <= spans[-1][1] - L + 1 + L:   # p <= prev_start_max + L
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + L - 1))
+            else:
+                spans.append((p, p + L - 1))
+        if spans:
+            out[i] = spans
+    return out
+
+
+def test_dup_spans_match_hand_model(spark, tmp_path):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    texts = {
+        # docs 1 and 2 share a verbatim 10-token passage -> one maximal
+        # span of exactly those 10 tokens in each (grams chain & merge)
+        1: "unique opening words here then " + shared + " and a distinct tail one",
+        2: "other beginning tokens now " + shared + " closing differently two",
+        # doc 3 repeats an 8-token run INSIDE itself -> intra-doc dup
+        3: "zeta eta theta iota kappa lumen mu nux padding words zeta eta "
+           "theta iota kappa lumen mu nux",
+        # doc 4: nothing repeated
+        4: "entirely fresh content with no duplicated eight token run at "
+           "all in this corpus today",
+        5: "short text",
+    }
+    spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got: dict[int, list] = {}
+    for r in DQ.q_dup_spans(spark, str(tmp_path)).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+        assert r["span_len"] == r["span_end"] - r["span_start"] + 1
+    got = {k: sorted(v) for k, v in got.items()}
+    exp = _dup_spans_expected(texts)
+    assert got == exp
+    # the shared 10-token passage is recovered exactly (not over-extended)
+    (s1, e1), = got[1]
+    assert e1 - s1 + 1 == 10
+    (s3a, s3b) = sorted(got[3])       # both copies of the intra-doc run
+    assert s3a[1] - s3a[0] + 1 == 8 and s3b[1] - s3b[0] + 1 == 8
+    assert 4 not in got and 5 not in got
