@@ -1898,6 +1898,121 @@ SELECT tot.doc_id, tot.n_grams,
 FROM tot LEFT JOIN hits USING (doc_id)"""
 
 
+_PIPE_MIN_TOKENS = 20
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """End-to-end training-corpus curation funnel — the composition every
+    real pipeline runs (C4/CCNet/RefinedWeb shape): language ID → quality
+    gate → exact dedup → benchmark decontamination, as ONE declarative
+    plan emitting a per-document audit row.  Stage flags are CUMULATIVE
+    (a doc failing language reports false for every later stage), so each
+    column is total over the input:
+
+      lang_ok : marker-word language ID says English
+      qual_ok : lang_ok AND >= _PIPE_MIN_TOKENS tokens AND stopword
+                ratio >= 5% (integer-exact: n_stop*20 >= n_tokens)
+      uniq_ok : qual_ok AND first (min doc_id) among qual_ok docs sharing
+                md5(text) — dedup runs AMONG quality survivors, so a
+                low-quality copy never steals keeper-ship
+      keep    : uniq_ok AND not in the held-out benchmark slice AND zero
+                4-gram overlap with it
+
+    Scale shape: lang+quality features come from ONE map-side-combined
+    aggregation pass over the token stream; the dedup keeper is a window
+    over md5(text) (one hash shuffle, same key as exact dedup); the
+    benchmark gram set broadcasts and the corpus grams shuffle once —
+    composing the four stages adds NO extra pass over the corpus text,
+    which is the point of declaring the funnel in one plan instead of
+    materializing between stages."""
+    from pyspark.sql import Window
+
+    stops = [s.strip("'") for s in _EN_STOPS.strip("()").split(",")]
+    per = _tokens(spark, sf_dir).groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term").isin(*ws), 1).otherwise(0))
+            .cast("long").alias(f"n_{lang}")
+            for lang, ws in _LANG_WORDS.items()
+        ],
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0))
+        .cast("long").alias("n_stop"),
+    )
+    en, de, fr = F.col("n_en"), F.col("n_de"), F.col("n_fr")
+    lang_ok = (en >= de) & (en >= fr) & (en > 0)
+    qual_ok = (
+        lang_ok & (F.col("n_tokens") >= _PIPE_MIN_TOKENS)
+        & (F.col("n_stop") * 20 >= F.col("n_tokens"))
+    )
+    base = (
+        _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("_h"))
+        .join(per, "doc_id", "left")
+        .withColumn("lang_ok", F.coalesce(lang_ok, F.lit(False)))
+        .withColumn("qual_ok", F.coalesce(qual_ok, F.lit(False)))
+    )
+    keeper = F.min(F.when(F.col("qual_ok"), F.col("doc_id"))).over(
+        Window.partitionBy("_h")
+    )
+    base = base.withColumn(
+        "uniq_ok", F.col("qual_ok") & (F.col("doc_id") == keeper)
+    )
+    g = _word_grams(spark, sf_dir, _DECON_W).distinct()
+    bench = g.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    hits = (
+        g.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id").agg(F.count("*").alias("n_hit"))
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id", "lang_ok", "qual_ok", "uniq_ok",
+        (
+            F.col("uniq_ok") & (F.col("doc_id") % _DECON_MOD != 0)
+            & F.col("n_hit").isNull()
+        ).alias("keep"),
+    )
+
+
+SQL_CORPUS_PIPELINE = f"""WITH {_TOKS_SQL},
+per AS (
+  SELECT doc_id, {_lang_sum_sql('en')} AS n_en, {_lang_sum_sql('de')} AS n_de,
+         {_lang_sum_sql('fr')} AS n_fr, count(*) AS n_tokens,
+         sum(CASE WHEN term IN {_EN_STOPS} THEN 1 ELSE 0 END) AS n_stop
+  FROM toks GROUP BY doc_id
+),
+flags AS (
+  SELECT d.doc_id, md5(d.text) AS h,
+         coalesce(p.n_en >= p.n_de AND p.n_en >= p.n_fr AND p.n_en > 0,
+                  false) AS lang_ok,
+         coalesce(p.n_en >= p.n_de AND p.n_en >= p.n_fr AND p.n_en > 0
+                  AND p.n_tokens >= {_PIPE_MIN_TOKENS}
+                  AND p.n_stop * 20 >= p.n_tokens, false) AS qual_ok
+  FROM documents d LEFT JOIN per p USING (doc_id)
+),
+uniq AS (
+  SELECT doc_id, lang_ok, qual_ok,
+         qual_ok AND doc_id = min(CASE WHEN qual_ok THEN doc_id END)
+                             OVER (PARTITION BY h) AS uniq_ok
+  FROM flags
+),
+lg AS (
+  SELECT doc_id, term,
+         lead(term, 1) OVER w AS l1, lead(term, 2) OVER w AS l2,
+         lead(term, 3) OVER w AS l3
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+g AS (SELECT DISTINCT doc_id, term || ' ' || l1 || ' ' || l2 || ' ' || l3 AS g
+      FROM lg WHERE l3 IS NOT NULL),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {_DECON_MOD} = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hit
+  FROM g JOIN bench USING (g)
+  WHERE doc_id % {_DECON_MOD} <> 0 GROUP BY doc_id
+)
+SELECT u.doc_id, u.lang_ok, u.qual_ok, u.uniq_ok,
+       u.uniq_ok AND u.doc_id % {_DECON_MOD} <> 0 AND h.n_hit IS NULL AS keep
+FROM uniq u LEFT JOIN hits h USING (doc_id)"""
+
+
 _SIMHASH_BAND_CAP = 200
 
 
@@ -2422,6 +2537,7 @@ QUERIES = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "repetition_quality": (q_repetition_quality, SQL_REPETITION_QUALITY),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
