@@ -451,12 +451,17 @@ class PackedQueryEngine:
 
     def _attach_meta(self, topk: DataFrame) -> DataFrame:
         # broadcast the k-row side: url/title attachment must never shuffle
-        # docmeta (its scan is column-pruned to 3 columns either way)
+        # docmeta (its scan is column-pruned to 3 columns either way).
+        # The final order is over <= k rows, so a single-partition shuffle
+        # + in-partition sort replaces orderBy: same total order, but no
+        # range-sampling job — a global sort would pay one extra Spark job
+        # per query just to sample k rows.
         return (
             F.broadcast(topk)
             .join(self.docmeta.select("doc_id", "url", "title"), "doc_id")
             .select("doc_id", "score", "url", "title")
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .repartition(1)
+            .sortWithinPartitions(F.col("score").desc(), F.col("doc_id").asc())
         )
 
     def _can_general(self, ast) -> bool:
