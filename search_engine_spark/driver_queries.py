@@ -2503,6 +2503,258 @@ SELECT v.vec_id AS vec_id FROM embeddings v
 WHERE v.vec_id NOT IN (SELECT doc FROM clusters WHERE cluster <> doc)"""
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style data selection (importance resampling toward a target domain)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_SRCS = ("src0", "src1")   # the "high-quality" target domain
+_DSIR_K = 50                           # selection budget
+
+
+def q_dsir_select(spark, sf_dir):
+    """Data Selection via Importance Resampling (Xie et al. 2023), the
+    unigram-feature variant: score every raw document by its importance
+    log-weight sum_t tf_t * ln(p_target(t) / p_raw(t)) under two
+    add-one-smoothed unigram LMs — the target LM fit on a trusted domain
+    (sources {src0, src1}), the raw LM on the whole corpus — and keep the
+    top-_DSIR_K most target-like documents.
+
+    Shape at scale: both LMs are vocab-sized count tables (map-side
+    combined), their log-ratio is ONE broadcast table, corpus totals are
+    a 1-row broadcast side plan, and per-doc scoring is a narrow join on
+    term + one groupBy(doc_id) — no global state, no driver collect; the
+    final top-k is a TakeOrdered, never a full sort.  Complements
+    `stratified_sample` (quota sampling) and `quality_classifier`
+    (supervised gate) as the distribution-matching selector."""
+    tf = _tf(spark, sf_dir)
+    tgt_docs = (
+        _docs(spark, sf_dir)
+        .filter(F.col("source").isin(*_DSIR_TARGET_SRCS))
+        .select("doc_id")
+    )
+    raw_ct = tf.groupBy("term").agg(F.sum("tf").alias("cr"))
+    tgt_ct = (
+        tf.join(tgt_docs, "doc_id")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    lm = raw_ct.join(tgt_ct, "term", "left").select(
+        "term", F.coalesce("ct", F.lit(0)).alias("ct"), "cr"
+    )
+    tot = lm.agg(
+        F.sum("ct").alias("_tt"),
+        F.sum("cr").alias("_tr"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    ratio = lm.crossJoin(F.broadcast(tot)).select(
+        "term",
+        (
+            F.log((F.col("ct") + 1) / (F.col("_tt") + F.col("_v")))
+            - F.log((F.col("cr") + 1) / (F.col("_tr") + F.col("_v")))
+        ).alias("_lr"),
+    )
+    return (
+        tf.join(F.broadcast(ratio), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            _r4(F.sum(F.col("tf") * F.col("_lr"))).alias("logw"),
+        )
+        .orderBy(F.col("logw").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_K)
+    )
+
+
+SQL_DSIR_SELECT = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+rawct AS (SELECT term, sum(tf) AS cr FROM tf GROUP BY term),
+tgtct AS (
+  SELECT tf.term, sum(tf.tf) AS ct
+  FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+  WHERE d.source IN ('src0', 'src1')
+  GROUP BY tf.term
+),
+lm AS (
+  SELECT rawct.term, coalesce(tgtct.ct, 0) AS ct, rawct.cr
+  FROM rawct LEFT JOIN tgtct ON rawct.term = tgtct.term
+),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr, CAST(count(*) AS DOUBLE) AS v
+        FROM lm),
+ratio AS (
+  SELECT term, ln((ct + 1) / (tt + v)) - ln((cr + 1) / (tr + v)) AS lr
+  FROM lm CROSS JOIN tot
+)
+SELECT tf.doc_id AS doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       round(sum(tf.tf * ratio.lr), 4) AS logw
+FROM tf JOIN ratio ON tf.term = ratio.term
+GROUP BY tf.doc_id
+ORDER BY logw DESC, doc_id ASC LIMIT {_DSIR_K}"""
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction (top-k terms per document)
+# ---------------------------------------------------------------------------
+
+_KEYWORDS_K = 3
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document keyword extraction: the top-_KEYWORDS_K terms of each
+    document by tf·idf (idf = ln(n_docs / df)) — the classic summary
+    feature for corpus exploration and weak labeling.
+
+    Shape at scale: df is a vocab-sized broadcast, n_docs a 1-row
+    broadcast, and the rank is a window PARTITIONED BY doc_id — a hash
+    shuffle on the doc key, never a global sort; ranking compares the
+    ROUNDED score (then term) so mathematically-tied keywords order
+    identically across engines."""
+    from pyspark.sql import Window
+
+    tf = _tf(spark, sf_dir)
+    ndocs = _docs(spark, sf_dir).agg(F.count("*").alias("_n"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("tfidf", _r4(F.col("tf") * F.log(F.col("_n") / F.col("df"))))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _KEYWORDS_K)
+        .select("doc_id", "term", "rank", "tfidf")
+    )
+
+
+SQL_TFIDF_KEYWORDS = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+nd AS (SELECT count(*) AS n FROM documents),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(nd.n / df.df), 4) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf
+FROM ranked WHERE rank <= {_KEYWORDS_K}"""
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: a delta crawl batch against an existing base corpus
+# ---------------------------------------------------------------------------
+
+def q_dedup_incremental(spark, sf_dir):
+    """Crawl-refresh dedup: treat even doc_ids as the BASE corpus already
+    indexed and odd doc_ids as the incoming DELTA batch, and give every
+    delta doc a verdict — 'dup_base' (exact text already in the base),
+    'dup_delta' (a lower-id delta doc has the same text), or 'new'.
+    This is the corpus-level twin of the engine's incremental append
+    (pipeline.run_append): only 'new' docs would be extracted and merged.
+
+    Shape at scale: base membership is a vocab-of-hashes LEFT join on
+    md5 (map-side-aggregated to distinct hashes first, so the join side
+    is |unique base texts|, not |base|); within-delta first-wins is a
+    min() window over the same md5 shuffle — no self-join, no sort."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("h"), (F.col("doc_id") % 2).alias("_odd")
+    )
+    base_h = d.filter(F.col("_odd") == 0).select("h").distinct()
+    delta = d.filter(F.col("_odd") == 1)
+    first = F.min("doc_id").over(Window.partitionBy("h"))
+    return (
+        delta.join(base_h.withColumn("_in_base", F.lit(1)), "h", "left")
+        .withColumn("_first", first)
+        .select(
+            "doc_id",
+            F.when(F.col("_in_base") == 1, F.lit("dup_base"))
+            .when(F.col("_first") < F.col("doc_id"), F.lit("dup_delta"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )
+
+
+SQL_DEDUP_INCREMENTAL = """WITH d AS (
+  SELECT doc_id, md5(text) AS h, doc_id % 2 AS odd FROM documents
+),
+base_h AS (SELECT DISTINCT h FROM d WHERE odd = 0),
+delta AS (
+  SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS first
+  FROM d WHERE odd = 1
+)
+SELECT delta.doc_id AS doc_id,
+       CASE WHEN base_h.h IS NOT NULL THEN 'dup_base'
+            WHEN delta.first < delta.doc_id THEN 'dup_delta'
+            ELSE 'new' END AS verdict
+FROM delta LEFT JOIN base_h ON delta.h = base_h.h"""
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (ANN compression path)
+# ---------------------------------------------------------------------------
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — the memory
+    move that makes 10^12-vector ANN affordable (4x smaller, SIMD int8
+    dot products) — with its per-vector reconstruction error so the
+    recall cost is measurable before committing the index.
+
+    Per vector: scale = max|x| / 127, code_i = floor(x_i / scale)
+    (floor, not round: round-half ties break differently across engines),
+    rmse = sqrt(mean((x_i - code_i*scale)^2)).  Everything is JVM array
+    expressions over one narrow pass — no shuffle at all; the oracle is
+    the same arithmetic in DuckDB list lambdas."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    m = F.array_max(F.transform("e", lambda x: F.abs(x)))
+    staged = emb.withColumn(
+        "_sc", F.greatest(m, F.lit(1e-12)) / F.lit(127.0)
+    )
+    err2 = F.aggregate(
+        F.transform(
+            "e",
+            lambda x: F.pow(
+                x - F.floor(x / F.col("_sc")) * F.col("_sc"), F.lit(2.0)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return staged.select(
+        "vec_id",
+        F.round("_sc", 6).alias("qscale"),
+        F.round(F.sqrt(err2 / F.size("e")), 6).alias("rmse"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+staged AS (
+  SELECT vec_id, e,
+         greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max'),
+                  1e-12) / 127.0 AS sc
+  FROM emb
+)
+SELECT vec_id, round(sc, 6) AS qscale,
+       round(sqrt(list_aggregate(
+                    list_transform(e, x -> pow(x - floor(x / sc) * sc, 2.0)),
+                    'sum') / len(e)), 6) AS rmse
+FROM staged"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -2554,4 +2806,8 @@ QUERIES = {
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "events_topk_window": (q_events_topk_window, SQL_EVENTS_TOPK_WINDOW),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
 }

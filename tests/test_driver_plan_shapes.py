@@ -69,3 +69,38 @@ def test_dup_spans_has_no_pair_join(spark):
     assert "Window" in plan
     # partial (map-side) aggregation on the gram-hash count
     assert "HashAggregate" in plan
+
+
+def test_dsir_select_lm_tables_are_broadcast(spark):
+    """Both unigram LMs and the corpus totals enter as broadcast sides;
+    the per-doc scoring join is the only big shuffle and the top-k is a
+    TakeOrdered, not a global sort."""
+    plan = _explain(DQ.q_dsir_select(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert _broadcast_only_nested_loops(plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_keywords_window_is_doc_partitioned(spark):
+    """The keyword rank is a per-doc window (hash shuffle on doc_id) —
+    never a rangepartitioned global sort."""
+    plan = _explain(DQ.q_tfidf_keywords(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert _broadcast_only_nested_loops(plan)
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_embedding_quantize_is_shuffle_free(spark):
+    """Quantization is one narrow pass: no Exchange of any kind."""
+    plan = _explain(DQ.q_embedding_quantize(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_dedup_incremental_no_self_join_blowup(spark):
+    """Delta-vs-base is one equi-join on the text hash (base side distinct
+    first) + a per-hash window — no cartesian, no global sort."""
+    plan = _explain(DQ.q_dedup_incremental(spark, SF_DIR))
+    assert _broadcast_only_nested_loops(plan)
+    assert "Window" in plan
+    assert "rangepartitioning" not in plan

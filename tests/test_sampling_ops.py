@@ -74,3 +74,67 @@ def test_pii_scrub_redacts(spark, tmp_path):
     # clean doc passes through untouched
     want2 = hashlib.md5(rows[2][1].encode()).hexdigest()
     assert out[2]["scrubbed_md5"] == want2
+
+
+def test_dsir_select_prefers_target_like_docs(spark, tmp_path):
+    """Hand-model of the DSIR importance weights: docs that look like the
+    target domain (sources src0/src1) outscore docs that don't, and the
+    weights match the add-one-smoothed two-LM formula exactly."""
+    import math
+
+    rows = [
+        (0, "cat cat dog", "en", "src0"),          # target
+        (1, "cat fish", "en", "src1"),             # target
+        (2, "dog dog fish fish", "en", "src2"),    # raw-only
+        (3, "bird bird bird", "en", "src2"),       # raw-only, OOV for target
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = DQ.q_dsir_select(spark, sf).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == {0, 1, 2, 3}                # K=50 > corpus: all ranked
+
+    # hand model
+    toks = {i: t.split() for i, t, _, _ in rows}
+    tgt: dict[str, int] = {}
+    raw: dict[str, int] = {}
+    for i, ts in toks.items():
+        for t in ts:
+            raw[t] = raw.get(t, 0) + 1
+            if i in (0, 1):
+                tgt[t] = tgt.get(t, 0) + 1
+    tt, tr, v = sum(tgt.values()), sum(raw.values()), len(raw)
+    def lr(t):
+        return (math.log((tgt.get(t, 0) + 1) / (tt + v))
+                - math.log((raw[t] + 1) / (tr + v)))
+    for i, ts in toks.items():
+        want = round(sum(lr(t) for t in ts), 4)
+        assert abs(got[i]["logw"] - want) < 1e-9, i
+        assert got[i]["n_tokens"] == len(ts)
+
+    # target-like docs outrank the OOV doc; result order is weight-desc
+    assert got[0]["logw"] > got[3]["logw"]
+    assert got[1]["logw"] > got[3]["logw"]
+    ordered = [r["doc_id"] for r in out]
+    weights = [r["logw"] for r in out]
+    assert weights == sorted(weights, reverse=True)
+    assert ordered[-1] == 3                         # pure-OOV doc ranks last
+
+
+def test_dedup_incremental_verdicts(spark, tmp_path):
+    """Even doc_ids are the base, odd the delta: a delta doc duplicating a
+    base text is dup_base; the first of a delta-only dup group is new and
+    the rest dup_delta; dup_base wins over dup_delta."""
+    rows = [
+        (0, "alpha beta", "en", "s"),      # base
+        (2, "gamma delta", "en", "s"),     # base
+        (1, "alpha beta", "en", "s"),      # delta, dup of base 0
+        (3, "epsilon zeta", "en", "s"),    # delta, brand new
+        (5, "eta theta", "en", "s"),       # delta, first of a delta dup group
+        (7, "eta theta", "en", "s"),       # delta, dup of 5
+        (9, "alpha beta", "en", "s"),      # delta, dup of base AND of 1
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r["doc_id"]: r["verdict"] for r in
+           DQ.q_dedup_incremental(spark, sf).collect()}
+    assert out == {1: "dup_base", 3: "new", 5: "new",
+                   7: "dup_delta", 9: "dup_base"}

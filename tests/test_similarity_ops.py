@@ -328,3 +328,31 @@ def test_dup_spans_match_hand_model(spark, tmp_path):
     (s3a, s3b) = sorted(got[3])       # both copies of the intra-doc run
     assert s3a[1] - s3a[0] + 1 == 8 and s3b[1] - s3b[0] + 1 == 8
     assert 4 not in got and 5 not in got
+
+
+def test_embedding_quantize_matches_hand_model(spark, tmp_path):
+    """int8 symmetric quantization: scale = max|x|/127, code = floor(x/scale),
+    rmse over the reconstruction; the all-zero vector degrades gracefully."""
+    import math
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0], 0),
+        (1, [0.0, 0.0, 0.0, 0.0], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["vec_id"]: r for r in
+           DQ.q_embedding_quantize(spark, str(tmp_path)).collect()}
+
+    def model(vec):
+        sc = max(max(abs(x) for x in vec), 1e-12) / 127.0
+        err2 = [(x - math.floor(x / sc) * sc) ** 2 for x in vec]
+        return round(sc, 6), round(math.sqrt(sum(err2) / len(vec)), 6)
+
+    sc0, rmse0 = model(rows[0][1])
+    assert abs(out[0]["qscale"] - sc0) < 1e-12
+    assert abs(out[0]["rmse"] - rmse0) < 1e-12
+    assert rmse0 > 0                       # floor quantization loses something
+    assert out[0]["rmse"] < sc0            # ...but less than one step per dim
+    assert out[1]["rmse"] == 0.0           # zero vector reconstructs exactly
