@@ -2755,6 +2755,131 @@ SELECT vec_id, round(sc, 6) AS qscale,
 FROM staged"""
 
 
+def q_ann_quantized_recall(spark, sf_dir):
+    """recall@_RECALL_K of similarity search over the int8-QUANTIZED
+    index against the exact float top-K — the measured accuracy cost of
+    `embedding_quantize`'s 4x memory cut, the number an ANN user needs
+    before committing the compressed index.  Asymmetric distance (ADC,
+    the standard trick): the query stays float, only the database side
+    is dequantized codes.
+
+    Scale shape mirrors ivf_recall: _RECALL_NQ query vectors broadcast,
+    one narrow pass computes the dequantized vector + both norms per
+    candidate, both top-K ranks are windows PARTITIONED BY query — no
+    global sort; exact brute force is the ground truth by definition and
+    runs over a query sample."""
+    from pyspark.sql import Window
+
+    def nrm(c):
+        return F.sqrt(
+            F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)
+        )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    sc = F.greatest(
+        F.array_max(F.transform("e", lambda x: F.abs(x))), F.lit(1e-12)
+    ) / F.lit(127.0)
+    base = (
+        emb.withColumn("_sc", sc)
+        .withColumn(
+            "dq",
+            F.transform(
+                "e", lambda x: F.floor(x / F.col("_sc")) * F.col("_sc")
+            ),
+        )
+        .withColumn("nrm", nrm("e"))
+        .withColumn("dnrm", F.greatest(nrm("dq"), F.lit(1e-12)))
+    )
+    qs = base.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_cos").desc(), F.col("vec_id").asc()
+    )
+
+    def topk(vec_col, nrm_col):
+        dot = F.aggregate(
+            F.zip_with(vec_col, "qv", lambda a, b: a * b), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            base.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("qid"))
+            .withColumn(
+                "_cos", F.round(dot / (F.col(nrm_col) * F.col("qnrm")), 4)
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= _RECALL_K)
+            .select("qid", "vec_id")
+        )
+
+    exact, quant = topk("e", "nrm"), topk("dq", "dnrm")
+    hits = (
+        quant.join(exact, ["qid", "vec_id"])
+        .groupBy("qid").agg(F.count("*").alias("_h"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.round(F.coalesce(F.col("_h"), F.lit(0)).cast("double")
+                    / _RECALL_K, 4).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+SQL_ANN_QUANTIZED_RECALL = f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+st AS (
+  SELECT vec_id, e,
+         greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max'),
+                  1e-12) / 127.0 AS sc
+  FROM emb
+),
+base AS (
+  SELECT vec_id, e, list_transform(e, x -> floor(x / sc) * sc) AS dq
+  FROM st
+),
+n AS (
+  SELECT vec_id, e, dq,
+         sqrt(list_dot_product(e, e)) AS nrm,
+         greatest(sqrt(list_dot_product(dq, dq)), 1e-12) AS dnrm
+  FROM base
+),
+qs AS (SELECT vec_id AS qid, e AS qv, nrm AS qnrm
+       FROM n WHERE vec_id < {_RECALL_NQ}),
+exact AS (
+  SELECT q.qid, f.vec_id, row_number() OVER (PARTITION BY q.qid
+    ORDER BY round(list_dot_product(f.e, q.qv) / (f.nrm * q.qnrm), 4) DESC,
+             f.vec_id ASC) AS rn
+  FROM n f CROSS JOIN qs q WHERE f.vec_id <> q.qid
+),
+quant AS (
+  SELECT q.qid, f.vec_id, row_number() OVER (PARTITION BY q.qid
+    ORDER BY round(list_dot_product(f.dq, q.qv) / (f.dnrm * q.qnrm), 4) DESC,
+             f.vec_id ASC) AS rn
+  FROM n f CROSS JOIN qs q WHERE f.vec_id <> q.qid
+),
+hits AS (
+  SELECT e.qid, count(*) AS h
+  FROM (SELECT qid, vec_id FROM exact WHERE rn <= {_RECALL_K}) e
+  JOIN (SELECT qid, vec_id FROM quant WHERE rn <= {_RECALL_K}) i
+    ON e.qid = i.qid AND e.vec_id = i.vec_id
+  GROUP BY e.qid
+)
+SELECT q.qid AS qid,
+       round(coalesce(h, 0)::DOUBLE / {_RECALL_K}, 4) AS recall
+FROM qs q LEFT JOIN hits ON q.qid = hits.qid
+ORDER BY qid"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -2810,4 +2935,5 @@ QUERIES = {
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "ann_quantized_recall": (q_ann_quantized_recall, SQL_ANN_QUANTIZED_RECALL),
 }

@@ -104,3 +104,12 @@ def test_dedup_incremental_no_self_join_blowup(spark):
     assert _broadcast_only_nested_loops(plan)
     assert "Window" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_ann_quantized_recall_queries_are_broadcast(spark):
+    """Both ranking sides join the query sample via broadcast; the ranks
+    are per-query windows, never a global sort."""
+    plan = _explain(DQ.q_ann_quantized_recall(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert _broadcast_only_nested_loops(plan)
+    assert "Window" in plan

@@ -356,3 +356,22 @@ def test_embedding_quantize_matches_hand_model(spark, tmp_path):
     assert rmse0 > 0                       # floor quantization loses something
     assert out[0]["rmse"] < sc0            # ...but less than one step per dim
     assert out[1]["rmse"] == 0.0           # zero vector reconstructs exactly
+
+
+def test_ann_quantized_recall_high_on_corpus(spark, tmp_path):
+    """int8 ADC search keeps recall near-perfect on well-spread vectors;
+    output is one row per query vector with recall in [0,1]."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)], 0)
+            for i in range(80)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["qid"]: r["recall"] for r in
+           DQ.q_ann_quantized_recall(spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(DQ._RECALL_NQ))
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+    # int8 over gaussian vectors: near-exact ranking
+    assert sum(out.values()) / len(out) >= 0.9
