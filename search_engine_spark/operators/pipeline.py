@@ -50,6 +50,9 @@ def run_build(
                   "index_stats", "postings_partial", "doclens",
                   "postings_packed"):
             cat.drop(t)
+        # properties describe the dropped tables (layout params, append
+        # idempotence flags) — stale ones must not outlive a force rebuild
+        cat.clear_props()
 
     def timed(phase: str, fn) -> None:
         t0 = time.perf_counter()

@@ -106,6 +106,17 @@ class IndexCatalog:
             return default
         return json.loads(p.read_text()).get(key, default)
 
+    def clear_props(self) -> None:
+        """Drop ALL table properties.  A force rebuild must call this:
+        properties describe the CURRENT tables (pack layout, pack-time
+        avgdl fingerprint, append-applied idempotence flags), and any of
+        them surviving a rebuild is a stale fact about dropped data — an
+        append_<label>_applied flag left behind would make a later append
+        that reuses the label silently no-op against the new base."""
+        p = self.warehouse / "properties.json"
+        if p.exists():
+            p.unlink()
+
     def write_metrics_tables(self) -> None:
         """Materialize the append-only lineage JSONL as queryable tables:
         ``lineage`` (one row per phase) and ``metrics`` (one row per

@@ -326,3 +326,35 @@ def test_adversarial_head_term_salting_torture(spark, tmp_path):
         for r in sorted(packed, key=lambda r: r["bucket"])
     ])
     assert np.array_equal(got, np.arange(n))
+
+
+def test_force_rebuild_clears_stale_append_flags(spark, tmp_path):
+    """A force rebuild must not inherit the old warehouse's properties:
+    an append_<label>_applied flag surviving the rebuild would make a
+    later append that reuses the label silently no-op against the NEW
+    base (the delta's docs would simply be missing from the index)."""
+    from search_engine_spark.operators.pipeline import run_append, run_build
+
+    batch1 = [(f"http://aaa{i:02d}.com/p", f"alpha beta w{i % 5}")
+              for i in range(20)]
+    batch2 = [(f"http://zzz{i:02d}.com/p", f"gamma delta w{i % 3}")
+              for i in range(10)]
+    wh = str(tmp_path / "wh")
+
+    run_build(spark, _mk_pages(spark, batch1), wh,
+              num_shards=8, salt_buckets=4, merge_factor=2)
+    cat = run_append(spark, _mk_pages(spark, batch2), wh, label="refresh")
+    assert cat.read("docmeta").count() == 30
+    assert cat.get_prop("append_refresh_applied")
+
+    # force-rebuild the SAME warehouse path from scratch…
+    cat2 = run_build(spark, _mk_pages(spark, batch1), wh,
+                     num_shards=8, salt_buckets=4, merge_factor=2,
+                     force=True)
+    assert cat2.get_prop("append_refresh_applied") is None  # flag cleared
+    assert cat2.read("docmeta").count() == 20
+
+    # …and the same-label append must REALLY apply, not no-op
+    cat3 = run_append(spark, _mk_pages(spark, batch2), wh, label="refresh")
+    assert cat3.read("docmeta").count() == 30
+    assert cat3.read("index_stats").collect()[0]["n_docs"] == 30
