@@ -34,6 +34,13 @@ def main() -> None:
     ap.add_argument("--label", default="delta1",
                     help="append label (checkpoint namespace + idempotence "
                          "guard; a completed label is never re-applied)")
+    ap.add_argument("--compaction", choices=["full", "tiered"],
+                    default="full",
+                    help="full: re-merge every partial (bit-identical to a "
+                         "from-scratch union build); tiered: copy untouched "
+                         "doc buckets without decoding, re-merge only the "
+                         "delta-touched tail (same query results, looser "
+                         "stored WAND bounds until the next full merge)")
     args = ap.parse_args()
 
     from search_engine_spark.operators.pipeline import run_append
@@ -46,7 +53,8 @@ def main() -> None:
     pages = spark.read.parquet(args.pages)
     n_pages = pages.count()
     t0 = time.perf_counter()
-    cat = run_append(spark, pages, args.warehouse, label=args.label)
+    cat = run_append(spark, pages, args.warehouse, label=args.label,
+                     compaction=args.compaction)
     elapsed = time.perf_counter() - t0
     stats = cat.read("index_stats").collect()[0].asDict()
     print(json.dumps({

@@ -233,7 +233,7 @@ def pack_partials(
 
 
 def merge_partials(partials: DataFrame, merge_factor: int,
-                   avgdl: float) -> DataFrame:
+                   avgdl: float, bucket_min: int | None = None) -> DataFrame:
     """p6b: shuffle-merge each term's doc-ordered partial streams into
     merge_factor-coarser buckets; attach global df.
 
@@ -243,6 +243,13 @@ def merge_partials(partials: DataFrame, merge_factor: int,
     merged stream with the final corpus ``avgdl`` (see _make_merge_udf) —
     so partials written by earlier builds stay valid inputs after an
     incremental append shifts the corpus stats.
+
+    ``bucket_min`` (tiered append compaction): only fine buckets >=
+    bucket_min are merged — but ``df`` is still aggregated over ALL
+    partials first, so the emitted rows carry the true GLOBAL document
+    frequency.  The filter sits between the (vocab-sized) df aggregate
+    and the payload shuffle, so untouched buckets' bytes never enter
+    the exchange.
     """
     if "dlb" not in partials.columns:
         raise ValueError(
@@ -252,6 +259,8 @@ def merge_partials(partials: DataFrame, merge_factor: int,
         )
     df_global = partials.groupBy("term").agg(F.sum("df_local").alias("df"))
 
+    if bucket_min is not None:
+        partials = partials.filter(F.col("bucket") >= bucket_min)
     with_key = partials.join(df_global, "term").withColumn(
         "mbucket", (F.col("bucket") / F.lit(merge_factor)).cast("int")
     )
@@ -378,3 +387,6 @@ def pack_and_merge(cat, num_shards: int = 32, salt_buckets: int = 16,
     )
     cat.set_prop("num_shards", num_shards)
     cat.set_prop("bucket_width", bucket_width * merge_factor)
+    # the avgdl every stored block-max header is valid for — a later
+    # TIERED append scales copied headers by max(1, new_avgdl / this)
+    cat.set_prop("packed_avgdl", repr(avgdl))

@@ -175,6 +175,7 @@ def run_append(
     pages: DataFrame,
     warehouse: str,
     label: str = "delta1",
+    compaction: str = "full",
 ) -> IndexCatalog:
     """Incrementally index a NEW pages batch into an EXISTING packed
     warehouse — the crawl-refresh shape at 100 TB: extract + id-stamp only
@@ -199,6 +200,25 @@ def run_append(
     The expensive delta phases (extract, dedup shuffle, id stamp) are
     checkpointed per ``label``; the apply step (appends + merge) is guarded
     by a catalog property so a completed append is never re-applied.
+
+    ``compaction``:
+    * ``"full"`` (default) — ONE merge pass over every partial; every
+      block-max header is recomputed exactly for the new avgdl, and the
+      result is bit-identical to a from-scratch union build.
+    * ``"tiered"`` — the LSM lever for when the merge pass dominates:
+      doc ids grow densely, so every packed bucket strictly BELOW the
+      delta's first doc bucket is untouched — those rows are COPIED
+      (narrow scan, no shuffle, payloads never decoded) with two column
+      patches: ``df`` += the delta's per-term df (a delta-vocab-sized
+      broadcast), and ``block_maxw`` *= max(1, avgdl_new/avgdl_packed),
+      which is a provable upper-bound correction (w is monotone in
+      avgdl with ratio at most avgdl_new/avgdl_old), so WAND pruning
+      stays LOSSLESS — bounds are merely a little looser until the next
+      full compaction resets them.  Only the straddling-and-above
+      buckets are re-merged from partials (with exact headers).  Query
+      results are exactly equal to full compaction (same scores, same
+      ids); only the stored bounds differ, so the bit-identity claim
+      applies to full mode alone.
     """
     import time
 
@@ -298,13 +318,65 @@ def run_append(
         partition_by=["shard"], mode="append",
     )
     timed_t0 = time.perf_counter()
-    merged = merge_partials(cat.read("postings_partial"), merge_factor, avgdl)
-    cat.drop("postings_packed")
-    cat.write(
-        "postings_packed",
-        merged.repartition(num_shards, "shard"),
-        partition_by=["shard"],
-    )
+    old_avgdl = cat.get_prop("packed_avgdl")
+    if compaction == "tiered" and old_avgdl is None:
+        # pre-fingerprint warehouse: no safe header correction — fall back
+        compaction = "full"
+    if compaction == "tiered":
+        # doc ids continue densely from the base max, so the delta can
+        # only touch packed buckets >= m0; everything below is copied
+        # verbatim (narrow, payloads never decoded) with df patched by
+        # the delta's per-term df and the WAND bounds scaled to stay
+        # valid upper bounds under the new avgdl
+        first_delta_id = int(delta.agg(F.min("doc_id")).collect()[0][0])
+        b0 = first_delta_id // bucket_width
+        m0 = b0 // merge_factor
+        ratio = max(1.0, avgdl / float(old_avgdl))
+        df_delta = delta_posts.groupBy("term").agg(
+            F.count("*").alias("_dfd")
+        )
+        copied = (
+            cat.read("postings_packed")
+            .filter(F.col("bucket") < m0)
+            .join(F.broadcast(df_delta), "term", "left")
+            .withColumn(
+                "df",
+                (F.col("df") + F.coalesce(F.col("_dfd"), F.lit(0)))
+                .cast("long"),
+            )
+            .withColumn(
+                "block_maxw",
+                F.transform("block_maxw", lambda x: x * F.lit(ratio)),
+            )
+        )
+        tail = merge_partials(
+            cat.read("postings_partial"), merge_factor, avgdl,
+            bucket_min=m0 * merge_factor,
+        )
+        cols = ["term", "shard", "bucket", "df", "n_docs", "doc_ids",
+                "tfs", "pos", "block_last", "block_maxw", "first_docid",
+                "last_docid"]
+        merged = copied.select(*cols).unionByName(tail.select(*cols))
+        # the new generation DERIVES from the current packed table —
+        # write aside, then snapshot-swap (never overwrite a table
+        # while reading it)
+        cat.write(
+            "postings_packed_next",
+            merged.repartition(num_shards, "shard"),
+            partition_by=["shard"],
+        )
+        cat.swap("postings_packed_next", "postings_packed")
+    else:
+        merged = merge_partials(
+            cat.read("postings_partial"), merge_factor, avgdl
+        )
+        cat.drop("postings_packed")
+        cat.write(
+            "postings_packed",
+            merged.repartition(num_shards, "shard"),
+            partition_by=["shard"],
+        )
+    cat.set_prop("packed_avgdl", repr(avgdl))
     cat.log_phase(
         f"a6_merge_{label}", cat.read("postings_packed"),
         {"seconds": round(time.perf_counter() - timed_t0, 2), "append": label},

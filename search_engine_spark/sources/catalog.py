@@ -54,6 +54,19 @@ class IndexCatalog:
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)
 
+    def swap(self, tmp_table: str, table: str) -> None:
+        """Replace ``table`` with the fully-written ``tmp_table`` (the
+        Iceberg snapshot-commit analogue).  Needed whenever a new
+        generation is DERIVED from the current one (e.g. the tiered
+        append copies untouched packed rows): Spark reads lazily during
+        the write, so overwriting a table in place while reading it
+        races with itself — write the new generation elsewhere, then
+        swap directories."""
+        if not self.exists(tmp_table):
+            raise ValueError(f"swap source {tmp_table} incomplete (no _SUCCESS)")
+        self.drop(table)
+        self.path(tmp_table).rename(self.path(table))
+
     # --- lineage + metrics sidecars (north-rule requirement) ---------------
 
     def log_phase(self, phase: str, df_out: DataFrame | str,

@@ -358,3 +358,97 @@ def test_force_rebuild_clears_stale_append_flags(spark, tmp_path):
     cat3 = run_append(spark, _mk_pages(spark, batch2), wh, label="refresh")
     assert cat3.read("docmeta").count() == 30
     assert cat3.read("index_stats").collect()[0]["n_docs"] == 30
+
+
+def test_tiered_append_equals_full_append_results(spark, tmp_path):
+    """Tiered compaction copies untouched buckets (df patched, bounds
+    scaled) and re-merges only the delta-touched tail: query results must
+    EQUAL full compaction's exactly (same ids, same scores), the copied
+    rows' payload bytes must be byte-identical to the pre-append base
+    (never re-encoded), their df must reflect the union corpus, and every
+    stored bound must still dominate the true weights under the NEW
+    avgdl (lossless WAND)."""
+    import numpy as np
+
+    from search_engine_spark.operators import codec
+    from search_engine_spark.operators.pipeline import run_append, run_build
+    from search_engine_spark.plans import bm25
+    from search_engine_spark.plans.wand import PackedQueryEngine
+
+    rng_words = lambda i: " ".join(  # noqa: E731
+        ["common engine"] + [f"word{j}" for j in (i % 7, i % 11, i % 13)]
+    )
+    batch1 = [(f"http://aaa{i:03d}.com/p", rng_words(i)) for i in range(58)]
+    # delta docs are much longer: avgdl grows, so the copied buckets'
+    # bound correction (ratio > 1) is actually exercised
+    batch2 = [(f"http://zzz{i:03d}.com/p",
+               rng_words(100 + i) + " filler" * 30) for i in range(40)]
+
+    from search_engine_spark.sources.catalog import IndexCatalog
+
+    wh_full, wh_tier = str(tmp_path / "wh_full"), str(tmp_path / "wh_tier")
+    for wh in (wh_full, wh_tier):
+        run_build(spark, _mk_pages(spark, batch1), wh,
+                  num_shards=8, salt_buckets=4, merge_factor=2)
+    base_bytes = {
+        (r["term"], r["bucket"]): (bytes(r["doc_ids"]), bytes(r["tfs"]),
+                                   bytes(r["pos"]), r["df"])
+        for r in IndexCatalog(spark, wh_tier).read("postings_packed").collect()
+    }
+
+    full = run_append(spark, _mk_pages(spark, batch2), wh_full,
+                      compaction="full")
+    tier = run_append(spark, _mk_pages(spark, batch2), wh_tier,
+                      compaction="tiered")
+
+    # 1) same corpus stats, same row universe
+    sf, st = (c.read("index_stats").collect()[0] for c in (full, tier))
+    assert (sf["n_docs"], sf["avgdl"]) == (st["n_docs"], st["avgdl"])
+    avgdl = float(st["avgdl"])
+
+    rows_f = {(r["term"], r["bucket"]): r
+              for r in full.read("postings_packed").collect()}
+    rows_t = {(r["term"], r["bucket"]): r
+              for r in tier.read("postings_packed").collect()}
+    assert rows_f.keys() == rows_t.keys()
+
+    # 2) payloads and df identical everywhere between the two modes
+    for key, rt in rows_t.items():
+        rf = rows_f[key]
+        assert bytes(rt["doc_ids"]) == bytes(rf["doc_ids"])
+        assert bytes(rt["tfs"]) == bytes(rf["tfs"])
+        assert bytes(rt["pos"]) == bytes(rf["pos"])
+        assert rt["df"] == rf["df"], key
+    # …and at least one base bucket was copied verbatim (payload bytes
+    # byte-identical to the pre-append base row)
+    copied_buckets = [(t, b) for (t, b), v in base_bytes.items()
+                      if (t, b) in rows_t
+                      and bytes(rows_t[(t, b)]["doc_ids"]) == v[0]
+                      and bytes(rows_t[(t, b)]["pos"]) == v[2]]
+    assert copied_buckets, "no untouched bucket was copied"
+
+    # 3) df on a copied row counts the union corpus ('common' is in every
+    # doc of both batches)
+    common_rows = [r for (t, _), r in rows_t.items() if t == "common"]
+    assert common_rows and all(r["df"] == 98 for r in common_rows)
+
+    # 4) stored bounds still dominate true weights under the new avgdl
+    dl = {r["doc_id"]: r["dl"] for r in tier.read("docmeta").collect()}
+    for r in rows_t.values():
+        ids = codec.decode_docids(bytes(r["doc_ids"]))
+        tfs = codec.decode_tfs(bytes(r["tfs"]))
+        last = np.asarray(r["block_last"])
+        maxw = np.asarray(r["block_maxw"])
+        w = np.array([bm25.weight(t, dl[d], avgdl) for d, t in zip(ids, tfs)])
+        bidx = np.searchsorted(last, ids)
+        assert (w <= maxw[bidx] + 1e-12).all(), r["term"]
+
+    # 5) query results exactly equal
+    ef, et = (PackedQueryEngine.from_catalog(c) for c in (full, tier))
+    for q in ("common engine", "word3 | word5", "engine - word4",
+              '"common engine"'):
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in et.search(q, k=10).collect()]
+        want = [(r["doc_id"], round(r["score"], 9))
+                for r in ef.search(q, k=10).collect()]
+        assert got == want, q

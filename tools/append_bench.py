@@ -45,6 +45,8 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2000000)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--delta-pct", type=int, default=10)
+    ap.add_argument("--compaction", choices=["full", "tiered"],
+                    default="full")
     args = ap.parse_args()
 
     from search_engine_spark.session import get_spark
@@ -77,7 +79,8 @@ def main() -> None:
                      *BUILD_ARGS], args.cpus)
         appended = _run([sys.executable, str(REPO / "jobs/append_index.py"),
                          "--pages", delta_p, "--warehouse", wh_inc,
-                         "--label", "bench_delta"], args.cpus)
+                         "--label", "bench_delta",
+                         "--compaction", args.compaction], args.cpus)
         full = _run([sys.executable, str(REPO / "jobs/build_index.py"),
                      "--pages", pages, "--warehouse", wh_full, "--force",
                      *BUILD_ARGS], args.cpus)
@@ -120,6 +123,7 @@ def main() -> None:
 
     out = {
         "metric": "incremental append vs full rebuild",
+        "compaction": args.compaction,
         "docs_total": args.docs,
         "base_docs": base["index_stats"]["n_docs"],
         "delta_pct": args.delta_pct,
