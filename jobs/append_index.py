@@ -41,6 +41,13 @@ def main() -> None:
                          "doc buckets without decoding, re-merge only the "
                          "delta-touched tail (same query results, looser "
                          "stored WAND bounds until the next full merge)")
+    ap.add_argument("--max-generations", type=int, default=8,
+                    help="tiered compaction-debt cap: auto-promote to a "
+                         "full merge once the manifest would exceed this "
+                         "many generations")
+    ap.add_argument("--bound-inflation-limit", type=float, default=1.25,
+                    help="tiered compaction-debt cap on WAND bound "
+                         "looseness max(1, avgdl_new/avgdl_gen)")
     args = ap.parse_args()
 
     from search_engine_spark.operators.pipeline import run_append
@@ -54,7 +61,9 @@ def main() -> None:
     n_pages = pages.count()
     t0 = time.perf_counter()
     cat = run_append(spark, pages, args.warehouse, label=args.label,
-                     compaction=args.compaction)
+                     compaction=args.compaction,
+                     max_generations=args.max_generations,
+                     bound_inflation_limit=args.bound_inflation_limit)
     elapsed = time.perf_counter() - t0
     stats = cat.read("index_stats").collect()[0].asDict()
     print(json.dumps({

@@ -48,7 +48,7 @@ def run_build(
     if force:
         for t in ("docs_raw", "docs_sorted", "docs", "docmeta", "postings",
                   "index_stats", "postings_partial", "doclens",
-                  "postings_packed"):
+                  "postings_packed", "postings_packed_next"):
             cat.drop(t)
         # properties describe the dropped tables (layout params, append
         # idempotence flags) — stale ones must not outlive a force rebuild
@@ -176,6 +176,8 @@ def run_append(
     warehouse: str,
     label: str = "delta1",
     compaction: str = "full",
+    max_generations: int = 8,
+    bound_inflation_limit: float = 1.25,
 ) -> IndexCatalog:
     """Incrementally index a NEW pages batch into an EXISTING packed
     warehouse — the crawl-refresh shape at 100 TB: extract + id-stamp only
@@ -198,27 +200,45 @@ def run_append(
     url rather than byte-identical).
 
     The expensive delta phases (extract, dedup shuffle, id stamp) are
-    checkpointed per ``label``; the apply step (appends + merge) is guarded
-    by a catalog property so a completed append is never re-applied.
+    checkpointed per ``label``; every apply sub-step (the docmeta /
+    postings / partials appends) is guarded by its OWN catalog marker, so
+    a retry after a mid-apply crash (e.g. a merge OOM) resumes without
+    double-appending; the final ``append_<label>_applied`` property marks
+    the whole append complete.  An empty delta (every url already
+    indexed) is a guarded no-op.
 
     ``compaction``:
     * ``"full"`` (default) — ONE merge pass over every partial; every
       block-max header is recomputed exactly for the new avgdl, and the
-      result is bit-identical to a from-scratch union build.
+      result is bit-identical to a from-scratch union build.  The new
+      table is written ASIDE and snapshot-swapped in, so a crash never
+      leaves the warehouse without a packed table.
     * ``"tiered"`` — the LSM lever for when the merge pass dominates:
       doc ids grow densely, so every packed bucket strictly BELOW the
-      delta's first doc bucket is untouched — those rows are COPIED
-      (narrow scan, no shuffle, payloads never decoded) with two column
-      patches: ``df`` += the delta's per-term df (a delta-vocab-sized
-      broadcast), and ``block_maxw`` *= max(1, avgdl_new/avgdl_packed),
-      which is a provable upper-bound correction (w is monotone in
-      avgdl with ratio at most avgdl_new/avgdl_old), so WAND pruning
-      stays LOSSLESS — bounds are merely a little looser until the next
-      full compaction resets them.  Only the straddling-and-above
-      buckets are re-merged from partials (with exact headers).  Query
-      results are exactly equal to full compaction (same scores, same
-      ids); only the stored bounds differ, so the bit-identity claim
+      delta's first doc bucket is untouched — those buckets' parquet
+      FILES are REFERENCED, not rewritten: the append writes only the
+      re-merged tail (buckets >= the delta's first merged bucket, exact
+      headers from partials) plus a delta-vocab-sized df-patch table,
+      then commits a new GENERATION to the table manifest with one
+      atomic rename (``sources/catalog.py`` manifest contract — the
+      Iceberg metadata-only commit).  The reader reconstructs the exact
+      union: stale ``df`` is corrected by the patch tables and old
+      generations' ``block_maxw`` is scaled by
+      max(1, avgdl_now/avgdl_gen) — a provable upper-bound correction
+      (w is monotone in avgdl with ratio at most avgdl_now/avgdl_gen),
+      so WAND pruning stays LOSSLESS, merely a little looser until the
+      next full compaction.  Query results are exactly equal to full
+      compaction (same scores, same ids); the bit-identity claim
       applies to full mode alone.
+
+    Compaction-debt policy: each tiered append adds a generation (one
+    more read-time union branch + patch join) and, when avgdl drifted
+    up, looser bounds on old generations.  Both are tracked and bounded:
+    a tiered request is auto-promoted to ``"full"`` once the manifest
+    would exceed ``max_generations`` or the worst generation's bound
+    inflation max(1, avgdl_new/avgdl_gen) exceeds
+    ``bound_inflation_limit`` — full compaction rewrites everything with
+    exact headers and retires the manifest, resetting the debt to zero.
     """
     import time
 
@@ -290,14 +310,34 @@ def run_append(
 
     delta = cat.read(docs_t)
 
-    # ---- apply: append delta tables, refresh stats, one merge pass -------
-    cat.write("docmeta", B.build_docmeta(delta), mode="append")
-    posts = B.build_postings(delta).withColumn(
-        "shard", shard_col(num_shards=num_shards)
-    ).sortWithinPartitions("shard", "term")
-    cat.write("postings", posts, partition_by=["shard"], mode="append")
+    if delta.isEmpty():
+        # every url lost first-wins against the existing corpus — nothing
+        # to apply; mark done so retries stay no-ops
+        cat.set_prop(applied_key, 1)
+        return cat
 
-    cat.drop("index_stats")
+    # ---- apply: append delta tables, refresh stats, one merge pass -------
+    # Each append sub-step commits its own marker, so a retry after a
+    # mid-apply crash never double-appends (the stats/doclens overwrites
+    # between them are idempotent recomputations and need no marker).
+    def once(step: str, fn) -> None:
+        step_key = f"append_{label}_{step}_done"
+        if cat.get_prop(step_key):
+            return
+        fn()
+        cat.set_prop(step_key, 1)
+
+    once("docmeta", lambda: cat.write(
+        "docmeta", B.build_docmeta(delta), mode="append"))
+
+    def _append_postings() -> None:
+        posts = B.build_postings(delta).withColumn(
+            "shard", shard_col(num_shards=num_shards)
+        ).sortWithinPartitions("shard", "term")
+        cat.write("postings", posts, partition_by=["shard"], mode="append")
+
+    once("postings", _append_postings)
+
     cat.write(
         "index_stats",
         B.build_index_stats(cat.read("docmeta"), cat.read("postings")),
@@ -306,80 +346,108 @@ def run_append(
     avgdl = float(stats["avgdl"])
 
     mwidth = bucket_width * merge_factor
-    cat.drop("doclens")
     cat.write("doclens", build_doclens(cat.read("docmeta"), mwidth))
 
     # new partials only over the delta's postings (doc ids > base max)
-    delta_posts = B.build_postings(delta)
-    cat.write(
+    once("partials", lambda: cat.write(
         "postings_partial",
-        pack_partials(delta_posts, num_shards, bucket_width)
+        pack_partials(B.build_postings(delta), num_shards, bucket_width)
         .repartition(num_shards, "shard"),
         partition_by=["shard"], mode="append",
-    )
+    ))
     timed_t0 = time.perf_counter()
     old_avgdl = cat.get_prop("packed_avgdl")
     if compaction == "tiered" and old_avgdl is None:
         # pre-fingerprint warehouse: no safe header correction — fall back
         compaction = "full"
+    manifest = cat.read_manifest("postings_packed")
+    promoted = False
+    if compaction == "tiered":
+        # compaction-debt policy: generations and bound looseness are both
+        # bounded; past either limit this append pays for a full rewrite
+        # with exact headers and the manifest retires.  A manifest-less
+        # warehouse still has one implicit generation (the packed table at
+        # its write-time avgdl), so even a FIRST tiered append promotes
+        # when the delta moves avgdl past the inflation limit.
+        gens = (manifest["generations"] if manifest is not None
+                else [{"avgdl": float(old_avgdl)}])
+        inflation = max(
+            max(1.0, avgdl / float(g["avgdl"])) for g in gens
+        )
+        if (len(gens) + 1 > max_generations
+                or inflation > bound_inflation_limit):
+            compaction, promoted = "full", True
+
     if compaction == "tiered":
         # doc ids continue densely from the base max, so the delta can
-        # only touch packed buckets >= m0; everything below is copied
-        # verbatim (narrow, payloads never decoded) with df patched by
-        # the delta's per-term df and the WAND bounds scaled to stay
-        # valid upper bounds under the new avgdl
+        # only touch packed buckets >= m0; everything below stays ON DISK
+        # untouched — this append writes only the re-merged tail and a
+        # df-patch table, then commits a new generation to the manifest
+        # (metadata-only; the reader applies the df patch and the
+        # lossless bound scaling, see sources/catalog.py)
         first_delta_id = int(delta.agg(F.min("doc_id")).collect()[0][0])
-        b0 = first_delta_id // bucket_width
-        m0 = b0 // merge_factor
-        ratio = max(1.0, avgdl / float(old_avgdl))
-        df_delta = delta_posts.groupBy("term").agg(
-            F.count("*").alias("_dfd")
-        )
-        copied = (
-            cat.read("postings_packed")
-            .filter(F.col("bucket") < m0)
-            .join(F.broadcast(df_delta), "term", "left")
-            .withColumn(
-                "df",
-                (F.col("df") + F.coalesce(F.col("_dfd"), F.lit(0)))
-                .cast("long"),
+        m0 = (first_delta_id // bucket_width) // merge_factor
+        tail_t = f"postings_packed_tail_{label}"
+        patch_t = f"postings_df_patch_{label}"
+        if not cat.exists(tail_t):
+            tail = merge_partials(
+                cat.read("postings_partial"), merge_factor, avgdl,
+                bucket_min=m0 * merge_factor,
             )
-            .withColumn(
-                "block_maxw",
-                F.transform("block_maxw", lambda x: x * F.lit(ratio)),
+            cat.write(
+                tail_t,
+                tail.repartition(num_shards, "shard"),
+                partition_by=["shard"],
             )
+        if not cat.exists(patch_t):
+            cat.write(
+                patch_t,
+                B.build_postings(delta).groupBy("term").agg(
+                    F.count("*").cast("long").alias("df_add")),
+            )
+        if manifest is None:
+            manifest = {"generations": [{
+                "dir": "postings_packed", "avgdl": float(old_avgdl),
+                "bucket_hi": None, "patches": [],
+            }]}
+        if manifest["generations"][-1]["dir"] != tail_t:  # retry guard
+            manifest["generations"][-1]["bucket_hi"] = m0
+            for g in manifest["generations"]:
+                g["patches"].append(patch_t)
+            manifest["generations"].append({
+                "dir": tail_t, "avgdl": avgdl,
+                "bucket_hi": None, "patches": [],
+            })
+            # the atomic manifest rename IS the commit of this generation
+            cat.write_manifest("postings_packed", manifest)
+        log_table = tail_t
+    else:
+        merged = merge_partials(
+            cat.read("postings_partial"), merge_factor, avgdl
         )
-        tail = merge_partials(
-            cat.read("postings_partial"), merge_factor, avgdl,
-            bucket_min=m0 * merge_factor,
-        )
-        cols = ["term", "shard", "bucket", "df", "n_docs", "doc_ids",
-                "tfs", "pos", "block_last", "block_maxw", "first_docid",
-                "last_docid"]
-        merged = copied.select(*cols).unionByName(tail.select(*cols))
-        # the new generation DERIVES from the current packed table —
-        # write aside, then snapshot-swap (never overwrite a table
-        # while reading it)
+        # write aside + snapshot-swap: a crash mid-write leaves the live
+        # table untouched; after the swap the manifest's referenced
+        # generations (if any) are dead files and are reclaimed
         cat.write(
             "postings_packed_next",
             merged.repartition(num_shards, "shard"),
             partition_by=["shard"],
         )
+        cat.drop_manifest("postings_packed")
         cat.swap("postings_packed_next", "postings_packed")
-    else:
-        merged = merge_partials(
-            cat.read("postings_partial"), merge_factor, avgdl
-        )
-        cat.drop("postings_packed")
-        cat.write(
-            "postings_packed",
-            merged.repartition(num_shards, "shard"),
-            partition_by=["shard"],
-        )
+        if manifest is not None:
+            for g in manifest["generations"]:
+                if g["dir"] != "postings_packed":
+                    cat.drop(g["dir"])
+                for t in g.get("patches") or []:
+                    cat.drop(t)
+        log_table = "postings_packed"
     cat.set_prop("packed_avgdl", repr(avgdl))
     cat.log_phase(
-        f"a6_merge_{label}", cat.read("postings_packed"),
-        {"seconds": round(time.perf_counter() - timed_t0, 2), "append": label},
+        f"a6_merge_{label}", log_table,
+        {"seconds": round(time.perf_counter() - timed_t0, 2),
+         "append": label, "compaction": compaction,
+         **({"promoted_from_tiered": True} if promoted else {})},
     )
     cat.set_prop(applied_key, 1)
     cat.write_metrics_tables()
