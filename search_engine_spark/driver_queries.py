@@ -1357,15 +1357,16 @@ def q_unigram_logprob(spark, sf_dir):
     the corpus unigram model, in nats — the cheap proxy for 'how typical
     is this text' used to quality-bucket web corpora before training.
 
-    Shape at scale: per-doc tf (one map-side-combined shuffle), a
-    vocab-sized term-count table joined BROADCAST (vocab ≪ corpus), and
-    a 1-row total as a broadcast side plan — no global sort, no driver
-    state."""
+    Shape at scale: per-doc tf (one map-side-combined shuffle), the
+    term-count table joined UNHINTED — raw-web vocabulary is unbounded,
+    so the planner/AQE picks broadcast only when the table's measured
+    size allows, hash join otherwise — and a 1-row total as a broadcast
+    side plan; no global sort, no driver state."""
     tf = _tf(spark, sf_dir)
     ct = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
     tot = ct.agg(F.sum("ct").alias("_t"))
     return (
-        tf.join(F.broadcast(ct), "term")
+        tf.join(ct, "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -2509,37 +2510,56 @@ WHERE v.vec_id NOT IN (SELECT doc FROM clusters WHERE cluster <> doc)"""
 
 _DSIR_TARGET_SRCS = ("src0", "src1")   # the "high-quality" target domain
 _DSIR_K = 50                           # selection budget
+_DSIR_BUCKETS = 10_000                 # hashed feature space (DSIR §2.2)
+
+
+def _dsir_bucket(term_col):
+    """Deterministic hashed-feature bucket shared with the DuckDB oracle:
+    the first 8 hex digits of md5(term) as an int, mod _DSIR_BUCKETS.
+    Spark's conv(substring(md5,1,8),16,10) and DuckDB's
+    ('0x'||substring(md5,1,8))::UBIGINT agree exactly (both are the big-
+    endian value of the same 4 md5 bytes)."""
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10).cast("long")
+        % F.lit(_DSIR_BUCKETS)
+    )
 
 
 def q_dsir_select(spark, sf_dir):
-    """Data Selection via Importance Resampling (Xie et al. 2023), the
-    unigram-feature variant: score every raw document by its importance
-    log-weight sum_t tf_t * ln(p_target(t) / p_raw(t)) under two
-    add-one-smoothed unigram LMs — the target LM fit on a trusted domain
-    (sources {src0, src1}), the raw LM on the whole corpus — and keep the
-    top-_DSIR_K most target-like documents.
+    """Data Selection via Importance Resampling (Xie et al. 2023) with the
+    paper's own HASHED n-gram features (§2.2): terms hash into a fixed
+    space of _DSIR_BUCKETS buckets, both add-one-smoothed unigram LMs
+    (target = trusted sources {src0, src1}; raw = whole corpus) are fit
+    over bucket counts, and every document is scored by its importance
+    log-weight sum_b tf_b * ln(p_target(b) / p_raw(b)); the top-_DSIR_K
+    most target-like documents are kept.
 
-    Shape at scale: both LMs are vocab-sized count tables (map-side
-    combined), their log-ratio is ONE broadcast table, corpus totals are
-    a 1-row broadcast side plan, and per-doc scoring is a narrow join on
-    term + one groupBy(doc_id) — no global state, no driver collect; the
-    final top-k is a TakeOrdered, never a full sort.  Complements
-    `stratified_sample` (quota sampling) and `quality_classifier`
-    (supervised gate) as the distribution-matching selector."""
-    tf = _tf(spark, sf_dir)
+    Shape at scale: hashing bounds the LM tables at _DSIR_BUCKETS rows
+    REGARDLESS of corpus vocabulary (the round-4 version broadcast a
+    full-vocab log-ratio table — 10⁹ distinct raw-web tokens would OOM
+    the driver; a constant 10⁴-row table is legitimately broadcastable
+    at any corpus size).  Corpus totals are a 1-row broadcast side plan,
+    per-doc scoring is a narrow join on the bucket key + one
+    groupBy(doc_id), and the final top-k is a TakeOrdered, never a full
+    sort.  Complements `stratified_sample` (quota sampling) and
+    `quality_classifier` (supervised gate) as the distribution-matching
+    selector."""
+    tf = _tf(spark, sf_dir).select(
+        "doc_id", "tf", _dsir_bucket(F.col("term")).alias("b")
+    )
     tgt_docs = (
         _docs(spark, sf_dir)
         .filter(F.col("source").isin(*_DSIR_TARGET_SRCS))
         .select("doc_id")
     )
-    raw_ct = tf.groupBy("term").agg(F.sum("tf").alias("cr"))
+    raw_ct = tf.groupBy("b").agg(F.sum("tf").alias("cr"))
     tgt_ct = (
         tf.join(tgt_docs, "doc_id")
-        .groupBy("term")
+        .groupBy("b")
         .agg(F.sum("tf").alias("ct"))
     )
-    lm = raw_ct.join(tgt_ct, "term", "left").select(
-        "term", F.coalesce("ct", F.lit(0)).alias("ct"), "cr"
+    lm = raw_ct.join(tgt_ct, "b", "left").select(
+        "b", F.coalesce("ct", F.lit(0)).alias("ct"), "cr"
     )
     tot = lm.agg(
         F.sum("ct").alias("_tt"),
@@ -2547,14 +2567,16 @@ def q_dsir_select(spark, sf_dir):
         F.count("*").cast("double").alias("_v"),
     )
     ratio = lm.crossJoin(F.broadcast(tot)).select(
-        "term",
+        "b",
         (
             F.log((F.col("ct") + 1) / (F.col("_tt") + F.col("_v")))
             - F.log((F.col("cr") + 1) / (F.col("_tr") + F.col("_v")))
         ).alias("_lr"),
     )
     return (
-        tf.join(F.broadcast(ratio), "term")
+        # the ratio table is bounded at _DSIR_BUCKETS rows by construction,
+        # so the broadcast hint is safe at ANY corpus scale
+        tf.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
             F.sum("tf").cast("long").alias("n_tokens"),
@@ -2566,28 +2588,32 @@ def q_dsir_select(spark, sf_dir):
 
 
 SQL_DSIR_SELECT = f"""WITH {_TOKS_SQL},
-tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
-rawct AS (SELECT term, sum(tf) AS cr FROM tf GROUP BY term),
+tfb AS (
+  SELECT ('0x' || substring(md5(term), 1, 8))::UBIGINT % {_DSIR_BUCKETS} AS b,
+         doc_id, count(*) AS tf
+  FROM toks GROUP BY 1, 2
+),
+rawct AS (SELECT b, sum(tf) AS cr FROM tfb GROUP BY b),
 tgtct AS (
-  SELECT tf.term, sum(tf.tf) AS ct
-  FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+  SELECT tfb.b, sum(tfb.tf) AS ct
+  FROM tfb JOIN documents d ON tfb.doc_id = d.doc_id
   WHERE d.source IN ('src0', 'src1')
-  GROUP BY tf.term
+  GROUP BY tfb.b
 ),
 lm AS (
-  SELECT rawct.term, coalesce(tgtct.ct, 0) AS ct, rawct.cr
-  FROM rawct LEFT JOIN tgtct ON rawct.term = tgtct.term
+  SELECT rawct.b, coalesce(tgtct.ct, 0) AS ct, rawct.cr
+  FROM rawct LEFT JOIN tgtct ON rawct.b = tgtct.b
 ),
 tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr, CAST(count(*) AS DOUBLE) AS v
         FROM lm),
 ratio AS (
-  SELECT term, ln((ct + 1) / (tt + v)) - ln((cr + 1) / (tr + v)) AS lr
+  SELECT b, ln((ct + 1) / (tt + v)) - ln((cr + 1) / (tr + v)) AS lr
   FROM lm CROSS JOIN tot
 )
-SELECT tf.doc_id AS doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-       round(sum(tf.tf * ratio.lr), 4) AS logw
-FROM tf JOIN ratio ON tf.term = ratio.term
-GROUP BY tf.doc_id
+SELECT tfb.doc_id AS doc_id, CAST(sum(tfb.tf) AS BIGINT) AS n_tokens,
+       round(sum(tfb.tf * ratio.lr), 4) AS logw
+FROM tfb JOIN ratio ON tfb.b = ratio.b
+GROUP BY tfb.doc_id
 ORDER BY logw DESC, doc_id ASC LIMIT {_DSIR_K}"""
 
 
@@ -2603,18 +2629,22 @@ def q_tfidf_keywords(spark, sf_dir):
     document by tf·idf (idf = ln(n_docs / df)) — the classic summary
     feature for corpus exploration and weak labeling.
 
-    Shape at scale: df is a vocab-sized broadcast, n_docs a 1-row
-    broadcast, and the rank is a window PARTITIONED BY doc_id — a hash
-    shuffle on the doc key, never a global sort; ranking compares the
-    ROUNDED score (then term) so mathematically-tied keywords order
-    identically across engines."""
+    Shape at scale: the df table joins UNHINTED — its cardinality is the
+    corpus vocabulary, which is unbounded on raw web text (ids, typos,
+    hashes), so a forced broadcast would OOM the driver at 100 TB; the
+    planner/AQE broadcasts it only when its measured size allows and
+    falls back to a hash join otherwise.  n_docs is a 1-row broadcast,
+    and the rank is a window PARTITIONED BY doc_id — a hash shuffle on
+    the doc key, never a global sort; ranking compares the ROUNDED score
+    (then term) so mathematically-tied keywords order identically across
+    engines."""
     from pyspark.sql import Window
 
     tf = _tf(spark, sf_dir)
     ndocs = _docs(spark, sf_dir).agg(F.count("*").alias("_n"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(ndocs))
         .withColumn("tfidf", _r4(F.col("tf") * F.log(F.col("_n") / F.col("df"))))
     )

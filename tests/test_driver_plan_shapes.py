@@ -71,24 +71,50 @@ def test_dup_spans_has_no_pair_join(spark):
     assert "HashAggregate" in plan
 
 
-def test_dsir_select_lm_tables_are_broadcast(spark):
-    """Both unigram LMs and the corpus totals enter as broadcast sides;
-    the per-doc scoring join is the only big shuffle and the top-k is a
-    TakeOrdered, not a global sort."""
-    plan = _explain(DQ.q_dsir_select(spark, SF_DIR))
+def _analyzed(df) -> str:
+    """Analyzed LOGICAL plan — the surface where AUTHORED broadcast hints
+    (ResolvedHint) are visible, as opposed to size-based choices the
+    planner/AQE makes on its own (which only show physically)."""
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_dsir_select_broadcasts_only_the_fixed_bucket_table(spark):
+    """The importance-ratio table is hashed into a FIXED feature space
+    (_DSIR_BUCKETS buckets, the DSIR paper's own construction), so its
+    broadcast is bounded at any corpus scale; the md5 bucket hash must
+    appear in the plan (proof the vocab never reaches the broadcast),
+    and the top-k is a TakeOrdered, not a global sort."""
+    df = DQ.q_dsir_select(spark, SF_DIR)
+    plan = _explain(df)
     assert "BroadcastExchange" in plan
+    assert "md5" in plan          # hashed feature buckets, not raw terms
     assert _broadcast_only_nested_loops(plan)
     assert "TakeOrderedAndProject" in plan
+    # the ratio table the hint applies to is bounded by construction
+    assert DQ._DSIR_BUCKETS == 10_000
 
 
-def test_tfidf_keywords_window_is_doc_partitioned(spark):
-    """The keyword rank is a per-doc window (hash shuffle on doc_id) —
-    never a rangepartitioned global sort."""
-    plan = _explain(DQ.q_tfidf_keywords(spark, SF_DIR))
-    assert "BroadcastExchange" in plan
+def test_tfidf_keywords_vocab_join_is_unhinted(spark):
+    """The df table's cardinality is the corpus vocabulary — unbounded on
+    raw web text — so the AUTHORED plan must not force-broadcast it; the
+    only authored hint is the 1-row n_docs side.  (The planner may still
+    broadcast df at toy scale from its size stats — that's its call, not
+    a forced OOM at 100 TB.)  The keyword rank is a per-doc window (hash
+    shuffle on doc_id), never a rangepartitioned global sort."""
+    df = DQ.q_tfidf_keywords(spark, SF_DIR)
+    assert _analyzed(df).count("ResolvedHint") == 1      # ndocs only
+    plan = _explain(df)
     assert _broadcast_only_nested_loops(plan)
     assert "Window" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_unigram_logprob_vocab_join_is_unhinted(spark):
+    """Same contract for the unigram LM: only the 1-row corpus total is
+    an authored broadcast; the vocab-sized count table joins unhinted."""
+    df = DQ.q_unigram_logprob(spark, SF_DIR)
+    assert _analyzed(df).count("ResolvedHint") == 1      # tot only
+    assert _broadcast_only_nested_loops(_explain(df))
 
 
 def test_embedding_quantize_is_shuffle_free(spark):
