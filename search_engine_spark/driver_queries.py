@@ -2910,6 +2910,163 @@ FROM qs q LEFT JOIN hits ON q.qid = hits.qid
 ORDER BY qid"""
 
 
+# ---------------------------------------------------------------------------
+# fused IVF × int8 ANN: ADC scoring restricted to the query's nprobe cells
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 2     # serving default for the fused entry
+
+
+def ivf_quantized_recall(spark, sf_dir, nprobe=_IVF_NPROBE):
+    """The 10^12-vector SERVING shape, fused from the two measured halves:
+    IVF cell routing (`ivf_recall`) restricted to the query's ``nprobe``
+    nearest trained centroids, scoring ONLY the stored int8 codes in
+    those cells by asymmetric distance (ADC — float query against
+    dequantized codes, `q_ann_quantized_recall`'s metric).  Per-query
+    recall@_RECALL_K against the exact float brute-force top-K.
+
+    Why this composition is the scale answer: the probe scan touches
+    ~nprobe/K of the corpus AND each scanned vector is 4x smaller
+    (int8), so a probe costs nprobe/(4K) of a float brute-force pass;
+    recall is the measured product of the two known losses.  At
+    nprobe == _IVF_K the cell routing is exhaustive, so the fused recall
+    EQUALS brute-force ADC recall exactly (asserted in tests), and it is
+    monotone in nprobe under the shared (cos desc, vec_id) comparator.
+
+    Scale shape: centroids and the nq-row query sample are broadcast,
+    candidates are cell-routed (never a full scan), both top-K ranks are
+    windows PARTITIONED BY query — no global sort; the exact side is the
+    ground truth by definition and runs over the query sample only."""
+    from pyspark.sql import Window
+
+    final, cents = _ivf_model(spark, sf_dir)
+    sc = F.greatest(
+        F.array_max(F.transform("e", lambda x: F.abs(x))), F.lit(1e-12)
+    ) / F.lit(127.0)
+    base = (
+        final.withColumn("_sc", sc)
+        .withColumn(
+            "dq",
+            F.transform(
+                "e", lambda x: F.floor(x / F.col("_sc")) * F.col("_sc")
+            ),
+        )
+        .withColumn(
+            "dnrm",
+            F.greatest(
+                F.sqrt(F.aggregate(
+                    F.col("dq"), F.lit(0.0), lambda a, x: a + x * x)),
+                F.lit(1e-12),
+            ),
+        )
+    )
+    qs = base.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("_cos").desc(), F.col("vec_id").asc()
+    )
+
+    def topk(cand, vec_col, nrm_col):
+        dot = F.aggregate(
+            F.zip_with(vec_col, "qv", lambda a, b: a * b), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            cand.filter(F.col("vec_id") != F.col("qid"))
+            .withColumn(
+                "_cos", F.round(dot / (F.col(nrm_col) * F.col("qnrm")), 4)
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= _RECALL_K)
+            .select("qid", "vec_id")
+        )
+
+    exact = topk(base.crossJoin(F.broadcast(qs)), "e", "nrm")
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn("_d", _l2("qv", "cv"))
+        .withColumn("_pr", F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.col("_d").asc(), F.col("cl").asc())))
+        .filter(F.col("_pr") <= nprobe)
+        .select("qid", "cl", "qv", "qnrm")
+    )
+    fused = topk(base.join(F.broadcast(probes), "cl"), "dq", "dnrm")
+    hits = (
+        fused.join(exact, ["qid", "vec_id"])
+        .groupBy("qid").agg(F.count("*").alias("_h"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.round(F.coalesce(F.col("_h"), F.lit(0)).cast("double")
+                    / _RECALL_K, 4).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+def q_ann_ivf_quantized(spark, sf_dir):
+    """recall@10 of the fused IVF(nprobe=_IVF_NPROBE) × int8-ADC search
+    against the exact float top-10 — see ivf_quantized_recall."""
+    return ivf_quantized_recall(spark, sf_dir, nprobe=_IVF_NPROBE)
+
+
+SQL_ANN_IVF_QUANTIZED = f"""WITH {_IVF_ASSIGN_SQL},
+st AS (
+  SELECT vec_id, cl, e, nrm,
+         greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max'),
+                  1e-12) / 127.0 AS sc
+  FROM final
+),
+b AS (
+  SELECT vec_id, cl, e, nrm,
+         list_transform(e, x -> floor(x / sc) * sc) AS dq
+  FROM st
+),
+n AS (
+  SELECT vec_id, cl, e, nrm, dq,
+         greatest(sqrt(list_dot_product(dq, dq)), 1e-12) AS dnrm
+  FROM b
+),
+qs AS (SELECT vec_id AS qid, e AS qv, nrm AS qnrm
+       FROM n WHERE vec_id < {_RECALL_NQ}),
+probes AS (
+  SELECT qid, cl FROM (
+    SELECT q.qid, c.cl, row_number() OVER (PARTITION BY q.qid
+      ORDER BY list_distance(q.qv, c.cv) ASC, c.cl ASC) AS pr
+    FROM qs q CROSS JOIN cents c) WHERE pr <= {_IVF_NPROBE}
+),
+exact AS (
+  SELECT q.qid, f.vec_id, row_number() OVER (PARTITION BY q.qid
+    ORDER BY round(list_dot_product(f.e, q.qv) / (f.nrm * q.qnrm), 4) DESC,
+             f.vec_id ASC) AS rn
+  FROM n f CROSS JOIN qs q WHERE f.vec_id <> q.qid
+),
+fused AS (
+  SELECT q.qid, f.vec_id, row_number() OVER (PARTITION BY q.qid
+    ORDER BY round(list_dot_product(f.dq, q.qv) / (f.dnrm * q.qnrm), 4) DESC,
+             f.vec_id ASC) AS rn
+  FROM n f JOIN probes p ON f.cl = p.cl JOIN qs q ON q.qid = p.qid
+  WHERE f.vec_id <> q.qid
+),
+hits AS (
+  SELECT e.qid, count(*) AS h
+  FROM (SELECT qid, vec_id FROM exact WHERE rn <= {_RECALL_K}) e
+  JOIN (SELECT qid, vec_id FROM fused WHERE rn <= {_RECALL_K}) i
+    ON e.qid = i.qid AND e.vec_id = i.vec_id
+  GROUP BY e.qid
+)
+SELECT q.qid AS qid,
+       round(coalesce(h, 0)::DOUBLE / {_RECALL_K}, 4) AS recall
+FROM qs q LEFT JOIN hits ON q.qid = hits.qid
+ORDER BY qid"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -2966,4 +3123,5 @@ QUERIES = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "ann_quantized_recall": (q_ann_quantized_recall, SQL_ANN_QUANTIZED_RECALL),
+    "ann_ivf_quantized": (q_ann_ivf_quantized, SQL_ANN_IVF_QUANTIZED),
 }

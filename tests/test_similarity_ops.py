@@ -375,3 +375,34 @@ def test_ann_quantized_recall_high_on_corpus(spark, tmp_path):
     assert all(0.0 <= v <= 1.0 for v in out.values())
     # int8 over gaussian vectors: near-exact ranking
     assert sum(out.values()) / len(out) >= 0.9
+
+
+def test_ivf_quantized_recall_monotone_and_converges_to_adc(spark):
+    """The fused IVF × int8 serving shape: per-query recall@10 is monotone
+    in nprobe (candidate supersets under the shared comparator), and at
+    nprobe == _IVF_K (every cell probed) the fused search IS brute-force
+    ADC — recall must equal q_ann_quantized_recall's exactly, so the only
+    loss left is the measured quantization loss (~0.995 mean on sf data),
+    never the cell routing."""
+    from search_engine_spark import driver_queries as DQ
+
+    sf = "/root/testdata/sf0.001"
+    by_np = {}
+    for np_ in (1, 2, DQ._IVF_K):
+        by_np[np_] = {
+            r["qid"]: r["recall"]
+            for r in DQ.ivf_quantized_recall(spark, sf, nprobe=np_).collect()
+        }
+    assert len(by_np[1]) == DQ._RECALL_NQ
+    for q in by_np[1]:
+        assert by_np[1][q] <= by_np[2][q] <= by_np[DQ._IVF_K][q]
+
+    adc = {r["qid"]: r["recall"]
+           for r in DQ.q_ann_quantized_recall(spark, sf).collect()}
+    assert by_np[DQ._IVF_K] == adc
+    mean_adc = sum(adc.values()) / len(adc)
+    assert mean_adc >= 0.99       # the measured ADC floor on sf data
+    # cell routing at the serving nprobe costs recall vs exhaustive —
+    # the trade-off must be visible and bounded, not degenerate
+    mean2 = sum(by_np[2].values()) / len(by_np[2])
+    assert 0.2 <= mean2 <= mean_adc
