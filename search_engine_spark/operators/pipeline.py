@@ -244,10 +244,6 @@ def run_append(
 
     from pyspark.sql import functions as F
 
-    from search_engine_spark.operators.merge import (
-        build_doclens, merge_partials, pack_partials, shard_col,
-    )
-
     cat = IndexCatalog(spark, warehouse)
     for t in ("docmeta", "postings", "postings_partial", "postings_packed"):
         if not cat.exists(t):
@@ -256,9 +252,10 @@ def run_append(
     if cat.get_prop(applied_key):
         return cat
 
-    num_shards = int(cat.get_prop("p6a_num_shards"))
-    bucket_width = int(cat.get_prop("p6a_bucket_width"))
-    merge_factor = int(cat.get_prop("p6a_merge_factor"))
+    # fail early if the base build never persisted its layout props
+    for k in ("p6a_num_shards", "p6a_bucket_width", "p6a_merge_factor"):
+        if cat.get_prop(k) is None:
+            raise ValueError(f"run_append needs layout property {k}")
 
     def timed(phase: str, fn) -> None:
         t0 = time.perf_counter()
@@ -309,12 +306,49 @@ def run_append(
         timed(f"a2b_{docs_t}", p2b)
 
     delta = cat.read(docs_t)
+    apply_delta(
+        spark, cat, B.build_docmeta(delta), B.build_postings(delta),
+        label=label, compaction=compaction, max_generations=max_generations,
+        bound_inflation_limit=bound_inflation_limit,
+    )
+    return cat
 
-    if delta.isEmpty():
+
+def apply_delta(
+    spark: SparkSession,
+    cat: IndexCatalog,
+    delta_meta: DataFrame,
+    delta_posts: DataFrame,
+    label: str,
+    compaction: str = "full",
+    max_generations: int = 8,
+    bound_inflation_limit: float = 1.25,
+) -> None:
+    """Apply a PRE-EXTRACTED delta (docmeta rows + logical postings, with
+    doc ids already stamped densely after the base corpus's max) to an
+    existing packed warehouse: marker-guarded appends, stats/doclens
+    refresh, one merge pass (full or tiered-manifest).  Shared by
+    ``run_append`` (crawl-refresh page batches) and the streaming
+    consolidator's incremental mode (stream micro-batches) — both delta
+    producers, one apply path."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.merge import (
+        build_doclens, merge_partials, pack_partials, shard_col,
+    )
+
+    num_shards = int(cat.get_prop("p6a_num_shards"))
+    bucket_width = int(cat.get_prop("p6a_bucket_width"))
+    merge_factor = int(cat.get_prop("p6a_merge_factor"))
+    applied_key = f"append_{label}_applied"
+
+    if delta_meta.isEmpty():
         # every url lost first-wins against the existing corpus — nothing
         # to apply; mark done so retries stay no-ops
         cat.set_prop(applied_key, 1)
-        return cat
+        return
 
     # ---- apply: append delta tables, refresh stats, one merge pass -------
     # Each append sub-step commits its own marker, so a retry after a
@@ -327,11 +361,10 @@ def run_append(
         fn()
         cat.set_prop(step_key, 1)
 
-    once("docmeta", lambda: cat.write(
-        "docmeta", B.build_docmeta(delta), mode="append"))
+    once("docmeta", lambda: cat.write("docmeta", delta_meta, mode="append"))
 
     def _append_postings() -> None:
-        posts = B.build_postings(delta).withColumn(
+        posts = delta_posts.withColumn(
             "shard", shard_col(num_shards=num_shards)
         ).sortWithinPartitions("shard", "term")
         cat.write("postings", posts, partition_by=["shard"], mode="append")
@@ -351,7 +384,7 @@ def run_append(
     # new partials only over the delta's postings (doc ids > base max)
     once("partials", lambda: cat.write(
         "postings_partial",
-        pack_partials(B.build_postings(delta), num_shards, bucket_width)
+        pack_partials(delta_posts, num_shards, bucket_width)
         .repartition(num_shards, "shard"),
         partition_by=["shard"], mode="append",
     ))
@@ -385,7 +418,8 @@ def run_append(
         # df-patch table, then commits a new generation to the manifest
         # (metadata-only; the reader applies the df patch and the
         # lossless bound scaling, see sources/catalog.py)
-        first_delta_id = int(delta.agg(F.min("doc_id")).collect()[0][0])
+        first_delta_id = int(
+            delta_meta.agg(F.min("doc_id")).collect()[0][0])
         m0 = (first_delta_id // bucket_width) // merge_factor
         tail_t = f"postings_packed_tail_{label}"
         patch_t = f"postings_df_patch_{label}"
@@ -402,7 +436,7 @@ def run_append(
         if not cat.exists(patch_t):
             cat.write(
                 patch_t,
-                B.build_postings(delta).groupBy("term").agg(
+                delta_posts.groupBy("term").agg(
                     F.count("*").cast("long").alias("df_add")),
             )
         if manifest is None:
@@ -451,4 +485,3 @@ def run_append(
     )
     cat.set_prop(applied_key, 1)
     cat.write_metrics_tables()
-    return cat

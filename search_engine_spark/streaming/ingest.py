@@ -167,6 +167,109 @@ def consolidate_stream(cat: IndexCatalog, num_shards: int = 32,
                    merge_factor=merge_factor)
 
 
+def consolidate_stream_incremental(
+    cat: IndexCatalog,
+    num_shards: int = 32,
+    salt_buckets: int = 16,
+    merge_factor: int | None = None,
+    compaction: str = "full",
+) -> str | None:
+    """Consolidate ONLY the stream micro-batches that arrived since the
+    last consolidation, through the incremental-append path — so a
+    long-running crawl pays O(delta) per refresh instead of the full
+    re-key + repack ``consolidate_stream`` does over the whole corpus
+    every time.
+
+    First call (no packed warehouse yet, or no watermark property):
+    delegates to the full ``consolidate_stream`` — the initial build must
+    re-key everything once.  Subsequent calls: new batches are first-wins
+    deduped among themselves, urls already in the consolidated corpus
+    lose against it (append semantics, the same rule as
+    ``run_append``), the survivors get dense url-rank ids continuing
+    after the base max, and ``operators.pipeline.apply_delta`` runs the
+    shared marker-guarded append + merge (``compaction`` may be
+    ``"tiered"`` for the metadata-only manifest commit).
+
+    Convergence contract (inherited from run_append): the consolidated
+    warehouse answers queries RANK-identically to a batch build of the
+    same corpus, and BIT-identically whenever each new batch's urls sort
+    after the already-consolidated corpus's.
+
+    Returns the applied append label, ``"full"`` for a first/full
+    consolidation, or ``None`` when no new batches exist."""
+    from pyspark.sql import Window
+
+    from search_engine_spark.operators.docids import dense_ids_by_key
+    from search_engine_spark.operators.pipeline import apply_delta
+
+    wm_key = "stream_consolidated_through"
+    last = cat.get_prop(wm_key)
+    if last is None or not cat.exists("postings_packed"):
+        consolidate_stream(cat, num_shards=num_shards,
+                           salt_buckets=salt_buckets,
+                           merge_factor=merge_factor)
+        max_b = cat.read("docmeta_stream").agg(
+            F.max("batch_id")).collect()[0][0]
+        cat.set_prop(wm_key, int(max_b))
+        return "full"
+
+    meta = cat.read("docmeta_stream").filter(F.col("batch_id") > int(last))
+    if meta.isEmpty():
+        return None
+    max_b = int(meta.agg(F.max("batch_id")).collect()[0][0])
+    label = f"stream_b{max_b}"
+
+    # first-wins among the NEW fetches (same sort key as the batch
+    # pipeline's dedup_first_wins), then the existing corpus wins
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_ts").asc(), F.col("text").asc(), F.col("doc_id").asc()
+    )
+    keepers = (
+        meta.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "warc_ts", "text", "batch_id")
+        .join(cat.read("docmeta").select("url"), "url", "left_anti")
+    )
+    base = cat.read("docmeta").agg(F.max("doc_id")).collect()[0][0] + 1
+    mapping = dense_ids_by_key(keepers.select("url", "doc_id"), key="url")
+    delta_meta = (
+        keepers.withColumnRenamed("doc_id", "_old")
+        .join(mapping.withColumnRenamed("doc_id", "_old"), ["url", "_old"])
+        .withColumn("doc_id", F.col("new_id") + F.lit(int(base)))
+        .select("doc_id", "url", "title", "word_count", "title_len",
+                "url_len", "english", "tld", "dl")
+    )
+    delta_posts = (
+        cat.read("postings_stream")
+        .filter(F.col("batch_id") > int(last))
+        .withColumnRenamed("doc_id", "_old")
+        # inner join: loser fetches' and already-indexed urls' postings
+        # drop out here
+        .join(mapping.withColumnRenamed("doc_id", "_old")
+              .select("_old", "new_id"), "_old")
+        .withColumn("doc_id", F.col("new_id") + F.lit(int(base)))
+        .select("term", "doc_id", "dl", "tf", "positions", "flags",
+                "pos_flags")
+    )
+    # MATERIALIZE the delta before applying: both plans anti-join against
+    # the live docmeta, so once apply_delta appends to it a lazy
+    # re-evaluation would see its own rows as already indexed and read
+    # empty.  The stage tables double as the checkpoint (crash-resume
+    # symmetry with run_append's staged docs table) and are reclaimed
+    # after the apply commits.
+    stage_meta, stage_posts = f"docmeta_delta_{label}", f"postings_delta_{label}"
+    if not cat.exists(stage_meta):
+        cat.write(stage_meta, delta_meta)
+    if not cat.exists(stage_posts):
+        cat.write(stage_posts, delta_posts)
+    apply_delta(cat.spark, cat, cat.read(stage_meta), cat.read(stage_posts),
+                label=label, compaction=compaction)
+    cat.set_prop(wm_key, max_b)
+    cat.drop(stage_meta)
+    cat.drop(stage_posts)
+    return label
+
+
 def ingest_metrics(docs: DataFrame, window: str = "1 hour",
                    watermark: str = "1 hour") -> DataFrame:
     """Event-time ingest rates over fetch timestamps, late data dropped
