@@ -169,7 +169,16 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     which the DuckDB oracle mirrors arithmetically.  The byte-histogram
     feature vector (the stand-in for a real model forward pass) is not
     byte-expressible in SQL and is covered by tests/test_multimodal.py
-    instead."""
+    instead.
+
+    Feature provenance (permanent scope line, SURVEY §7.2f): every
+    column here is CONTAINER-level (dimensions/rates from headers,
+    payload size).  Containers decoded to SAMPLES for real: PNG, GIF,
+    baseline JPEG, WAV PCM, Y4M (pixel/PCM-derived features are tested
+    in test_multimodal.py).  MPEG audio (MP3) decodes its container for
+    real (frame walk, VBR counts, duration — operators/mpeg_audio.py)
+    but its PCM stays undecoded by design; H.264 likewise.  The SMM1
+    fake container stands in only where decoded samples are needed."""
     _ensure_pythonpath(spark)
     from search_engine_spark.operators import multimodal as M
 

@@ -25,12 +25,20 @@ container signature:
   decode + dequant + float IDCT + YCbCr→RGB per ITU-T T.81); progressive
   and arithmetic-coded JPEGs raise NotImplementedError naming the
   feature.
-* ``synthesize_media``'s deterministic fake container (header below) is
-  the test/bench stand-in for codecs genuinely absent from this
-  container (compressed audio/video: MP3, H.264 …); unknown containers
-  raise — ``ValueError`` normally, ``NotImplementedError`` in strict
-  mode — so a real torchaudio/av decoder drops into ``_decode_payload``
-  with the distributed plumbing untouched.
+* MPEG audio (MP3/MP2/MP1) decodes its CONTAINER for real —
+  operators/mpeg_audio.py walks frame syncs per ISO/IEC 11172-3 (header
+  tables, ID3v2 skip, Xing/Info VBR frame counts) and yields sample
+  rate, channels, frame count, duration, bitrate; the body passed to
+  feature extraction is the tag-stripped compressed audio bytes.
+* PERMANENT SCOPE LINE (SURVEY §7.2): compressed-bitstream SAMPLE decode
+  — MP3 Layer III huffman/requantize/IMDCT/polyphase to PCM, H.264 —
+  stays out of this repo (it needs the spec's huffman/synthesis-window
+  data tables and belongs to torchaudio/av, which drop into
+  ``_decode_payload`` with the distributed plumbing untouched).
+  ``synthesize_media``'s deterministic fake container (header below)
+  remains the test/bench stand-in wherever decoded SAMPLES are needed;
+  unknown containers raise — ``ValueError`` normally,
+  ``NotImplementedError`` in strict mode, naming the missing codec.
 
 Fake payload layout (deterministic from the source row):
   bytes 0..3   magic b"SMM1"
@@ -427,11 +435,23 @@ def _decode_payload(payload: bytes, have_pil: bool,
         # REAL baseline-JPEG decode (operators/jpeg.py: huffman + dequant
         # + float IDCT + YCbCr→RGB); progressive/arithmetic raise inside
         return jpeg.decode_jpeg(payload)
+    from search_engine_spark.operators import mpeg_audio
+
+    if mpeg_audio.is_mpeg_audio(payload):
+        # REAL MPEG audio (MP3/MP2/MP1) CONTAINER decode: frame-sync walk,
+        # ID3v2 skip, Xing/Info VBR — (w, h) carry sample_rate and
+        # channels like the WAV path; the body is the compressed audio
+        # bytes (tag-stripped), NOT PCM: bitstream decode to samples is
+        # permanently out of scope here (SURVEY §7.2) and drops in via
+        # torchaudio/av on a cluster that ships those codecs.
+        s = mpeg_audio.mpeg_audio_summary(payload)
+        return s["sample_rate"], s["channels"], payload[s["audio_off"]:]
     if strict:
         raise NotImplementedError(
             "no codec for this container (PNG, GIF, baseline JPEG, WAV "
-            "PCM, Y4M, and the SMM1 fake container are supported; "
-            "compressed audio/video need torchaudio/av)"
+            "PCM, Y4M, MPEG-audio container metadata, and the SMM1 fake "
+            "container are supported; compressed audio/video SAMPLE "
+            "decode needs torchaudio/av)"
         )
     raise ValueError("unknown media container")
 

@@ -456,3 +456,115 @@ def test_png_support_check_is_pil_independent():
     payload3 = (M.PNG_SIG + struct.pack(">I", len(ihdr3)) + b"IHDR" + ihdr3
                 + b"\x00\x00\x00\x00")
     M._png_check_supported(payload3)
+
+
+# ---------------------------------------------------------------------------
+# round 5: REAL MPEG audio container parsing (operators/mpeg_audio.py) —
+# the MP3 surface is container-level by permanent scope; PCM stays out
+# ---------------------------------------------------------------------------
+
+def _mp3_frame(bitrate_idx=9, sr_idx=0, padding=0, mono=False,
+               version=3, layer=1):
+    """One valid MPEG audio frame: header + zero filler to frame_len.
+    Defaults: MPEG1 Layer III (layer bits 01), 128 kbps, 44100 Hz."""
+    from search_engine_spark.operators import mpeg_audio as MA
+
+    b0 = 0xFF
+    b1 = 0xE0 | (version << 3) | (layer << 1) | 0x1      # no CRC
+    b2 = (bitrate_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = 0xC0 if mono else 0x00
+    hdr = bytes([b0, b1, b2, b3])
+    fi = MA.parse_frame_header(hdr)
+    return hdr + b"\x00" * (fi.frame_len - 4), fi
+
+
+def test_mp3_header_fields():
+    from search_engine_spark.operators import mpeg_audio as MA
+
+    frame, fi = _mp3_frame()
+    assert (fi.version, fi.layer, fi.bitrate_kbps, fi.sample_rate,
+            fi.channels, fi.samples) == ("MPEG1", 3, 128, 44100, 2, 1152)
+    assert fi.frame_len == 144 * 128000 // 44100        # 417, no padding
+    _, fp = _mp3_frame(padding=1)
+    assert fp.frame_len == fi.frame_len + 1
+    _, fm = _mp3_frame(mono=True)
+    assert fm.channels == 1
+    # MPEG2 Layer III: 576 samples, 72-slot frames, its own bitrate row
+    _, f2 = _mp3_frame(version=2, bitrate_idx=9, sr_idx=0)
+    assert (f2.version, f2.samples, f2.sample_rate) == ("MPEG2", 576, 22050)
+    assert f2.bitrate_kbps == 80           # MPEG2 row: idx 9 → 80 kbps
+    assert f2.frame_len == 72 * 80000 // 22050
+    # Layer I: 4-byte slots, 384 samples
+    _, f1 = _mp3_frame(layer=3, bitrate_idx=4)          # MPEG1 L1 128 kbps
+    assert (f1.layer, f1.samples) == (1, 384)
+    assert f1.frame_len == (12 * 128000 // 44100) * 4
+    for bad in (b"\x00\x00\x00\x00", b"\xff\xe9\x90\x00",  # reserved ver
+                b"\xff\xfb\xf0\x00", b"\xff\xfb\x9c\x00"):  # bad br/sr
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            MA.parse_frame_header(bad)
+
+
+def test_mp3_summary_cbr_walk_and_edges():
+    from search_engine_spark.operators import mpeg_audio as MA
+
+    # padding alternates → frame lengths genuinely vary along the walk
+    frames = [_mp3_frame(padding=i % 2)[0] for i in range(40)]
+    stream = b"".join(frames)
+    s = MA.mpeg_audio_summary(stream)
+    assert s["n_frames"] == 40 and not s["vbr"]
+    assert s["duration_s"] == round(40 * 1152 / 44100, 3)
+    assert s["bitrate_kbps"] == 128 and s["sample_rate"] == 44100
+
+    # leading ID3v2 tag is skipped (syncsafe size)
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 60]) + b"\x00" * 60
+    s2 = MA.mpeg_audio_summary(tag + stream)
+    assert s2["n_frames"] == 40 and s2["audio_off"] == 70
+
+    # truncated final frame is not counted; trailing garbage stops clean
+    s3 = MA.mpeg_audio_summary(stream[:-10])
+    assert s3["n_frames"] == 39
+    s4 = MA.mpeg_audio_summary(stream + b"TAGtrailing-id3v1-junk")
+    assert s4["n_frames"] == 40
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        MA.mpeg_audio_summary(b"\x12\x34" * 100)
+
+
+def test_mp3_xing_vbr_frame_count():
+    from search_engine_spark.operators import mpeg_audio as MA
+
+    frame, fi = _mp3_frame()
+    # Xing header sits after 32 side-info bytes (MPEG1 stereo, no CRC)
+    body = bytearray(frame)
+    p = 4 + 32
+    body[p:p + 4] = b"Xing"
+    body[p + 4:p + 8] = (0x1).to_bytes(4, "big")         # frames flag
+    body[p + 8:p + 12] = (9999).to_bytes(4, "big")
+    s = MA.mpeg_audio_summary(bytes(body))
+    assert s["vbr"] and s["n_frames"] == 9999
+    assert s["duration_s"] == round(9999 * 1152 / 44100, 3)
+
+
+def test_extract_features_real_mp3_container(spark):
+    """The Spark path end-to-end on a real MP3-framed payload: mapInPandas
+    decode yields (sample_rate, channels) in the (w, h) slots and a byte
+    histogram of the tag-stripped COMPRESSED audio (PCM is permanently
+    out of scope — SURVEY §7.2)."""
+    import numpy as np
+
+    from search_engine_spark.operators import multimodal as M
+
+    frames = b"".join(_mp3_frame(padding=i % 2)[0] for i in range(8))
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    payload = tag + frames
+    media = spark.createDataFrame(
+        [(1, 7, "audio", bytearray(payload), (44100, 2, "audio/mpeg"))],
+        M.MEDIA_SCHEMA,
+    )
+    row = M.extract_features(media, strict=True).collect()[0]
+    assert (row["width"], row["height"]) == (44100, 2)
+    arr = np.frombuffer(frames, dtype=np.uint8)
+    want = np.bincount(arr >> 4, minlength=16) / arr.size
+    assert np.allclose(np.array(row["features"]), want, atol=1e-6)
