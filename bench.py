@@ -50,6 +50,8 @@ HEADLINE = [
     "text_quality",
     "fingerprint",
     "ann_cosine_topk",
+    "ann_ivf_quantized",
+    "pagerank",
     "events_window",
 ]
 

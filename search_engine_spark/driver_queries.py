@@ -3067,6 +3067,111 @@ FROM qs q LEFT JOIN hits ON q.qid = hits.qid
 ORDER BY qid"""
 
 
+_PR_ITERS = 8
+_PR_DAMP = 0.85
+# Synthetic deterministic link graph over doc_ids 0..N-1 (the reference's
+# LinkEmitter side output — HtmlParser.cpp emits outlinks per page — with
+# the crawl graph replaced by an arithmetic one so the oracle can rebuild
+# it): a ring edge (u+1) mod N guarantees out-degree >= 1 (no dangling
+# nodes, so the dangling-mass term is identically zero and total rank mass
+# stays 1), while (10u+3) and (6u+5) mod N are non-invertible maps
+# (gcd(m, N) > 1 on the sf tables) that concentrate in-degree onto a small
+# residue class — exactly the head-node skew a real web graph has.
+_PR_RULES = ((1, 1), (10, 3), (6, 5))
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the synthetic link graph: _PR_ITERS damped power
+    iterations, r0 = 1/N, r' = (1-d)/N + d * sum_in(r/outdeg).
+
+    Scale shape: edges and ranks are both keyed by node id, so each
+    iteration is one co-partitioned join + one hash aggregation on dst —
+    the Pregel message-passing shape. On a real cluster the edge table
+    would be bucketed by src and cached once; the per-iteration shuffle
+    of the (dst, contribution) pairs is inherent to PageRank. The plan
+    references the previous iteration exactly once (no dangling-mass
+    branch, see _PR_RULES), so lineage depth grows linearly in
+    iterations, not exponentially.
+    """
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    n1 = nodes.agg(F.count("*").alias("n"))  # 1-row side plan
+    with_n = nodes.crossJoin(F.broadcast(n1))
+    rules = F.array(
+        *[
+            F.struct(F.lit(m).alias("m"), F.lit(b).alias("b"))
+            for m, b in _PR_RULES
+        ]
+    )
+    edges = (
+        with_n.select("id", "n", F.explode(rules).alias("rule"))
+        .select(
+            F.col("id").alias("src"),
+            ((F.col("rule.m") * F.col("id") + F.col("rule.b"))
+             % F.col("n")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src")
+    ranks = with_n.select("id", (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(_PR_ITERS):
+        contribs = (
+            ranks.join(e, ranks["id"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            with_n.join(contribs, with_n["id"] == contribs["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - _PR_DAMP) / F.col("n")
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("r", 8).alias("pr")
+    )
+
+
+def _pagerank_sql() -> str:
+    rules = ", ".join(f"({m}, {b})" for m, b in _PR_RULES)
+    parts = [
+        f"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id AS src, (rules.m * id + rules.b) % nn.n AS dst
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (VALUES {rules}) AS rules(m, b)
+  ) WHERE src <> dst
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+c{t} AS (SELECT e.dst AS id, sum(r.r / e.deg) AS c
+         FROM r{t - 1} r JOIN e ON r.id = e.src GROUP BY e.dst),
+r{t} AS (SELECT nodes.id,
+                CAST({1.0 - _PR_DAMP} AS DOUBLE) / nn.n
+                + CAST({_PR_DAMP} AS DOUBLE) * coalesce(c{t}.c, 0) AS r
+         FROM nodes CROSS JOIN nn LEFT JOIN c{t} ON nodes.id = c{t}.id)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS doc_id, round(r, 8) AS pr FROM r{_PR_ITERS}"""
+    )
+    return "".join(parts)
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -3124,4 +3229,5 @@ QUERIES = {
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "ann_quantized_recall": (q_ann_quantized_recall, SQL_ANN_QUANTIZED_RECALL),
     "ann_ivf_quantized": (q_ann_ivf_quantized, SQL_ANN_IVF_QUANTIZED),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
 }

@@ -1,0 +1,80 @@
+"""pagerank: damped power iteration over the synthetic link graph
+(SURVEY §2 S6 — the reference's LinkEmitter side output, HtmlParser.cpp
+outlink emission — with the crawl graph replaced by a deterministic
+arithmetic one so a pure-Python twin and the DuckDB oracle can rebuild
+it edge-for-edge)."""
+
+import contextlib
+import io
+
+import duckdb
+
+from search_engine_spark import driver_queries as DQ
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _python_pagerank(ids):
+    """Pure-Python twin of q_pagerank: same graph, same iteration."""
+    n = len(ids)
+    out = {}
+    for u in ids:
+        tgts = {(m * u + b) % n for m, b in DQ._PR_RULES}
+        tgts.discard(u)
+        out[u] = sorted(tgts)
+    r = {u: 1.0 / n for u in ids}
+    for _ in range(DQ._PR_ITERS):
+        nxt = {u: 0.0 for u in ids}
+        for u, tgts in out.items():
+            share = r[u] / len(tgts)
+            for v in tgts:
+                nxt[v] += share
+        base = (1.0 - DQ._PR_DAMP) / n
+        r = {u: base + DQ._PR_DAMP * nxt[u] for u in ids}
+    return r, out
+
+
+def _ids():
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id FROM '{SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    return [r[0] for r in rows]
+
+
+def test_pagerank_matches_python_twin(spark):
+    ids = _ids()
+    expect, _ = _python_pagerank(ids)
+    got = {
+        r["doc_id"]: r["pr"]
+        for r in DQ.q_pagerank(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    # Spark returns round(r, 8); the twin is unrounded -> half-step bound
+    for u in ids:
+        assert abs(got[u] - expect[u]) < 1e-8, (u, got[u], expect[u])
+
+
+def test_pagerank_graph_has_no_dangling_nodes_and_is_skewed(spark):
+    ids = _ids()
+    r, out = _python_pagerank(ids)
+    # ring edge guarantees out-degree >= 1 -> dangling-mass term is zero
+    assert all(len(t) >= 1 for t in out.values())
+    # with no dangling nodes the teleport term conserves total mass
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    # the non-invertible maps concentrate in-degree: distribution must be
+    # genuinely non-uniform (a circulant-only graph would be flat)
+    vals = sorted(r.values())
+    assert vals[-1] > 2.0 * vals[0]
+
+
+def test_pagerank_plan_shape(spark):
+    df = DQ.q_pagerank(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the 1-row N side enters as a broadcast, never a shuffled join
+    assert "BroadcastExchange" in plan
+    # no bare cartesian product anywhere in 8 unrolled iterations
+    assert "CartesianProduct" not in plan
