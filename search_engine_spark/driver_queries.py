@@ -3093,25 +3093,7 @@ def q_pagerank(spark, sf_dir):
     branch, see _PR_RULES), so lineage depth grows linearly in
     iterations, not exponentially.
     """
-    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
-    n1 = nodes.agg(F.count("*").alias("n"))  # 1-row side plan
-    with_n = nodes.crossJoin(F.broadcast(n1))
-    rules = F.array(
-        *[
-            F.struct(F.lit(m).alias("m"), F.lit(b).alias("b"))
-            for m, b in _PR_RULES
-        ]
-    )
-    edges = (
-        with_n.select("id", "n", F.explode(rules).alias("rule"))
-        .select(
-            F.col("id").alias("src"),
-            ((F.col("rule.m") * F.col("id") + F.col("rule.b"))
-             % F.col("n")).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    with_n, edges = _link_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     e = edges.join(deg, "src")
     ranks = with_n.select("id", (F.lit(1.0) / F.col("n")).alias("r"))
@@ -3172,6 +3154,324 @@ SELECT id AS doc_id, round(r, 8) AS pr FROM r{_PR_ITERS}"""
 SQL_PAGERANK = _pagerank_sql()
 
 
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the same synthetic link graph
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 6
+
+
+def _link_edges(spark, sf_dir):
+    """(with_n, edges) for the synthetic arithmetic link graph shared by
+    q_pagerank and q_hits — see _PR_RULES for why this shape models a web
+    graph (guaranteed out-degree, skewed in-degree)."""
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    n1 = nodes.agg(F.count("*").alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n1))
+    rules = F.array(
+        *[
+            F.struct(F.lit(m).alias("m"), F.lit(b).alias("b"))
+            for m, b in _PR_RULES
+        ]
+    )
+    edges = (
+        with_n.select("id", "n", F.explode(rules).alias("rule"))
+        .select(
+            F.col("id").alias("src"),
+            ((F.col("rule.m") * F.col("id") + F.col("rule.b"))
+             % F.col("n")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return with_n, edges
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg) over the synthetic link graph:
+    auth_t = A^T hub_{t-1}, hub_t = A auth_t, _HITS_ITERS rounds.
+
+    Normalization is deferred to the very END: with hub_0 = 1 and
+    unit edge weights every intermediate score is an exact INTEGER (sums
+    of integers), so the power iteration is bit-identical across engines
+    and the only float op is one final L1 division + round.  Deferring
+    it also keeps the lineage linear — a per-iteration normalize would
+    reference each intermediate twice (value + its sum) and double the
+    logical plan per round.  Scale shape per iteration: one join of the
+    score vector against the edge list on its key + one hash aggregation
+    on the other endpoint — the same Pregel message-passing shape as
+    q_pagerank; on a cluster the edge table is bucketed by src/dst and
+    cached once.  Mirrors the reference's LinkEmitter side output
+    (HtmlParser.cpp outlink emission) feeding a link-analysis job.
+    """
+    with_n, edges = _link_edges(spark, sf_dir)
+    hub = with_n.select("id", F.lit(1).cast("long").alias("h"))
+    nodes = with_n.select("id")
+    auth = None
+    for _ in range(_HITS_ITERS):
+        auth = (
+            hub.join(edges, hub["id"] == edges["src"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .select(F.col("dst").alias("id"), "a")
+        )
+        hub = (
+            auth.join(edges, auth["id"] == edges["dst"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .select(F.col("src").alias("id"), "h")
+        )
+    asum = auth.agg(F.sum("a").alias("s"))
+    hsum = hub.agg(F.sum("h").alias("s"))
+    return (
+        auth.join(hub, "id")
+        .crossJoin(F.broadcast(asum.select(F.col("s").alias("as_"))))
+        .crossJoin(F.broadcast(hsum.select(F.col("s").alias("hs_"))))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.round(
+                F.col("a").cast("double") / F.col("as_").cast("double"), 8
+            ).alias("auth"),
+            F.round(
+                F.col("h").cast("double") / F.col("hs_").cast("double"), 8
+            ).alias("hub"),
+        )
+    )
+
+
+def _hits_sql() -> str:
+    rules = ", ".join(f"({m}, {b})" for m, b in _PR_RULES)
+    parts = [
+        f"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id AS src, (rules.m * id + rules.b) % nn.n AS dst
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (VALUES {rules}) AS rules(m, b)
+  ) WHERE src <> dst
+),
+h0 AS (SELECT id, CAST(1 AS BIGINT) AS h FROM nodes)"""
+    ]
+    for t in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f""",
+a{t} AS (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS a
+         FROM h{t - 1} h JOIN edges e ON h.id = e.src GROUP BY e.dst),
+h{t} AS (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS h
+         FROM a{t} a JOIN edges e ON a.id = e.dst GROUP BY e.src)"""
+        )
+    t = _HITS_ITERS
+    parts.append(
+        f""",
+asum AS (SELECT sum(a) AS s FROM a{t}),
+hsum AS (SELECT sum(h) AS s FROM h{t})
+SELECT a{t}.id AS doc_id,
+       round(CAST(a{t}.a AS DOUBLE) / CAST(asum.s AS DOUBLE), 8) AS auth,
+       round(CAST(h{t}.h AS DOUBLE) / CAST(hsum.s AS DOUBLE), 8) AS hub
+FROM a{t} JOIN h{t} ON a{t}.id = h{t}.id
+CROSS JOIN asum CROSS JOIN hsum
+ORDER BY doc_id"""
+    )
+    return "".join(parts)
+
+
+SQL_HITS = _hits_sql()
+
+
+# ---------------------------------------------------------------------------
+# Spelling correction: edit-distance suggestion against the term dictionary
+# ---------------------------------------------------------------------------
+
+_SPELL_MIN_LEN = 5   # source terms for the synthetic misspelling set
+_SPELL_NQ = 10       # number of misspelled queries
+_SPELL_LEN_BAND = 2  # candidate pruning: |len(q) - len(v)| <= band
+
+
+def q_spell_correct(spark, sf_dir):
+    """Did-you-mean: for each misspelled query term, the vocabulary term
+    with minimum Levenshtein distance (ties: higher df, then lexicographic).
+
+    The misspelling set is derived deterministically from the corpus (top
+    _SPELL_NQ terms of length >= _SPELL_MIN_LEN by df, 3rd character
+    deleted) so the oracle can rebuild it.  Candidate generation is the
+    scale story: a naive all-pairs edit distance against a billion-term
+    vocabulary is quadratic, so candidates are pruned to same-first-char
+    AND length within +/-_SPELL_LEN_BAND before any distance is computed
+    (the classic dictionary-correction band; Levenshtein >= length
+    difference, and a first-char typo is rare).  The tiny query set is
+    broadcast against the df table, so the vocabulary is never shuffled.
+    Serving-path analogue of the reference's query normalization surface
+    (SURVEY §2 Q1-Q4).
+    """
+    from pyspark.sql import Window
+
+    df = _tf(spark, sf_dir).groupBy("term").agg(F.count("*").alias("df"))
+    qs = (
+        df.where(F.length("term") >= _SPELL_MIN_LEN)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_SPELL_NQ)
+        .select(
+            F.concat(
+                F.expr("substring(term, 1, 2)"), F.expr("substring(term, 4)")
+            ).alias("miss")
+        )
+        .distinct()
+    )
+    cand = (
+        F.broadcast(qs)
+        .join(
+            df,
+            (F.expr("substring(miss, 1, 1) = substring(term, 1, 1)"))
+            & (
+                F.abs(F.length("miss") - F.length("term"))
+                <= _SPELL_LEN_BAND
+            ),
+        )
+        .withColumn("dist", F.levenshtein("miss", "term"))
+    )
+    w = Window.partitionBy("miss").orderBy(
+        F.asc("dist"), F.desc("df"), F.asc("term")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("miss", F.col("term").alias("suggestion"), "dist", "df")
+    )
+
+
+SQL_SPELL_CORRECT = f"""WITH {_TOKS_SQL.strip()},
+tf AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+qs AS (
+  SELECT DISTINCT substr(term, 1, 2) || substr(term, 4) AS miss FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+    FROM df WHERE length(term) >= {_SPELL_MIN_LEN}
+  ) WHERE rn <= {_SPELL_NQ}
+),
+cand AS (
+  SELECT q.miss, d.term, d.df, levenshtein(q.miss, d.term) AS dist
+  FROM qs q JOIN df d
+    ON substr(q.miss, 1, 1) = substr(d.term, 1, 1)
+   AND abs(length(q.miss) - length(d.term)) <= {_SPELL_LEN_BAND}
+)
+SELECT miss, term AS suggestion, dist, df FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY miss ORDER BY dist ASC, df DESC, term ASC) AS rn
+  FROM cand
+) WHERE rn = 1
+ORDER BY miss"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style paragraph-level exact dedup (aligned chunk hashing)
+# ---------------------------------------------------------------------------
+
+_PARA_W = 16  # tokens per "paragraph" chunk (synthetic docs have no \\n\\n)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (CCNet §3.1 shape): chunk each doc's
+    token stream into aligned _PARA_W-token paragraphs, hash each, keep
+    the FIRST occurrence of every distinct paragraph corpus-wide, and
+    report per-doc paragraph counts + how many were elided as duplicates.
+
+    Linear, not pairwise: one shuffle keyed by (doc_id, chunk) to build
+    paragraphs, one shuffle keyed by the paragraph hash for the
+    first-wins window — the same two-exchange shape at 10^12 docs, with
+    the hash shuffle doing the global dedup work (no O(n^2) pair join).
+    The synthetic corpus repeats phrases, so aligned 16-token chunks do
+    collide across docs (78 dups at sf0.01).
+    """
+    from pyspark.sql import Window
+
+    paras = (
+        _tokens(spark, sf_dir)
+        .withColumn("chunk", F.expr(f"(pos - 1) div {_PARA_W}"))
+        .groupBy("doc_id", "chunk")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("ptext")
+        )
+    )
+    w = Window.partitionBy(F.md5("ptext")).orderBy("doc_id", "chunk")
+    return (
+        paras.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_par"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+
+
+SQL_PARAGRAPH_DEDUP = f"""WITH {_TOKS_SQL.strip()},
+paras AS (
+  SELECT doc_id, (pos - 1) // {_PARA_W} AS chunk,
+         string_agg(term, ' ' ORDER BY pos) AS ptext
+  FROM toks GROUP BY doc_id, chunk
+),
+flagged AS (
+  SELECT doc_id, chunk, row_number() OVER (
+    PARTITION BY md5(ptext) ORDER BY doc_id, chunk) AS rn
+  FROM paras
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_par,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM flagged GROUP BY doc_id ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Query autocomplete: per-prefix top-k completions by document frequency
+# ---------------------------------------------------------------------------
+
+_PFX_LEN = 1  # prefix length (tiny synthetic vocab; real deploys use 1..6)
+_PFX_K = 3    # completions per prefix
+
+
+def q_prefix_suggest(spark, sf_dir):
+    """Autocomplete table: for every _PFX_LEN-char prefix in the term
+    dictionary, the top-_PFX_K completions by df (ties lexicographic).
+
+    This is the offline build of a suggestion index — at scale the df
+    aggregation is the standard term shuffle and the per-prefix top-k is
+    a window over the (small) vocabulary keyed by prefix; the serving
+    side would range-scan the materialized (prefix, rnk) table.  Pairs
+    with the reference's search-entry surface (Q9): real engines serve
+    suggestions from exactly this precomputed shape.
+    """
+    from pyspark.sql import Window
+
+    df = _tf(spark, sf_dir).groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        df.withColumn("prefix", F.substring("term", 1, _PFX_LEN))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _PFX_K)
+        .select("prefix", "term", "df", "rnk")
+    )
+
+
+SQL_PREFIX_SUGGEST = f"""WITH {_TOKS_SQL.strip()},
+tf AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT prefix, term, df, rnk FROM (
+  SELECT substr(term, 1, {_PFX_LEN}) AS prefix, term, df,
+         row_number() OVER (
+           PARTITION BY substr(term, 1, {_PFX_LEN})
+           ORDER BY df DESC, term ASC) AS rnk
+  FROM df
+) WHERE rnk <= {_PFX_K}
+ORDER BY prefix, rnk"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -3230,4 +3530,8 @@ QUERIES = {
     "ann_quantized_recall": (q_ann_quantized_recall, SQL_ANN_QUANTIZED_RECALL),
     "ann_ivf_quantized": (q_ann_ivf_quantized, SQL_ANN_IVF_QUANTIZED),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "hits": (q_hits, SQL_HITS),
+    "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "prefix_suggest": (q_prefix_suggest, SQL_PREFIX_SUGGEST),
 }

@@ -139,3 +139,56 @@ def test_ann_quantized_recall_queries_are_broadcast(spark):
     assert "BroadcastExchange" in plan
     assert _broadcast_only_nested_loops(plan)
     assert "Window" in plan
+
+
+def test_spell_correct_queries_are_broadcast(spark):
+    """The misspelled-query set is tiny and must broadcast against the
+    term dictionary — the vocabulary is never shuffled for a lookup."""
+    plan = _explain(DQ.q_spell_correct(spark, SF_DIR))
+    assert "Broadcast" in plan
+    assert _broadcast_only_nested_loops(plan)
+
+
+def test_spell_correct_candidates_are_pruned(spark):
+    """Every emitted suggestion obeys the candidate band (first char
+    kept, length within the band) and minimality sanity: dist 0 iff the
+    'misspelling' happens to be a real vocab term."""
+    rows = DQ.q_spell_correct(spark, SF_DIR).collect()
+    assert len(rows) == DQ._SPELL_NQ
+    for r in rows:
+        assert r["miss"][0] == r["suggestion"][0]
+        assert abs(len(r["miss"]) - len(r["suggestion"])) <= DQ._SPELL_LEN_BAND
+        assert (r["dist"] == 0) == (r["miss"] == r["suggestion"])
+
+
+def test_paragraph_dedup_is_linear(spark):
+    """Paragraph dedup is two shuffles (chunk agg + hash window) and no
+    join at all — never a pairwise comparison."""
+    plan = _explain(DQ.q_paragraph_dedup(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan
+
+
+def test_paragraph_dedup_finds_real_duplicates(spark):
+    """The synthetic corpus repeats phrases, so aligned chunks collide:
+    at least one duplicate paragraph must be elided, and per-doc counts
+    must be consistent (n_dup <= n_par)."""
+    rows = DQ.q_paragraph_dedup(spark, SF_DIR).collect()
+    assert sum(r["n_dup"] for r in rows) > 0
+    assert all(0 <= r["n_dup"] <= r["n_par"] for r in rows)
+
+
+def test_prefix_suggest_is_joinless_topk(spark):
+    plan = _explain(DQ.q_prefix_suggest(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" in plan
+    rows = DQ.q_prefix_suggest(spark, SF_DIR).collect()
+    by_pfx = {}
+    for r in rows:
+        by_pfx.setdefault(r["prefix"], []).append(r)
+    for pfx, grp in by_pfx.items():
+        assert len(grp) <= DQ._PFX_K
+        grp.sort(key=lambda r: r["rnk"])
+        dfs = [r["df"] for r in grp]
+        assert dfs == sorted(dfs, reverse=True)

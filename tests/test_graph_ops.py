@@ -78,3 +78,62 @@ def test_pagerank_plan_shape(spark):
     assert "BroadcastExchange" in plan
     # no bare cartesian product anywhere in 8 unrolled iterations
     assert "CartesianProduct" not in plan
+
+
+def _python_hits(ids):
+    """Pure-Python twin of q_hits: integer power iteration, one final
+    L1 normalization."""
+    n = len(ids)
+    out = {
+        u: sorted({(m * u + b) % n for m, b in DQ._PR_RULES} - {u})
+        for u in ids
+    }
+    inn = {u: [] for u in ids}
+    for u, tgts in out.items():
+        for v in tgts:
+            inn[v].append(u)
+    h = {u: 1 for u in ids}
+    a = {}
+    for _ in range(DQ._HITS_ITERS):
+        a = {v: sum(h[u] for u in inn[v]) for v in ids}
+        h = {u: sum(a[v] for v in out[u]) for u in ids}
+    return a, h
+
+
+def test_hits_matches_python_twin(spark):
+    ids = _ids()
+    a, h = _python_hits(ids)
+    # every intermediate is an exact integer in the twin by construction
+    assert all(isinstance(v, int) for v in a.values())
+    asum, hsum = sum(a.values()), sum(h.values())
+    got = {
+        r["doc_id"]: (r["auth"], r["hub"])
+        for r in DQ.q_hits(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(ids)
+    for u in ids:
+        ga, gh = got[u]
+        assert abs(ga - a[u] / asum) < 1e-8, (u, ga, a[u] / asum)
+        assert abs(gh - h[u] / hsum) < 1e-8, (u, gh, h[u] / hsum)
+
+
+def test_hits_scores_are_normalized_and_skewed(spark):
+    rows = DQ.q_hits(spark, SF_DIR).collect()
+    sa = sum(r["auth"] for r in rows)
+    sh = sum(r["hub"] for r in rows)
+    assert abs(sa - 1.0) < 1e-5 and abs(sh - 1.0) < 1e-5
+    # in-degree skew must show up as authority skew
+    auths = sorted(r["auth"] for r in rows)
+    assert auths[-1] > 2.0 * auths[0]
+
+
+def test_hits_plan_shape(spark):
+    df = DQ.q_hits(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the two 1-row normalization sums enter as broadcasts, and the
+    # iteration itself must never degenerate to a cartesian product
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
