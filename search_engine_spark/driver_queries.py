@@ -3472,6 +3472,258 @@ SELECT prefix, term, df, rnk FROM (
 ORDER BY prefix, rnk"""
 
 
+# ---------------------------------------------------------------------------
+# As-of join: most recent prior event, via the union+window merge shape
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (the time-series point-in-time lookup Spark lacks as a
+    built-in): for every 'purchase' event, the most recent other event by
+    the same user at or before the purchase timestamp.
+
+    Implemented as the UNION + WINDOW merge: tag both streams, union
+    them, sort within each user_id partition by (ts, side) — right rows
+    before left at equal ts, giving inclusive >= semantics — and carry
+    the last right-row payload forward with last(..., ignorenulls).
+    This is ONE shuffle keyed by user_id (both streams co-partitioned)
+    and a linear merge pass per partition — the plan a native ASOF JOIN
+    operator would produce — versus the naive inequality-join + argmax,
+    which explodes to O(|left| x |right per key|) pairs before pruning.
+    The DuckDB oracle uses its built-in ASOF LEFT JOIN; determinism
+    requires no duplicate (user_id, ts) pairs, which holds for the
+    event tables (asserted in tests).  Gap is returned in exact integer
+    microseconds so no float enters the compare.
+    """
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    right = ev.where(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_left"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("event_type").alias("r_type"),
+        F.lit(None).cast("long").alias("l_event_id"),
+    )
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("long").alias("r_event_id"),
+        F.lit(None).cast("string").alias("r_type"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left", F.coalesce("r_event_id", "l_event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.last(
+        F.when(
+            F.col("is_left") == 0,
+            F.struct("r_event_id", "r_type", F.col("ts").alias("r_ts")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        right.unionByName(left)
+        .withColumn("prev", prev)
+        .where(F.col("is_left") == 1)
+        .select(
+            F.col("l_event_id").alias("event_id"),
+            "user_id",
+            F.col("prev.r_event_id").alias("prev_event_id"),
+            F.col("prev.r_type").alias("prev_type"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev.r_ts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    )
+
+
+SQL_ASOF_JOIN = """WITH p AS (
+  SELECT * FROM events WHERE event_type = 'purchase'
+), o AS (
+  SELECT * FROM events WHERE event_type <> 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       o.event_id AS prev_event_id,
+       o.event_type AS prev_type,
+       epoch_us(p.ts) - epoch_us(o.ts) AS gap_us
+FROM p ASOF LEFT JOIN o
+  ON p.user_id = o.user_id AND p.ts >= o.ts
+ORDER BY p.event_id"""
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join: events into irregular time windows
+# ---------------------------------------------------------------------------
+
+_RJ_N = 50           # synthetic irregular intervals
+_RJ_BUCKET_US = 3_600_000_000  # 1h coarse buckets for the equi-join key
+
+
+def _rj_intervals(spark):
+    """_RJ_N deterministic, irregular, non-aligned intervals: start =
+    2024-01-01 + 7h*i + (i*i mod 11) min, length = 90 + (13*i mod 45)
+    min.  Irregular on purpose — date_trunc bucketing cannot express
+    membership, so a genuine range join is required."""
+    return spark.range(_RJ_N).select(
+        F.col("id").alias("interval_id"),
+        F.expr(
+            "timestamp_ntz'2024-01-01 00:00:00' + make_dt_interval(0,"
+            " 7 * id, (id * id) % 11, 0)"
+        ).alias("s"),
+        F.expr(
+            "timestamp_ntz'2024-01-01 00:00:00' + make_dt_interval(0,"
+            " 7 * id, (id * id) % 11 + 90 + (13 * id) % 45, 0)"
+        ).alias("e"),
+    )
+
+
+def q_range_join(spark, sf_dir):
+    """Range join (interval containment) — the second classic operator
+    Spark lacks natively: count + sum events falling inside each of
+    _RJ_N irregular time intervals.
+
+    Scale shape: the raw predicate s <= ts < e is a nested-loop join.
+    Bucket expansion fixes it — each interval explodes into the 1-hour
+    buckets it overlaps (bounded: <=135 min span -> <=3 rows), events
+    map to exactly one bucket, and the join becomes an EQUI-join on the
+    bucket key refined by the exact range predicate.  At 10^12 events x
+    millions of intervals this is the standard shuffle-hash range join
+    (the small interval side additionally broadcasts here).  The bucket
+    granularity only affects pruning inside Spark, never the result, so
+    the DuckDB oracle is the plain inequality join (its optimizer runs
+    an IEJoin).
+    """
+    def _us(c):
+        # events ts is TIMESTAMP_NTZ; the bucket mapping only needs to be
+        # internally consistent, so the NTZ->LTZ cast is fine here
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts",
+        "value",
+        F.floor(_us("ts") / _RJ_BUCKET_US).alias("b"),
+    )
+    iv = _rj_intervals(spark).withColumn(
+        "b",
+        F.explode(
+            F.sequence(
+                F.floor(_us("s") / _RJ_BUCKET_US),
+                F.floor(_us("e") / _RJ_BUCKET_US),
+            )
+        ),
+    )
+    return (
+        ev.join(
+            F.broadcast(iv),
+            (ev["b"] == iv["b"])
+            & (ev["ts"] >= iv["s"])
+            & (ev["ts"] < iv["e"]),
+        )
+        .groupBy("interval_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_RANGE_JOIN = f"""WITH iv AS (
+  SELECT i AS interval_id,
+         TIMESTAMP '2024-01-01' + INTERVAL (7 * i) HOUR
+           + INTERVAL ((i * i) % 11) MINUTE AS s,
+         TIMESTAMP '2024-01-01' + INTERVAL (7 * i) HOUR
+           + INTERVAL ((i * i) % 11 + 90 + (13 * i) % 45) MINUTE AS e
+  FROM range({_RJ_N}) t(i)
+)
+SELECT iv.interval_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(ev.value), 4) AS sum_value
+FROM events ev JOIN iv ON ev.ts >= iv.s AND ev.ts < iv.e
+GROUP BY iv.interval_id
+ORDER BY iv.interval_id"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (deterministic, oracle-mirrored)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4    # sketch depth (independent hash rows)
+_CMS_W = 64   # sketch width (counters per row)
+_CMS_DEN = 200  # heavy-hitter threshold: est >= total_tokens / _CMS_DEN
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters from a count-min sketch (Cormode-Muthukrishnan):
+    terms whose CMS count estimate clears total/_CMS_DEN, with the
+    (over-)estimate and the true count side by side.
+
+    The point at 10^12 docs: the sketch is _CMS_D x _CMS_W counters of
+    FIXED size regardless of vocabulary — each hash row is a groupBy on
+    bucket (map-side combinable to _CMS_W partials per task), versus the
+    vocabulary-sized state of an exact count.  The sketch is fully
+    deterministic (md5-prefix bucket hashing, integer counters), so the
+    DuckDB oracle reproduces it counter-for-counter — the estimate
+    itself is compared, not just the survivor set.  est >= true always
+    (CMS never undercounts); the threshold compare stays in integers
+    (est * _CMS_DEN >= total).
+    """
+    ct = _tokens(spark, sf_dir).groupBy("term").agg(
+        F.count("*").alias("ct")
+    )
+    total = ct.agg(F.sum("ct").alias("total"))
+    rows = ct.withColumn(
+        "d", F.explode(F.array(*[F.lit(i) for i in range(_CMS_D)]))
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat("term", F.lit("#"), F.col("d"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W,
+    )
+    sketch = rows.groupBy("d", "bucket").agg(F.sum("ct").alias("c"))
+    return (
+        rows.join(sketch, ["d", "bucket"])
+        .groupBy("term", "ct")
+        .agg(F.min("c").alias("est"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("est") * _CMS_DEN >= F.col("total"))
+        .select("term", "ct", "est")
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = f"""WITH {_TOKS_SQL.strip()},
+ct AS (SELECT term, CAST(count(*) AS BIGINT) AS ct FROM toks GROUP BY term),
+total AS (SELECT sum(ct) AS total FROM ct),
+rows_ AS (
+  SELECT term, ct, d,
+         CAST(('0x' || substr(md5(term || '#' || d), 1, 8))::UBIGINT
+              % {_CMS_W} AS BIGINT) AS bucket
+  FROM ct CROSS JOIN (SELECT unnest(range({_CMS_D})) AS d)
+),
+sketch AS (
+  SELECT d, bucket, CAST(sum(ct) AS BIGINT) AS c
+  FROM rows_ GROUP BY d, bucket
+),
+est AS (
+  SELECT r.term, r.ct, CAST(min(s.c) AS BIGINT) AS est
+  FROM rows_ r JOIN sketch s ON r.d = s.d AND r.bucket = s.bucket
+  GROUP BY r.term, r.ct
+)
+SELECT term, ct, est FROM est CROSS JOIN total
+WHERE est * {_CMS_DEN} >= total
+ORDER BY term"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -3534,4 +3786,7 @@ QUERIES = {
     "spell_correct": (q_spell_correct, SQL_SPELL_CORRECT),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "prefix_suggest": (q_prefix_suggest, SQL_PREFIX_SUGGEST),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
 }
