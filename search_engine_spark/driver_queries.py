@@ -3724,6 +3724,208 @@ WHERE est * {_CMS_DEN} >= total
 ORDER BY term"""
 
 
+# ---------------------------------------------------------------------------
+# Zone-weighted BM25 (BM25F-lite): title positions boost term frequency
+# ---------------------------------------------------------------------------
+
+_ZONE_LEN = 8     # positions 1.._ZONE_LEN count as the "title" zone
+_ZONE_W = 2.0     # occurrence weight inside the zone
+_ZONED_TERMS = ("spark", "query")
+
+
+def q_bm25_zoned(spark, sf_dir):
+    """Zone-weighted BM25 (the BM25F zone-boost shape): occurrences in
+    the first _ZONE_LEN token positions — the "title" zone of the flat
+    synthetic docs — count _ZONE_W-fold in the term frequency before the
+    usual saturation, mirroring the engine's @-title decoration (SURVEY
+    §2 T3/Q5, Ranker title channel) with a SQL-checkable oracle.
+
+    Weighted tf is a sum of 1.0/2.0 doubles, so it is EXACT in binary
+    floating point — no cross-engine drift enters before the final
+    score.  Plan shape matches q_bm25_*: query-term filter pushed below
+    the tf aggregation, df broadcast, corpus stats as a 1-row broadcast
+    side plan; disjunctive multi-term combine is a doc_id groupBy sum.
+    """
+    toks = _tokens(spark, sf_dir)
+    wtf = (
+        toks.filter(F.col("term").isin(list(_ZONED_TERMS)))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("pos") <= _ZONE_LEN, F.lit(_ZONE_W)).otherwise(
+                    F.lit(1.0)
+                )
+            ).alias("wtf")
+        )
+    )
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(
+        F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
+    )
+    df = wtf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        wtf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            bm25.idf_col(F.col("df"), F.col("_n_docs").cast("double"))
+            * (F.col("wtf") * (K1 + 1.0))
+            / (
+                F.col("wtf")
+                + K1
+                * (1.0 - B + B * F.col("dl") / F.col("_avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(_r4(F.sum("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_BM25_ZONED = f"""WITH {_TOKS_SQL.strip()},
+wtf AS (
+  SELECT term, doc_id,
+         sum(CASE WHEN pos <= {_ZONE_LEN} THEN {_ZONE_W} ELSE 1.0 END) AS wtf
+  FROM toks WHERE term IN {str(tuple(_ZONED_TERMS))}
+  GROUP BY term, doc_id
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM wtf GROUP BY term),
+scored AS (
+  SELECT w.doc_id,
+         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (w.wtf * ({K1} + 1.0))
+         / (w.wtf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS score
+  FROM wtf w
+  JOIN df ON w.term = df.term
+  JOIN dl ON w.doc_id = dl.doc_id
+  CROSS JOIN stats
+)
+{_topk_sql("SELECT doc_id, round(sum(score), 4) AS score"
+           " FROM scored GROUP BY doc_id")}"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawler frontier dedup key)
+# ---------------------------------------------------------------------------
+
+_URL_RE = (
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]+)(?::([0-9]+))?"
+    r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+)
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization — the normalization a crawl frontier applies
+    before URL-dedup (SURVEY §2 S2; the reference dedups exact url
+    strings, so equivalent-but-differently-written URLs crawl twice):
+    lowercase scheme+host, strip a leading www., drop the default port
+    for the scheme, drop the fragment, and sort query parameters.  Path
+    case is preserved (paths are case-sensitive).
+
+    The messy input URL is synthesized deterministically from doc_id in
+    BOTH engines (mixed-case scheme/host, default and non-default ports,
+    unsorted params, fragments), then parsed back with one RFC-3986-ish
+    regex that means the same thing in Java regex and RE2.  Pure
+    string/array built-ins per row — no UDF, no shuffle at all: at
+    10^12 URLs this runs entirely inside the scan stage.
+    """
+    d = _docs(spark, sf_dir).select("doc_id")
+    messy = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(
+                F.lit("https")
+            ),
+            F.lit("://WWW.Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":80"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(":443"))
+            .otherwise(F.lit(":8080")),
+            F.lit("/Path/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("?z=1&a=2&m="), (F.col("doc_id") % 5).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("#sec"), (F.col("doc_id") % 4).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    scheme = F.lower(F.regexp_extract("url", _URL_RE, 1))
+    host0 = F.lower(F.regexp_extract("url", _URL_RE, 2))
+    host = F.regexp_replace(host0, r"^www\.", "")
+    port = F.regexp_extract("url", _URL_RE, 3)
+    path = F.regexp_extract("url", _URL_RE, 4)
+    q = F.regexp_extract("url", _URL_RE, 5)
+    default_port = (
+        (scheme == "http") & (port == "80")
+    ) | ((scheme == "https") & (port == "443"))
+    return messy.select(
+        "doc_id",
+        "url",
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            F.when(
+                (port == "") | default_port, F.lit("")
+            ).otherwise(F.concat(F.lit(":"), port)),
+            path,
+            F.when(q == "", F.lit("")).otherwise(
+                F.concat(
+                    F.lit("?"), F.array_join(F.sort_array(F.split(q, "&")), "&")
+                )
+            ),
+        ).alias("norm"),
+    )
+
+
+SQL_URL_NORMALIZE = f"""WITH messy AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+         || '://WWW.Site' || (doc_id % 7) || '.Example.COM'
+         || (CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+             ELSE ':8080' END)
+         || '/Path/' || doc_id
+         || (CASE WHEN doc_id % 3 = 0
+             THEN '?z=1&a=2&m=' || (doc_id % 5) ELSE '' END)
+         || (CASE WHEN doc_id % 2 = 0
+             THEN '#sec' || (doc_id % 4) ELSE '' END) AS url
+  FROM documents
+),
+parsed AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '{_URL_RE}', 1)) AS scheme,
+         lower(regexp_extract(url, '{_URL_RE}', 2)) AS host0,
+         regexp_extract(url, '{_URL_RE}', 3) AS port,
+         regexp_extract(url, '{_URL_RE}', 4) AS path,
+         regexp_extract(url, '{_URL_RE}', 5) AS q
+  FROM messy
+)
+SELECT doc_id, url,
+       scheme || '://'
+       || (CASE WHEN host0 LIKE 'www.%' THEN substr(host0, 5) ELSE host0 END)
+       || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443')
+           THEN '' ELSE ':' || port END)
+       || path
+       || (CASE WHEN q = '' THEN ''
+           ELSE '?' || array_to_string(list_sort(str_split(q, '&')), '&')
+           END) AS norm
+FROM parsed ORDER BY doc_id"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -3789,4 +3991,6 @@ QUERIES = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "bm25_zoned": (q_bm25_zoned, SQL_BM25_ZONED),
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
 }
