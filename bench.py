@@ -53,6 +53,8 @@ HEADLINE = [
     "ann_ivf_quantized",
     "pagerank",
     "events_window",
+    "asof_join",
+    "range_join",
 ]
 
 

@@ -3926,6 +3926,119 @@ SELECT doc_id, url,
 FROM parsed ORDER BY doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# RM1 pseudo-relevance-feedback query expansion (two-pass retrieval)
+# ---------------------------------------------------------------------------
+
+_RM1_Q = "merge"   # seed query term
+_RM1_FB = 10       # feedback depth (top docs of pass 1)
+_RM1_K = 3         # expansion terms
+_RM1_W = 0.4       # expansion-term weight in the final mix
+
+
+def q_rm1_expansion(spark, sf_dir):
+    """Pseudo-relevance-feedback expansion (RM1 shape, Lavrenko-Croft):
+    retrieve top-_RM1_FB docs for the seed term, pick the _RM1_K
+    strongest non-seed terms of that feedback set by feedback-tf x idf,
+    then rescore the corpus with the seed at weight 1.0 and the
+    expansion terms at _RM1_W — the reference's synonym fallback
+    (SURVEY §2 R6, weight 0.4) generalized to corpus-derived synonyms.
+
+    Two-pass shape at scale: pass 1 touches only the seed term's
+    postings; the feedback set (10 doc ids) and the candidate vocabulary
+    (terms of 10 docs) broadcast, so expansion-term selection never
+    shuffles the corpus; pass 2 touches only the <=1+_RM1_K selected
+    terms' postings via a broadcast term-list join (the term list is
+    data-dependent, so it is a join, not an IN-filter — same pruning
+    either way).  Every ranking cutoff compares ROUNDED scores with id/
+    term tiebreaks so the fb set and expansion picks are identical
+    across engines.
+    """
+    tf_all = _tf(spark, sf_dir)
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(
+        F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl")
+    )
+    s0 = _scored(spark, sf_dir, [_RM1_Q]).filter(F.col("term") == _RM1_Q)
+    fb = (
+        s0.select("doc_id", _r4("score").alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_RM1_FB)
+        .select("doc_id")
+    )
+    cand = (
+        tf_all.join(F.broadcast(fb), "doc_id")
+        .where(F.col("term") != _RM1_Q)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("ftf"))
+    )
+    df_cand = (
+        tf_all.join(F.broadcast(cand.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    exp = (
+        cand.join(df_cand, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            _r4(
+                F.col("ftf") * F.log(F.col("_n_docs") / F.col("df"))
+            ).alias("wgt"),
+        )
+        .orderBy(F.col("wgt").desc(), F.col("term").asc())
+        .limit(_RM1_K)
+        .select("term", F.lit(_RM1_W).alias("qw"))
+    )
+    qterms = exp.unionByName(
+        spark.createDataFrame([(_RM1_Q, 1.0)], "term string, qw double")
+    )
+    tf_sel = tf_all.join(F.broadcast(qterms), "term")
+    df_sel = tf_sel.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf_sel.join(F.broadcast(df_sel), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            bm25.idf_col(F.col("df"), F.col("_n_docs").cast("double"))
+            * bm25.weight_col(F.col("tf"), F.col("dl"), F.col("_avgdl")),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(_r4(F.sum(F.col("qw") * F.col("score"))).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_RM1_EXPANSION = f"""WITH {_BM25_CORE_SQL},
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, round(score, 4) AS s FROM scored
+    WHERE term = '{_RM1_Q}'
+    ORDER BY s DESC, doc_id ASC LIMIT {_RM1_FB})
+),
+cand AS (
+  SELECT tf.term, sum(tf.tf) AS ftf
+  FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+  WHERE tf.term <> '{_RM1_Q}' GROUP BY tf.term
+),
+wgt AS (
+  SELECT c.term, round(c.ftf * ln(stats.n_docs / df.df), 4) AS wgt
+  FROM cand c JOIN df ON c.term = df.term CROSS JOIN stats
+),
+exp AS (
+  SELECT term, {_RM1_W} AS qw FROM (
+    SELECT term, wgt FROM wgt ORDER BY wgt DESC, term ASC LIMIT {_RM1_K})
+),
+qterms AS (SELECT * FROM exp UNION ALL SELECT '{_RM1_Q}', 1.0)
+{_topk_sql(
+    "SELECT s.doc_id, round(sum(q.qw * s.score), 4) AS score "
+    "FROM scored s JOIN qterms q ON s.term = q.term GROUP BY s.doc_id")}"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -3993,4 +4106,5 @@ QUERIES = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "bm25_zoned": (q_bm25_zoned, SQL_BM25_ZONED),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "rm1_expansion": (q_rm1_expansion, SQL_RM1_EXPANSION),
 }

@@ -117,3 +117,27 @@ def test_url_normalize_is_idempotent(spark):
         if q:
             rebuilt += "?" + "&".join(sorted(q.split("&")))
         assert rebuilt == r["norm"]
+
+
+def test_rm1_expansion_reranks_and_broadcasts(spark):
+    """RM1 expansion must actually change the ranking vs the seed-only
+    query (the expansion terms contribute weight), the selected terms
+    must exclude the seed, and the two-pass plan must broadcast its
+    small sides without any cartesian blowup."""
+    rm1 = [
+        (r["doc_id"], r["score"])
+        for r in DQ.q_rm1_expansion(spark, SF_DIR).collect()
+    ]
+    seed = [
+        (r["doc_id"], r["score"])
+        for r in DQ.q_bm25_single(spark, SF_DIR).collect()
+    ]
+    assert len(rm1) == 10
+    assert rm1 != seed
+    # expanded scores dominate seed-only scores for shared docs (the
+    # extra terms only ever ADD weight)
+    seed_map = dict(seed)
+    assert all(s >= seed_map[d] - 1e-6 for d, s in rm1 if d in seed_map)
+    plan = _explain(DQ.q_rm1_expansion(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
