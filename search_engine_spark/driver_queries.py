@@ -3533,11 +3533,17 @@ def q_asof_join(spark, sf_dir):
         .select(
             F.col("l_event_id").alias("event_id"),
             "user_id",
-            F.col("prev.r_event_id").alias("prev_event_id"),
-            F.col("prev.r_type").alias("prev_type"),
-            (
+            # no-prior-event rows use -1/'' sentinels instead of NULL so
+            # the driver's value-hash compare never has to agree on NULL
+            # encoding across engines
+            F.coalesce(F.col("prev.r_event_id"), F.lit(-1)).alias(
+                "prev_event_id"
+            ),
+            F.coalesce(F.col("prev.r_type"), F.lit("")).alias("prev_type"),
+            F.coalesce(
                 F.unix_micros(F.col("ts").cast("timestamp"))
-                - F.unix_micros(F.col("prev.r_ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev.r_ts").cast("timestamp")),
+                F.lit(-1),
             ).alias("gap_us"),
         )
     )
@@ -3549,9 +3555,9 @@ SQL_ASOF_JOIN = """WITH p AS (
   SELECT * FROM events WHERE event_type <> 'purchase'
 )
 SELECT p.event_id, p.user_id,
-       o.event_id AS prev_event_id,
-       o.event_type AS prev_type,
-       epoch_us(p.ts) - epoch_us(o.ts) AS gap_us
+       coalesce(o.event_id, -1) AS prev_event_id,
+       coalesce(o.event_type, '') AS prev_type,
+       coalesce(epoch_us(p.ts) - epoch_us(o.ts), -1) AS gap_us
 FROM p ASOF LEFT JOIN o
   ON p.user_id = o.user_id AND p.ts >= o.ts
 ORDER BY p.event_id"""

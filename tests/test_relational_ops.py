@@ -53,7 +53,8 @@ def test_asof_join_matches_brute_force(spark):
     for r in rows:
         b = expect[r["event_id"]]
         if b is None:
-            assert r["prev_event_id"] is None and r["gap_us"] is None
+            assert r["prev_event_id"] == -1 and r["gap_us"] == -1
+            assert r["prev_type"] == ""
         else:
             assert r["prev_event_id"] == b[0]
             assert r["prev_type"] == b[2]
