@@ -4045,6 +4045,132 @@ qterms AS (SELECT * FROM exp UNION ALL SELECT '{_RM1_Q}', 1.0)
     "FROM scored s JOIN qterms q ON s.term = q.term GROUP BY s.doc_id")}"""
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (deterministic, oracle-mirrored)
+# ---------------------------------------------------------------------------
+
+_HLL_B = 6                  # register-index bits
+_HLL_M = 1 << _HLL_B        # 64 registers
+_HLL_HASH_BITS = 60         # 15 md5 hex chars -> fits signed 64-bit
+_HLL_REST_BITS = _HLL_HASH_BITS - _HLL_B
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct count (Flajolet et al.) of the corpus's
+    (term, doc_id) posting keys, next to the exact count.
+
+    The 100 TB point: distinct-counting with a groupBy needs state
+    proportional to the key cardinality; HLL needs _HLL_M integer
+    registers TOTAL, and each register is a max-aggregation — map-side
+    combinable to _HLL_M rows per task, then one tiny reduce (this is
+    exactly what approx_count_distinct does inside Spark; building it
+    from relational ops makes the state/shuffle shape visible and gives
+    the oracle something to reproduce).  Everything before the final
+    estimate is INTEGER-exact in both engines: the 60-bit hash comes
+    from 15 md5 hex chars, the register is the low _HLL_B bits, and the
+    leading-zero rank is derived from length(bin(rest)) — both engines'
+    bin() renders without leading zeros, so no float log enters.  The
+    register sum adds dyadic rationals (2^-rho), and the one estimate
+    division is rounded to 4 decimals.  Small-range (linear counting)
+    correction applies when registers are empty; the 32-bit large-range
+    correction is irrelevant at a 60-bit hash and is omitted.
+    """
+    tf = _tf(spark, sf_dir)
+    hashed = tf.select(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        "term", F.lit("|"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    parts = hashed.select(
+        (F.col("h") % _HLL_M).alias("reg"),
+        F.shiftright("h", _HLL_B).alias("rest"),
+    )
+    rho = F.when(
+        F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1)
+    ).otherwise(_HLL_REST_BITS + 1 - F.length(F.bin("rest")))
+    regs = (
+        parts.withColumn("rho", rho)
+        .groupBy("reg")
+        .agg(F.max("rho").alias("maxrho"))
+    )
+    allregs = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("reg"))
+        .join(regs, "reg", "left")
+        .select(F.coalesce("maxrho", F.lit(0)).alias("maxrho"))
+    )
+    n_exact = tf.agg(F.count("*").alias("n_exact"))
+    agg = allregs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("maxrho"))).alias("s"),
+        F.sum(F.when(F.col("maxrho") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("zeros"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / _HLL_M)
+    raw = F.lit(alpha * _HLL_M * _HLL_M) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("zeros") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("zeros")),
+    ).otherwise(raw)
+    return (
+        agg.crossJoin(F.broadcast(n_exact))
+        .select("n_exact", F.round(est, 4).alias("est"), "zeros")
+    )
+
+
+SQL_HLL_DISTINCT = f"""WITH {_TOKS_SQL.strip()},
+tf AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+hashed AS (
+  SELECT CAST(('0x' || substr(md5(term || '|' || doc_id), 1, 15))::UBIGINT
+              AS BIGINT) AS h
+  FROM tf
+),
+parts AS (
+  SELECT h % {_HLL_M} AS reg, h // {_HLL_M} AS rest FROM hashed
+),
+regs AS (
+  SELECT reg,
+         max(CASE WHEN rest = 0 THEN {_HLL_REST_BITS + 1}
+             ELSE {_HLL_REST_BITS + 1} - length(bin(rest)) END) AS maxrho
+  FROM parts GROUP BY reg
+),
+allregs AS (
+  SELECT coalesce(regs.maxrho, 0) AS maxrho
+  FROM range({_HLL_M}) t(reg) LEFT JOIN regs ON t.reg = regs.reg
+),
+agg AS (
+  SELECT sum(pow(2.0, -maxrho)) AS s,
+         CAST(sum(CASE WHEN maxrho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zeros
+  FROM allregs
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM tf),
+raw AS (
+  SELECT s, zeros,
+         CAST('{0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M!r}'
+              AS DOUBLE) / s AS est_raw
+  FROM agg
+)
+SELECT ne.n_exact,
+       round(CASE WHEN est_raw <= {2.5 * _HLL_M} AND zeros > 0
+              THEN {float(_HLL_M)} * ln({float(_HLL_M)} / zeros)
+              ELSE est_raw END, 4) AS est,
+       zeros
+FROM raw CROSS JOIN ne"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -4113,4 +4239,5 @@ QUERIES = {
     "bm25_zoned": (q_bm25_zoned, SQL_BM25_ZONED),
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "rm1_expansion": (q_rm1_expansion, SQL_RM1_EXPANSION),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
 }
