@@ -4171,6 +4171,244 @@ SELECT ne.n_exact,
 FROM raw CROSS JOIN ne"""
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (the reference's S5 bloom state, made exact)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1024   # filter bits
+_BLOOM_K = 3      # hash functions
+_BLOOM_BASE = tuple(f"src{i}" for i in range(10))  # "already crawled" set
+
+
+def q_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership test — the reference's crawl-dedup bloom
+    state (SURVEY §2 S5, Bloom.cpp persisted frontier filter) as a
+    relational operator with its false positives surfaced: build a
+    _BLOOM_M-bit / _BLOOM_K-hash filter over the content hashes of the
+    "already crawled" half of the corpus (_BLOOM_BASE sources), then
+    probe EVERY document and report the bloom verdict next to the true
+    membership.
+
+    The 100 TB point: the filter is _BLOOM_M bits of FIXED state — here
+    materialized as the distinct set-bit table (<= m rows, broadcast to
+    the probe side), versus the unbounded distinct-key state of an
+    exact anti-join; a probe is k integer hashes + a broadcast-join
+    count, no shuffle of the big side.  Bit positions use the md5-
+    prefix hash both engines compute identically, so the filter —
+    including which non-members false-positive — is reproduced
+    bit-for-bit by the oracle.  With n/m sized for a measurable FP rate
+    (~12%), the fp column proves the filter is a real bloom, not an
+    exact set in disguise.
+    """
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.md5("text").alias("key")
+    )
+    ks = F.array(*[F.lit(j) for j in range(_BLOOM_K)])
+    probes = docs.select(
+        "doc_id",
+        "source",
+        F.explode(ks).alias("j"),
+        F.col("key"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat("key", F.lit("#"), F.col("j"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        ).alias("bit"),
+    )
+    bits = (
+        probes.where(F.col("source").isin(list(_BLOOM_BASE)))
+        .select("bit")
+        .distinct()
+    )
+    hit = (
+        probes.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nbits"))
+    )
+    return (
+        docs.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("source").isin(list(_BLOOM_BASE)), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("in_base"),
+            F.when(F.coalesce("nbits", F.lit(0)) == _BLOOM_K, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("bloom_hit"),
+        )
+        .withColumn(
+            "fp",
+            ((F.col("bloom_hit") == 1) & (F.col("in_base") == 0))
+            .cast("long"),
+        )
+    )
+
+
+SQL_BLOOM_FILTER = f"""WITH docs AS (
+  SELECT doc_id, source, md5(text) AS key FROM documents
+),
+probes AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(key || '#' || j), 1, 8))::UBIGINT
+              % {_BLOOM_M} AS BIGINT) AS bit
+  FROM docs CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS j)
+),
+bits AS (
+  SELECT DISTINCT bit FROM probes WHERE source IN {str(_BLOOM_BASE)}
+),
+hit AS (
+  SELECT doc_id, count(*) AS nbits
+  FROM probes WHERE bit IN (SELECT bit FROM bits)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN d.source IN {str(_BLOOM_BASE)} THEN 1 ELSE 0 END
+            AS BIGINT) AS in_base,
+       CAST(CASE WHEN coalesce(hit.nbits, 0) = {_BLOOM_K} THEN 1 ELSE 0 END
+            AS BIGINT) AS bloom_hit,
+       CAST(CASE WHEN coalesce(hit.nbits, 0) = {_BLOOM_K}
+                  AND d.source NOT IN {str(_BLOOM_BASE)}
+            THEN 1 ELSE 0 END AS BIGINT) AS fp
+FROM docs d LEFT JOIN hit ON d.doc_id = hit.doc_id
+ORDER BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the link graph (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+
+def q_triangle_count(spark, sf_dir):
+    """Global triangle + wedge count of the undirected link graph — the
+    classic web-graph clustering statistic.
+
+    Uses the degree-ordered orientation (Chiba-Nishizeki / the standard
+    MapReduce triangle recipe): every undirected edge points from its
+    lower-(degree, id) endpoint to the higher one, so each triangle is
+    counted exactly once from its minimum-degree corner and the wedge
+    join fans out at most max-out-degree^2 per node — on a power-law
+    web graph this bounds the blowup that a naive a<b<c two-hop join
+    takes on hub nodes.  Plan: wedge = self-join of the oriented edge
+    list on its source, closure = one semi-join of wedges against the
+    canonical undirected edge set.  All integers; the oracle mirrors
+    the same three joins.
+    """
+    _, edges = _link_edges(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    ).distinct()
+    deg = (
+        und.select(F.col("lo").alias("v"))
+        .unionAll(und.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    dl_ = deg.select(
+        F.col("v").alias("lo"), F.col("deg").alias("deg_lo")
+    )
+    dh_ = deg.select(
+        F.col("v").alias("hi"), F.col("deg").alias("deg_hi")
+    )
+    oriented = (
+        und.join(dl_, "lo")
+        .join(dh_, "hi")
+        .select(
+            F.when(
+                (F.col("deg_lo") < F.col("deg_hi"))
+                | (
+                    (F.col("deg_lo") == F.col("deg_hi"))
+                    & (F.col("lo") < F.col("hi"))
+                ),
+                F.col("lo"),
+            )
+            .otherwise(F.col("hi"))
+            .alias("u"),
+            F.when(
+                (F.col("deg_lo") < F.col("deg_hi"))
+                | (
+                    (F.col("deg_lo") == F.col("deg_hi"))
+                    & (F.col("lo") < F.col("hi"))
+                ),
+                F.col("hi"),
+            )
+            .otherwise(F.col("lo"))
+            .alias("v"),
+        )
+    )
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    wedges = oriented.join(
+        o2, (oriented["u"] == o2["u2"]) & (oriented["v"] < o2["w"])
+    ).select("v", "w")
+    tri = wedges.join(
+        und,
+        (
+            (F.least("v", "w") == und["lo"])
+            & (F.greatest("v", "w") == und["hi"])
+        ),
+        "left_semi",
+    )
+    return (
+        tri.agg(F.count("*").alias("n_triangles"))
+        .crossJoin(
+            F.broadcast(wedges.agg(F.count("*").alias("n_wedges")))
+        )
+    )
+
+
+def _triangle_sql() -> str:
+    rules = ", ".join(f"({m}, {b})" for m, b in _PR_RULES)
+    return f"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id AS src, (rules.m * id + rules.b) % nn.n AS dst
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (VALUES {rules}) AS rules(m, b)
+  ) WHERE src <> dst
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM edges
+),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT lo AS v FROM und UNION ALL SELECT hi AS v FROM und
+  ) GROUP BY v
+),
+oriented AS (
+  SELECT CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND und.lo < und.hi)
+         THEN und.lo ELSE und.hi END AS u,
+         CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND und.lo < und.hi)
+         THEN und.hi ELSE und.lo END AS v
+  FROM und JOIN deg dl ON und.lo = dl.v JOIN deg dh ON und.hi = dh.v
+),
+wedges AS (
+  SELECT a.v AS v, b.v AS w
+  FROM oriented a JOIN oriented b ON a.u = b.u AND a.v < b.v
+),
+tri AS (
+  SELECT * FROM wedges
+  WHERE EXISTS (SELECT 1 FROM und
+                WHERE und.lo = least(wedges.v, wedges.w)
+                  AND und.hi = greatest(wedges.v, wedges.w))
+)
+SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+       CAST((SELECT count(*) FROM wedges) AS BIGINT) AS n_wedges"""
+
+
+SQL_TRIANGLE_COUNT = _triangle_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -4240,4 +4478,6 @@ QUERIES = {
     "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
     "rm1_expansion": (q_rm1_expansion, SQL_RM1_EXPANSION),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
 }

@@ -137,3 +137,30 @@ def test_hits_plan_shape(spark):
     # iteration itself must never degenerate to a cartesian product
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_matches_brute_force(spark):
+    ids = _ids()
+    n = len(ids)
+    E = set()
+    for u in ids:
+        for m, b in DQ._PR_RULES:
+            v = (m * u + b) % n
+            if v != u:
+                E.add((min(u, v), max(u, v)))
+    adj = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(len(adj[a] & adj[b]) for a, b in E) // 3
+    deg = {v: len(adj[v]) for v in adj}
+    # wedges = sum over orientation centers of C(outdeg, 2)
+    out = {}
+    for a, b in E:
+        u, v = (a, b) if (deg[a], a) < (deg[b], b) else (b, a)
+        out[u] = out.get(u, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in out.values())
+    (r,) = DQ.q_triangle_count(spark, SF_DIR).collect()
+    assert r["n_triangles"] == tri
+    assert r["n_wedges"] == wedges
+    assert tri > 0  # the arithmetic graph genuinely closes triangles

@@ -204,3 +204,47 @@ def test_hll_distinct_matches_brute_force(spark):
     assert abs(r["est"] - est) < 1e-3
     # HLL standard error is ~1.04/sqrt(m) = 13% at m=64; allow 3 sigma
     assert abs(r["est"] - n) / n < 0.40
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_filter_matches_brute_force_and_has_fp(spark):
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, md5(text) FROM "
+        f"'{SF_DIR}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    bits = set()
+    for _, src, key in docs:
+        if src in DQ._BLOOM_BASE:
+            for j in range(DQ._BLOOM_K):
+                h = hashlib.md5(f"{key}#{j}".encode()).hexdigest()
+                bits.add(int(h[:8], 16) % DQ._BLOOM_M)
+    expect = {}
+    for did, src, key in docs:
+        hit = all(
+            int(
+                hashlib.md5(f"{key}#{j}".encode()).hexdigest()[:8], 16
+            )
+            % DQ._BLOOM_M
+            in bits
+            for j in range(DQ._BLOOM_K)
+        )
+        expect[did] = (1 if src in DQ._BLOOM_BASE else 0, 1 if hit else 0)
+    rows = DQ.q_bloom_filter(spark, SF_DIR).collect()
+    assert len(rows) == len(expect)
+    fps = 0
+    for r in rows:
+        in_base, hit = expect[r["doc_id"]]
+        assert r["in_base"] == in_base
+        assert r["bloom_hit"] == hit
+        assert r["fp"] == (1 if hit and not in_base else 0)
+        fps += r["fp"]
+        # a bloom filter NEVER false-negatives
+        if in_base:
+            assert r["bloom_hit"] == 1
+    # sized for a measurable FP rate: the filter must actually be lossy
+    assert fps > 0
