@@ -4409,6 +4409,230 @@ SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
 SQL_TRIANGLE_COUNT = _triangle_sql()
 
 
+# ---------------------------------------------------------------------------
+# TextRank keywords (PageRank over the word co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+_TR_W = 2        # co-occurrence window (positions within distance <= 2)
+_TR_ITERS = 8
+_TR_DAMP = 0.85
+_TR_K = 10
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank (Mihalcea-Tarau): corpus-level keyword ranking as damped
+    PageRank over the word co-occurrence graph — terms are nodes, an
+    undirected edge links terms that appear within _TR_W positions of
+    each other in any document.
+
+    The graph build is the interesting shuffle: a per-doc positional
+    self-join banded by |delta pos| <= _TR_W (each token joins at most
+    2*_TR_W others — linear in corpus size, co-partitioned by doc_id),
+    then DISTINCT canonical pairs keyed by term.  The iteration reuses
+    the q_pagerank shape: symmetrized edges mean every node has
+    out-degree >= 1 (no dangling-mass branch), so each round is one
+    join + one aggregation and lineage stays linear.  Top-_TR_K by
+    ROUNDED rank (term tiebreak) so both engines pick identical
+    keywords.  Complements q_tfidf_keywords: frequency-free, purely
+    structural importance.
+    """
+    toks = _tokens(spark, sf_dir)
+    t2 = toks.select(
+        F.col("doc_id").alias("d2"),
+        F.col("term").alias("term2"),
+        F.col("pos").alias("pos2"),
+    )
+    pairs = (
+        toks.join(
+            t2,
+            (F.col("doc_id") == F.col("d2"))
+            & (F.col("pos2") > F.col("pos"))
+            & (F.col("pos2") <= F.col("pos") + _TR_W)
+            & (F.col("term") != F.col("term2")),
+        )
+        .select(
+            F.least("term", "term2").alias("lo"),
+            F.greatest("term", "term2").alias("hi"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    n1 = nodes.agg(F.count("*").alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n1))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src")
+    ranks = with_n.select("id", (F.lit(1.0) / F.col("n")).alias("r"))
+    for _ in range(_TR_ITERS):
+        contribs = (
+            ranks.join(e, ranks["id"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = with_n.join(
+            contribs, with_n["id"] == contribs["dst"], "left"
+        ).select(
+            "id",
+            (
+                F.lit(1.0 - _TR_DAMP) / F.col("n")
+                + F.lit(_TR_DAMP) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return (
+        ranks.select(
+            F.col("id").alias("term"), F.round("r", 8).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), F.col("term").asc())
+        .limit(_TR_K)
+    )
+
+
+def _textrank_sql() -> str:
+    parts = [
+        f"""WITH {_TOKS_SQL.strip()},
+pairs AS (
+  SELECT DISTINCT least(a.term, b.term) AS lo,
+                  greatest(a.term, b.term) AS hi
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos <= a.pos + {_TR_W}
+   AND a.term <> b.term
+),
+edges AS (
+  SELECT lo AS src, hi AS dst FROM pairs
+  UNION ALL SELECT hi AS src, lo AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for t in range(1, _TR_ITERS + 1):
+        parts.append(
+            f""",
+c{t} AS (SELECT e.dst AS id, sum(r.r / e.deg) AS c
+         FROM r{t - 1} r JOIN e ON r.id = e.src GROUP BY e.dst),
+r{t} AS (SELECT nodes.id,
+                CAST({1.0 - _TR_DAMP} AS DOUBLE) / nn.n
+                + CAST({_TR_DAMP} AS DOUBLE) * coalesce(c{t}.c, 0) AS r
+         FROM nodes CROSS JOIN nn LEFT JOIN c{t} ON nodes.id = c{t}.id)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS term, round(r, 8) AS rank FROM r{_TR_ITERS}
+ORDER BY rank DESC, term ASC LIMIT {_TR_K}"""
+    )
+    return "".join(parts)
+
+
+SQL_TEXTRANK_KEYWORDS = _textrank_sql()
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling over the link graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 4       # core threshold
+_KCORE_ROUNDS = 4  # fixed peeling rounds (fixpoint in 2 on the sf graphs)
+
+
+def q_kcore(spark, sf_dir):
+    """k-core decomposition (fixed-round peel): repeatedly remove nodes
+    whose degree within the surviving set is < _KCORE_K from the
+    undirected link graph; after _KCORE_ROUNDS rounds, report surviving
+    nodes with their in-core degrees.  The k-core is the classic
+    web-graph spam/community signal (dense-subgraph membership).
+
+    Each round re-derives degrees from the ORIGINAL edge list
+    restricted to the current keep set, and the keep set is
+    MATERIALIZED per round (localCheckpoint — Pregel's superstep
+    barrier): the peel references the previous round's result on BOTH
+    edge endpoints, so a lazy formulation would triple the logical plan
+    every round (3^rounds subtrees — Catalyst analysis explodes; the
+    first draft of this operator hung exactly that way).  The oracle
+    mirrors the materialization with AS MATERIALIZED CTEs.  Rounds are
+    FIXED, not run-to-convergence, so both engines compute the
+    identical relation even mid-convergence; the test asserts the sf
+    graphs reach their fixpoint within the budget (an extra round
+    changes nothing).
+    """
+    _, directed = _link_edges(spark, sf_dir)
+    und = directed.select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    ).distinct()
+    edges = und.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b")
+    ).unionAll(und.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
+    keep = None
+    for _ in range(_KCORE_ROUNDS):
+        cur = edges
+        if keep is not None:
+            cur = cur.join(keep, "a", "left_semi").join(
+                keep.select(F.col("a").alias("b")), "b", "left_semi"
+            )
+        keep = (
+            cur.groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= _KCORE_K)
+            .select("a")
+            .localCheckpoint(eager=True)
+        )
+    core = edges.join(keep, "a", "left_semi").join(
+        keep.select(F.col("a").alias("b")), "b", "left_semi"
+    )
+    return (
+        core.groupBy("a")
+        .agg(F.count("*").alias("core_deg"))
+        .select(F.col("a").alias("doc_id"), "core_deg")
+    )
+
+
+def _kcore_sql() -> str:
+    rules = ", ".join(f"({m}, {b})" for m, b in _PR_RULES)
+    parts = [
+        f"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+dedges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id AS src, (rules.m * id + rules.b) % nn.n AS dst
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (VALUES {rules}) AS rules(m, b)
+  ) WHERE src <> dst
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM dedges
+),
+e0 AS (
+  SELECT lo AS a, hi AS b FROM und
+  UNION ALL SELECT hi AS a, lo AS b FROM und
+)"""
+    ]
+    for t in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+k{t} AS MATERIALIZED (SELECT a FROM e{t - 1} GROUP BY a
+         HAVING count(*) >= {_KCORE_K}),
+e{t} AS MATERIALIZED (SELECT e.a, e.b FROM e{t - 1} e
+         WHERE e.a IN (SELECT a FROM k{t})
+           AND e.b IN (SELECT a FROM k{t}))"""
+        )
+    parts.append(
+        f"""
+SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+FROM e{_KCORE_ROUNDS} GROUP BY a ORDER BY doc_id"""
+    )
+    return "".join(parts)
+
+
+SQL_KCORE = _kcore_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -4480,4 +4704,6 @@ QUERIES = {
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
+    "kcore": (q_kcore, SQL_KCORE),
 }

@@ -164,3 +164,84 @@ def test_triangle_count_matches_brute_force(spark):
     assert r["n_triangles"] == tri
     assert r["n_wedges"] == wedges
     assert tri > 0  # the arithmetic graph genuinely closes triangles
+
+
+def _und_adj(ids):
+    n = len(ids)
+    E = set()
+    for u in ids:
+        for m, b in DQ._PR_RULES:
+            v = (m * u + b) % n
+            if v != u:
+                E.add((min(u, v), max(u, v)))
+    adj = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return E, adj
+
+
+def test_kcore_matches_python_twin_and_reaches_fixpoint(spark):
+    ids = _ids()
+    _, adj = _und_adj(ids)
+    keep = set(adj)
+    history = []
+    for _ in range(DQ._KCORE_ROUNDS + 1):  # one EXTRA round
+        keep = {v for v in keep if len(adj[v] & keep) >= DQ._KCORE_K}
+        history.append(set(keep))
+    # fixpoint within the operator's round budget
+    assert history[DQ._KCORE_ROUNDS] == history[DQ._KCORE_ROUNDS - 1]
+    expect = {
+        v: len(adj[v] & history[DQ._KCORE_ROUNDS - 1])
+        for v in history[DQ._KCORE_ROUNDS - 1]
+    }
+    got = {
+        r["doc_id"]: r["core_deg"]
+        for r in DQ.q_kcore(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # the peel actually removes something (the core is non-trivial)
+    assert 0 < len(expect) < len(ids)
+
+
+def _python_textrank(spark):
+    toks = DQ._tokens(spark, SF_DIR).collect()
+    bydoc = {}
+    for r in toks:
+        bydoc.setdefault(r["doc_id"], []).append((r["pos"], r["term"]))
+    pairs = set()
+    for terms in bydoc.values():
+        terms.sort()
+        for i, (p1, t1) in enumerate(terms):
+            for p2, t2 in terms[i + 1:]:
+                if p2 > p1 + DQ._TR_W:
+                    break
+                if t1 != t2:
+                    pairs.add((min(t1, t2), max(t1, t2)))
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    r = {t: 1.0 / n for t in adj}
+    for _ in range(DQ._TR_ITERS):
+        nxt = {t: 0.0 for t in adj}
+        for t, nbrs in adj.items():
+            share = r[t] / len(nbrs)
+            for v in nbrs:
+                nxt[v] += share
+        base = (1.0 - DQ._TR_DAMP) / n
+        r = {t: base + DQ._TR_DAMP * nxt[t] for t in adj}
+    top = sorted(r.items(), key=lambda kv: (-round(kv[1], 8), kv[0]))
+    return top[: DQ._TR_K]
+
+
+def test_textrank_matches_python_twin(spark):
+    expect = _python_textrank(spark)
+    got = [
+        (r["term"], r["rank"])
+        for r in DQ.q_textrank_keywords(spark, SF_DIR).collect()
+    ]
+    assert [t for t, _ in got] == [t for t, _ in expect]
+    for (gt, gr), (_, er) in zip(got, expect):
+        assert abs(gr - er) < 1e-8, (gt, gr, er)
