@@ -4633,6 +4633,433 @@ FROM e{_KCORE_ROUNDS} GROUP BY a ORDER BY doc_id"""
 SQL_KCORE = _kcore_sql()
 
 
+# ---------------------------------------------------------------------------
+# hybrid retrieval, crawl scheduling, snippets, and more graph surfaces
+# ---------------------------------------------------------------------------
+
+def _edges_sql() -> str:
+    """The synthetic arithmetic link graph as a SQL CTE prefix (nodes, nn,
+    edges) — the oracle twin of _link_edges, shared by the newer graph
+    entries (bfs_hops, label_propagation, anchor_text)."""
+    rules = ", ".join(f"({m}, {b})" for m, b in _PR_RULES)
+    return f"""nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id AS src, (rules.m * id + rules.b) % nn.n AS dst
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (VALUES {rules}) AS rules(m, b)
+  ) WHERE src <> dst
+)"""
+
+
+_RRF_K = 60          # the standard RRF constant (Cormack et al., SIGIR'09)
+_RRF_DEPTH = 50      # fuse the top-50 of each list
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25 list
+    (term 'merge' over documents) and the semantic cosine list (query
+    vector 0 over embeddings), rrf(d) = Σ_lists 1/(_RRF_K + rank_d).
+
+    Scale shape: each list is cut to its top-_RRF_DEPTH FIRST via a
+    distributed TakeOrdered (never a global sort), so the rank windows
+    and the full-outer fusion join run over 2×50 rows regardless of
+    corpus size — the fusion cost is O(k), all the heavy lifting stays
+    in the two underlying retrieval plans.  Ranks are assigned on
+    4-decimal-rounded scores with id tie-breaks so both engines agree.
+    """
+    from pyspark.sql import Window
+
+    lex50 = (
+        _scored(spark, sf_dir, ["merge"])
+        .select("doc_id", _r4("score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = lex50.select("doc_id", F.row_number().over(wl).alias("lr"))
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sem50 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _r4(dot / (nrm("embedding") * nrm("qv"))).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    ws = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    sem = sem50.select("doc_id", F.row_number().over(ws).alias("sr"))
+
+    one = F.lit(1.0)
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(one / (F.col("lr") + F.lit(_RRF_K)), F.lit(0.0))
+                + F.coalesce(one / (F.col("sr") + F.lit(_RRF_K)), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_RRF_FUSION = f"""WITH {_BM25_CORE_SQL},
+lex50 AS (
+  SELECT doc_id, round(score, 4) AS score FROM scored WHERE term = 'merge'
+  ORDER BY score DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lr
+  FROM lex50
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+qv AS (SELECT embedding AS v FROM emb WHERE vec_id = 0),
+sem50 AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding, q.v)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(q.v, q.v))), 4) AS cos
+  FROM emb e CROSS JOIN qv q WHERE e.vec_id <> 0
+  ORDER BY cos DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+),
+sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS sr
+  FROM sem50
+)
+SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       round(coalesce(CAST(1 AS DOUBLE) / (lex.lr + {_RRF_K}), 0)
+             + coalesce(CAST(1 AS DOUBLE) / (sem.sr + {_RRF_K}), 0), 6) AS rrf
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT 10"""
+
+
+_BFS_ITERS = 4
+_BFS_SEED_MOD = 97   # seeds = ids ≡ 0 (mod 97): a sparse multi-source set
+
+
+def q_bfs_hops(spark, sf_dir):
+    """Multi-source BFS distance over the synthetic link graph:
+    _BFS_ITERS synchronous relaxations of dist' = min(dist, dist[pred]+1)
+    from the seed set {id ≡ 0 mod _BFS_SEED_MOD} — the crawl-depth /
+    seed-distance computation of a frontier-limited crawler.
+
+    Scale shape: each round is one co-partitioned join of the frontier
+    against the edge list plus a min-aggregation on node id (the Pregel
+    shape, like q_pagerank); the frontier unions stay keyed by node id,
+    so a fixed-iteration BFS costs O(iters) shuffles of at most |V|
+    rows, no driver-side state.
+    """
+    with_n, edges = _link_edges(spark, sf_dir)
+    dist = (
+        with_n.select("id")
+        .filter(F.col("id") % _BFS_SEED_MOD == 0)
+        .select("id", F.lit(0).cast("long").alias("hops"))
+    )
+    for _ in range(_BFS_ITERS):
+        nxt = dist.join(edges, dist["id"] == edges["src"]).select(
+            F.col("dst").alias("id"), (F.col("hops") + F.lit(1)).alias("hops")
+        )
+        dist = (
+            dist.unionAll(nxt)
+            .groupBy("id")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return dist.select(
+        F.col("id").alias("doc_id"), F.col("hops").cast("long").alias("hops")
+    )
+
+
+def _bfs_sql() -> str:
+    parts = [f"""WITH {_edges_sql()},
+d0 AS (SELECT id, CAST(0 AS BIGINT) AS hops FROM nodes
+       WHERE id % {_BFS_SEED_MOD} = 0)"""]
+    for t in range(1, _BFS_ITERS + 1):
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT id, min(h) AS hops FROM (
+    SELECT id, hops AS h FROM d{t - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.hops + 1 AS h
+    FROM d{t - 1} d JOIN edges e ON d.id = e.src
+  ) GROUP BY id
+)"""
+        )
+    parts.append(f"""
+SELECT id AS doc_id, hops FROM d{_BFS_ITERS}""")
+    return "".join(parts)
+
+
+SQL_BFS_HOPS = _bfs_sql()
+
+
+_LPA_ITERS = 3
+
+
+def q_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the undirected link graph: every node adopts the most
+    frequent label among its neighbors each round (ties → min label),
+    _LPA_ITERS rounds from lbl0 = id.  Deterministic by construction
+    (synchronous updates + total tie order), unlike the paper's
+    randomized async schedule — determinism is what makes the result
+    oracle-checkable and run-stable on a cluster.
+
+    Scale shape: each round is one join of the edge list against the
+    current labels, a (node, label) count aggregation, and a per-node
+    top-1 window — all keyed by node id, Pregel-shaped like q_pagerank;
+    no global sort, no driver state.
+    """
+    from pyspark.sql import Window
+
+    with_n, edges = _link_edges(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    ).distinct()
+    nbr = und.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionAll(und.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+
+    lbl = with_n.select("id", F.col("id").alias("lbl"))
+    w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(_LPA_ITERS):
+        msgs = nbr.join(lbl, nbr["src"] == lbl["id"]).select(
+            F.col("dst").alias("id"), "lbl"
+        )
+        cnt = msgs.groupBy("id", "lbl").agg(F.count("*").alias("c"))
+        pick = (
+            cnt.select("id", "lbl", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("lbl").alias("new_lbl"))
+        )
+        lbl = lbl.join(pick, "id", "left").select(
+            "id", F.coalesce("new_lbl", "lbl").alias("lbl")
+        )
+    return lbl.select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").cast("long").alias("community"),
+    )
+
+
+def _lpa_sql() -> str:
+    parts = [f"""WITH {_edges_sql()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges
+),
+nbr AS (
+  SELECT lo AS src, hi AS dst FROM und
+  UNION ALL SELECT hi AS src, lo AS dst FROM und
+),
+l0 AS (SELECT id, id AS lbl FROM nodes)"""]
+    for t in range(1, _LPA_ITERS + 1):
+        parts.append(
+            f""",
+c{t} AS (
+  SELECT n.dst AS id, l.lbl, count(*) AS c
+  FROM nbr n JOIN l{t - 1} l ON n.src = l.id GROUP BY n.dst, l.lbl
+),
+p{t} AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM c{t}
+  ) WHERE rn = 1
+),
+l{t} AS (
+  SELECT l.id, coalesce(p.lbl, l.lbl) AS lbl
+  FROM l{t - 1} l LEFT JOIN p{t} p ON l.id = p.id
+)"""
+        )
+    parts.append(f"""
+SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community FROM l{_LPA_ITERS}""")
+    return "".join(parts)
+
+
+SQL_LABEL_PROPAGATION = _lpa_sql()
+
+
+_FRONTIER_DELAY_S = 5
+_FRONTIER_K = 100
+
+
+def q_crawl_frontier(spark, sf_dir):
+    """Politeness-scheduled crawl frontier: the reference's crawler
+    rate-limits per host (one in-flight fetch per host, see SURVEY §2
+    S1); modeled here as per-host serialization — within each `source`
+    host, urls are ordered by priority (n_chars DESC, the 'longer page
+    = richer hub' heuristic, id tie-break) and the i-th url of a host
+    becomes fetchable at slot i*_FRONTIER_DELAY_S seconds.  Returns the
+    next _FRONTIER_K fetches across all hosts, earliest slot first.
+
+    Scale shape: the per-host ranking is a window partitioned BY HOST —
+    hosts hash-distribute across executors and no host's url list is
+    web-scale, so the sort is bounded per partition; the final next-K is
+    a distributed TakeOrdered, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    sched = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        ((F.row_number().over(w) - F.lit(1)) * F.lit(_FRONTIER_DELAY_S))
+        .cast("long")
+        .alias("slot_s"),
+    )
+    return (
+        sched.orderBy(
+            F.col("slot_s").asc(), F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+        .limit(_FRONTIER_K)
+        .select("doc_id", "source", "slot_s")
+    )
+
+
+SQL_CRAWL_FRONTIER = f"""WITH sched AS (
+  SELECT doc_id, source, n_chars,
+         CAST((row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id ASC) - 1)
+              * {_FRONTIER_DELAY_S} AS BIGINT) AS slot_s
+  FROM documents
+)
+SELECT doc_id, source, slot_s FROM sched
+ORDER BY slot_s ASC, n_chars DESC, doc_id ASC LIMIT {_FRONTIER_K}"""
+
+
+_SNIPPET_TERM = "merge"
+_SNIPPET_CTX = 30    # chars of context before the hit
+_SNIPPET_LEN = 60    # total snippet length
+
+
+def q_snippet_extract(spark, sf_dir):
+    """Query-biased result snippets: for documents containing the query
+    term, extract a _SNIPPET_LEN-char window starting _SNIPPET_CTX chars
+    before the first (case-insensitive) occurrence — the result-page
+    snippet the reference's BuildSearchHTML would show next to each hit.
+
+    Scale shape: one narrow projection over the documents scan (locate +
+    substring are JVM string expressions inside whole-stage codegen; no
+    shuffle until the final TakeOrdered-10), and only the first 60+30
+    chars around the hit ever leave the scan — never the full text.
+    """
+    p = F.locate(_SNIPPET_TERM, F.lower(F.col("text")))
+    hit = (
+        _docs(spark, sf_dir)
+        .select("doc_id", p.alias("pos"), "text")
+        .filter(F.col("pos") > 0)
+    )
+    start = F.greatest(F.lit(1), F.col("pos") - F.lit(_SNIPPET_CTX))
+    return (
+        hit.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("text").substr(start, F.lit(_SNIPPET_LEN)).alias("snippet"),
+        )
+        .orderBy(F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_SNIPPET_EXTRACT = f"""WITH hit AS (
+  SELECT doc_id,
+         CAST(strpos(lower(text), '{_SNIPPET_TERM}') AS BIGINT) AS pos,
+         text
+  FROM documents WHERE strpos(lower(text), '{_SNIPPET_TERM}') > 0
+)
+SELECT doc_id, pos,
+       substr(text, CAST(greatest(1, pos - {_SNIPPET_CTX}) AS INTEGER),
+              {_SNIPPET_LEN}) AS snippet
+FROM hit ORDER BY doc_id ASC LIMIT 10"""
+
+
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation per link target — the classic web-search
+    signal (the reference's LinkEmitter S6 emits (url, anchor) pairs for
+    exactly this).  Anchors are synthesized deterministically as the
+    first two tokens of the linking page's text; per target we report
+    in-link count and the most frequent anchor (ties → lexicographic).
+
+    Scale shape: anchors are a narrow per-source projection joined onto
+    the edge list by src (both keyed by node id), then one (dst, anchor)
+    hash aggregation with map-side combine and a per-dst top-1 window —
+    on a real web graph the window partitions by target url, which is
+    exactly how anchor indexes are sharded.
+    """
+    from pyspark.sql import Window
+
+    _, edges = _link_edges(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    anch = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("src"),
+        F.array_join(F.slice(toks, 1, 2), " ").alias("anchor"),
+    )
+    ea = edges.join(anch, "src")
+    cnt = ea.groupBy("dst", "anchor").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("anchor").asc())
+    top = (
+        cnt.select("dst", "anchor", "c", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+    )
+    inl = ea.groupBy("dst").agg(F.count("*").cast("long").alias("n_inlinks"))
+    return inl.join(top, "dst").select(
+        F.col("dst").alias("doc_id"),
+        "n_inlinks",
+        F.col("anchor").alias("top_anchor"),
+        F.col("c").cast("long").alias("anchor_n"),
+    )
+
+
+SQL_ANCHOR_TEXT = f"""WITH {_edges_sql()},
+anch AS (
+  SELECT doc_id AS src,
+         array_to_string(list_slice(
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> ''), 1, 2), ' ') AS anchor
+  FROM documents
+),
+ea AS (SELECT e.dst, a.anchor FROM edges e JOIN anch a ON e.src = a.src),
+cnt AS (SELECT dst, anchor, count(*) AS c FROM ea GROUP BY dst, anchor),
+top AS (
+  SELECT dst, anchor, c FROM (
+    SELECT dst, anchor, c,
+           row_number() OVER (PARTITION BY dst
+                              ORDER BY c DESC, anchor ASC) AS rn
+    FROM cnt
+  ) WHERE rn = 1
+),
+inl AS (SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks FROM ea GROUP BY dst)
+SELECT i.dst AS doc_id, i.n_inlinks, t.anchor AS top_anchor,
+       CAST(t.c AS BIGINT) AS anchor_n
+FROM inl i JOIN top t ON i.dst = t.dst"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -4706,4 +5133,10 @@ QUERIES = {
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
     "kcore": (q_kcore, SQL_KCORE),
+    "rrf_fusion": (q_rrf_fusion, SQL_RRF_FUSION),
+    "bfs_hops": (q_bfs_hops, SQL_BFS_HOPS),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
+    "crawl_frontier": (q_crawl_frontier, SQL_CRAWL_FRONTIER),
+    "snippet_extract": (q_snippet_extract, SQL_SNIPPET_EXTRACT),
+    "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
 }

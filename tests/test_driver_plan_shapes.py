@@ -192,3 +192,29 @@ def test_prefix_suggest_is_joinless_topk(spark):
         grp.sort(key=lambda r: r["rnk"])
         dfs = [r["df"] for r in grp]
         assert dfs == sorted(dfs, reverse=True)
+
+
+def test_crawl_frontier_is_takeordered_not_global_sort(spark):
+    """The next-K pick must be a distributed TakeOrdered over the per-host
+    windows, never a full global Sort+Limit."""
+    plan = _explain(DQ.q_crawl_frontier(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert _broadcast_only_nested_loops(plan)
+
+
+def test_snippet_extract_is_narrow_scan(spark):
+    """Snippet extraction must be joinless and windowless — one narrow
+    projection over the documents scan, then a TakeOrdered-10."""
+    plan = _explain(DQ.q_snippet_extract(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_fusion_rank_windows_are_post_limit(spark):
+    """The two single-partition rank windows are legal ONLY because each
+    runs after a TakeOrdered-50: assert both cuts are TakeOrdered (the
+    distributed top-k), so the windows see ≤ _RRF_DEPTH rows each."""
+    plan = _explain(DQ.q_rrf_fusion(spark, SF_DIR))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert _broadcast_only_nested_loops(plan)
