@@ -5060,6 +5060,167 @@ SELECT i.dst AS doc_id, i.n_inlinks, t.anchor AS top_anchor,
 FROM inl i JOIN top t ON i.dst = t.dst"""
 
 
+_CROWD_PER_HOST = 2
+
+
+def q_host_crowding(spark, sf_dir):
+    """Result diversification by host-crowding (the classic web-SERP rule:
+    at most _CROWD_PER_HOST results per host): BM25 candidates for
+    'merge' are ranked within their host, hosts keep their best 2, then
+    the global top-10 is taken from the survivors.
+
+    Scale shape: the per-host cap is a window partitioned by host over
+    ONLY the term's scored postings (the query-term filter is already
+    below the tf agg in _scored), and the final cut is a distributed
+    TakeOrdered — so diversification adds one bounded window, never a
+    global sort.
+    """
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, ["merge"]).select(
+        "doc_id", _r4("score").alias("score")
+    )
+    hosts = _docs(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        s.join(hosts, "doc_id")
+        .select(
+            "doc_id", "source", "score", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= _CROWD_PER_HOST)
+        .select("doc_id", "source", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_HOST_CROWDING = f"""WITH {_BM25_CORE_SQL},
+cand AS (
+  SELECT s.doc_id, d.source, round(s.score, 4) AS score
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.term = 'merge'
+),
+ranked AS (
+  SELECT doc_id, source, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM cand
+)
+SELECT doc_id, source, score FROM ranked WHERE rn <= {_CROWD_PER_HOST}
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
+_QUANTILES = (0.5, 0.95, 0.99)
+
+
+def q_latency_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles (p50/p95/p99) of event value per event
+    type — the per-partition metrics-table surface the north rule asks
+    for, computed with the engines' EXACT percentile (linear
+    interpolation, identical definition in Spark and DuckDB), not a
+    sketch: the sketch twins (hll_distinct, cms_heavy_hitters) cover the
+    approximate path.
+
+    Scale shape: exact percentile needs the group's values together —
+    one hash shuffle on event_type; groups are event types (bounded
+    cardinality), values stream through the aggregator.  For unbounded
+    group counts the approx_percentile sketch is the drop-in.
+    """
+    ps = ", ".join(str(p) for p in _QUANTILES)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    q = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({ps}))").alias("qs")
+    )
+    return q.select(
+        "event_type",
+        _r4(F.col("qs")[0]).alias("p50"),
+        _r4(F.col("qs")[1]).alias("p95"),
+        _r4(F.col("qs")[2]).alias("p99"),
+    )
+
+
+SQL_LATENCY_QUANTILES = """SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type"""
+
+
+def q_docid_remap(spark, sf_dir):
+    """Document-identifier reordering for index compression (Silvestri's
+    docid reassignment): renumber docs by a static order (n_chars DESC —
+    a quality proxy; real systems use URL sort or click impact) and
+    measure the posting-list delta-gap cost before vs after as total
+    bits = Σ bitlength(gap) over every posting gap.  Impact-ordered ids
+    cluster similar docs, shrinking gaps — this entry MEASURES that
+    effect rather than asserting it.
+
+    Scale shape: gap costs are per-term lag windows over the postings
+    (term-partitioned, the index's own sharding); bitlength(gap) is an
+    exact integer both engines compute as length(bin(gap)), so the
+    compare is float-free.  The global renumbering here is a row_number
+    window for oracle parity; the production path for the same
+    renumbering is operators/docids.stamp_doc_ids (range-partitioned
+    sort + per-partition offsets from parquet footers, no single-task
+    sort) — see the index build's p2b phase.
+    """
+    from pyspark.sql import Window
+
+    posts = _tf(spark, sf_dir).select("term", "doc_id")
+    wmap = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    remap = _docs(spark, sf_dir).select(
+        "doc_id", (F.row_number().over(wmap) - 1).alias("new_id")
+    )
+    wt_old = Window.partitionBy("term").orderBy("doc_id")
+    wt_new = Window.partitionBy("term").orderBy("new_id")
+    gaps = (
+        posts.join(remap, "doc_id")
+        .select(
+            "term",
+            (
+                F.col("doc_id")
+                - F.coalesce(F.lag("doc_id").over(wt_old), F.lit(-1))
+            ).alias("gap_old"),
+            (
+                F.col("new_id")
+                - F.coalesce(F.lag("new_id").over(wt_new), F.lit(-1))
+            ).alias("gap_new"),
+        )
+    )
+    return gaps.agg(
+        F.sum(F.length(F.bin("gap_old"))).cast("long").alias("bits_old"),
+        F.sum(F.length(F.bin("gap_new"))).cast("long").alias("bits_new"),
+        _r4(
+            F.sum(F.length(F.bin("gap_new")))
+            / F.sum(F.length(F.bin("gap_old")))
+        ).alias("ratio"),
+    )
+
+
+SQL_DOCID_REMAP = f"""WITH {_TOKS_SQL},
+posts AS (SELECT DISTINCT term, doc_id FROM toks),
+remap AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS new_id
+  FROM documents
+),
+gaps AS (
+  SELECT p.term,
+         p.doc_id - coalesce(lag(p.doc_id) OVER (
+           PARTITION BY p.term ORDER BY p.doc_id), -1) AS gap_old,
+         r.new_id - coalesce(lag(r.new_id) OVER (
+           PARTITION BY p.term ORDER BY r.new_id), -1) AS gap_new
+  FROM posts p JOIN remap r ON p.doc_id = r.doc_id
+)
+SELECT CAST(sum(length(bin(gap_old))) AS BIGINT) AS bits_old,
+       CAST(sum(length(bin(gap_new))) AS BIGINT) AS bits_new,
+       round(CAST(sum(length(bin(gap_new))) AS DOUBLE)
+             / sum(length(bin(gap_old))), 4) AS ratio
+FROM gaps"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -5139,4 +5300,7 @@ QUERIES = {
     "crawl_frontier": (q_crawl_frontier, SQL_CRAWL_FRONTIER),
     "snippet_extract": (q_snippet_extract, SQL_SNIPPET_EXTRACT),
     "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
+    "host_crowding": (q_host_crowding, SQL_HOST_CROWDING),
+    "latency_quantiles": (q_latency_quantiles, SQL_LATENCY_QUANTILES),
+    "docid_remap": (q_docid_remap, SQL_DOCID_REMAP),
 }
