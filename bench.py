@@ -51,6 +51,7 @@ HEADLINE = [
     "fingerprint",
     "ann_cosine_topk",
     "ann_ivf_quantized",
+    "rrf_fusion",
     "pagerank",
     "events_window",
     "asof_join",

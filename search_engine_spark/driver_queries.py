@@ -5221,6 +5221,200 @@ SELECT CAST(sum(length(bin(gap_old))) AS BIGINT) AS bits_old,
 FROM gaps"""
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank (Gyöngyi et al., VLDB'04): PageRank with teleportation
+    restricted to a trusted seed set — the classic web-spam demotion
+    signal.  Seeds are {id ≡ 0 mod _BFS_SEED_MOD}; r0 = teleport =
+    1/|seeds| on seeds and 0 elsewhere; r' = (1-d)·teleport +
+    d·Σ_in(r/outdeg), _PR_ITERS rounds, damping _PR_DAMP.
+
+    Scale shape: identical to q_pagerank (one co-partitioned join + one
+    hash agg per round, Pregel-shaped); the only additions are the seed
+    indicator (a narrow expression) and |seeds| as a 1-row broadcast
+    side plan — never a driver collect.
+    """
+    with_n, edges = _link_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src")
+    seeds = with_n.select(
+        "id",
+        F.when(F.col("id") % _BFS_SEED_MOD == 0, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("t"),
+    )
+    ns = seeds.agg(F.sum("t").alias("ns"))
+    base = seeds.crossJoin(F.broadcast(ns)).select(
+        "id", (F.col("t") / F.col("ns")).alias("tele")
+    )
+    ranks = base.select("id", "tele", F.col("tele").alias("r"))
+    for _ in range(_PR_ITERS):
+        contribs = (
+            ranks.join(e, ranks["id"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
+        )
+        ranks = base.join(
+            contribs, base["id"] == contribs["dst"], "left"
+        ).select(
+            "id",
+            "tele",
+            (
+                F.lit(1.0 - _PR_DAMP) * F.col("tele")
+                + F.lit(_PR_DAMP) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("r", 8).alias("tr")
+    )
+
+
+def _trustrank_sql() -> str:
+    parts = [f"""WITH {_edges_sql()},
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+seeds AS (
+  SELECT id, CASE WHEN id % {_BFS_SEED_MOD} = 0
+                  THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
+  FROM nodes
+),
+ns AS (SELECT sum(t) AS ns FROM seeds),
+base AS (SELECT id, t / ns.ns AS tele FROM seeds CROSS JOIN ns),
+r0 AS (SELECT id, tele, tele AS r FROM base)"""]
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+c{t} AS (SELECT e.dst AS id, sum(r.r / e.deg) AS c
+         FROM r{t - 1} r JOIN e ON r.id = e.src GROUP BY e.dst),
+r{t} AS (SELECT base.id, base.tele,
+                CAST({1.0 - _PR_DAMP} AS DOUBLE) * base.tele
+                + CAST({_PR_DAMP} AS DOUBLE) * coalesce(c{t}.c, 0) AS r
+         FROM base LEFT JOIN c{t} ON base.id = c{t}.id)"""
+        )
+    parts.append(f"""
+SELECT id AS doc_id, round(r, 8) AS tr FROM r{_PR_ITERS}""")
+    return "".join(parts)
+
+
+SQL_TRUSTRANK = _trustrank_sql()
+
+
+_SPLIT_PRIME = 1000003   # same int64-safe reduction as stratified_sample
+_SPLIT_MOD = 10          # buckets 0-7 train, 8 val, 9 test
+
+
+def q_data_split(spark, sf_dir):
+    """Deterministic train/val/test split manifest: split assignment is a
+    pure function of doc_id (Knuth multiplicative hash mod _SPLIT_MOD;
+    buckets 0-7 → train, 8 → val, 9 → test), so the split is
+    reproducible across runs, engines, and cluster sizes — no rand(),
+    no shuffle of the corpus, no driver state.  Reports per-split doc
+    and token counts, the sanity sheet every training run starts from.
+
+    Scale shape: the bucket is a narrow expression; token counts
+    aggregate per doc first (map-side) and the final rollup is 3 groups.
+    doc_id is reduced mod a prime BEFORE the multiply so the product
+    never exceeds int64 (see q_stratified_sample's docstring).
+    """
+    bucket = F.pmod(
+        (F.col("doc_id") % F.lit(_SPLIT_PRIME)) * F.lit(2654435761),
+        F.lit(_SPLIT_MOD),
+    )
+    split = (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    dl = _dl(spark, sf_dir)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", split.alias("split"))
+        .join(dl, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+SQL_DATA_SPLIT = f"""WITH {_TOKS_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+assign AS (
+  SELECT doc_id,
+         CASE WHEN ((doc_id % {_SPLIT_PRIME}) * 2654435761) % {_SPLIT_MOD} <= 7
+              THEN 'train'
+              WHEN ((doc_id % {_SPLIT_PRIME}) * 2654435761) % {_SPLIT_MOD} = 8
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT a.split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dl.dl) AS BIGINT) AS n_tokens
+FROM assign a JOIN dl ON a.doc_id = dl.doc_id
+GROUP BY a.split"""
+
+
+_OOV_MIN_DF = 10
+
+
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: with the vocab defined as terms of
+    document frequency ≥ _OOV_MIN_DF, report each language's mean
+    out-of-vocabulary token fraction — the coverage sheet run before
+    committing to a tokenizer/vocab on a new corpus.
+
+    Scale shape: the vocab is df-thresholded but NOT force-broadcast
+    (its cardinality is corpus-dependent and unbounded — exactly the
+    dsir_select lesson); the membership test is a left join on term that
+    AQE may broadcast when the vocab measures small.  Everything else
+    is per-doc map-side aggregation.
+    """
+    toks = _tokens(spark, sf_dir).select("doc_id", "term")
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _OOV_MIN_DF)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(vocab, "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*")
+            ).alias("oov")
+        )
+    )
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            _r4(F.avg("oov")).alias("avg_oov"),
+        )
+    )
+
+
+SQL_OOV_RATE = f"""WITH {_TOKS_SQL},
+vocab AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+  ) WHERE df >= {_OOV_MIN_DF}
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS oov
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term
+  GROUP BY t.doc_id
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(p.oov), 4) AS avg_oov
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.lang"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -5303,4 +5497,7 @@ QUERIES = {
     "host_crowding": (q_host_crowding, SQL_HOST_CROWDING),
     "latency_quantiles": (q_latency_quantiles, SQL_LATENCY_QUANTILES),
     "docid_remap": (q_docid_remap, SQL_DOCID_REMAP),
+    "trustrank": (q_trustrank, SQL_TRUSTRANK),
+    "data_split": (q_data_split, SQL_DATA_SPLIT),
+    "oov_rate": (q_oov_rate, SQL_OOV_RATE),
 }

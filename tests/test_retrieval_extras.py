@@ -1,7 +1,9 @@
 """Pure-Python twins for the hybrid-retrieval / crawl-scheduling /
-snippet / graph extras (rrf_fusion, bfs_hops, label_propagation,
-crawl_frontier, snippet_extract, anchor_text) — independent of both the
-Spark plans under test and their DuckDB oracles."""
+snippet / graph / pipeline extras (rrf_fusion, bfs_hops,
+label_propagation, crawl_frontier, snippet_extract, anchor_text,
+host_crowding, latency_quantiles, docid_remap, trustrank, data_split,
+oov_rate) — independent of both the Spark plans under test and their
+DuckDB oracles."""
 
 import duckdb
 
@@ -353,3 +355,108 @@ def test_docid_remap_matches_python_gap_bits_and_is_reported_honestly(spark):
     assert row["bits_old"] == bits_old
     assert row["bits_new"] == bits_new
     assert row["ratio"] == round(bits_new / bits_old, 4)
+
+
+# ---------------------------------------------------------------------------
+# trustrank
+# ---------------------------------------------------------------------------
+
+def test_trustrank_matches_python_twin_and_demotes_nonseeded(spark):
+    con = _con()
+    ids = _ids(con)
+    n = len(ids)
+    out = {}
+    for u in ids:
+        tgts = {(m * u + b) % n for m, b in DQ._PR_RULES}
+        tgts.discard(u)
+        out[u] = sorted(tgts)
+    seeds = [u for u in ids if u % DQ._BFS_SEED_MOD == 0]
+    tele = {u: (1.0 / len(seeds) if u in set(seeds) else 0.0) for u in ids}
+    r = dict(tele)
+    for _ in range(DQ._PR_ITERS):
+        nxt = {u: 0.0 for u in ids}
+        for u, tgts in out.items():
+            share = r[u] / len(tgts)
+            for v in tgts:
+                nxt[v] += share
+        r = {
+            u: (1.0 - DQ._PR_DAMP) * tele[u] + DQ._PR_DAMP * nxt[u]
+            for u in ids
+        }
+
+    got = {
+        row["doc_id"]: row["tr"]
+        for row in DQ.q_trustrank(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(ids)
+    for u in ids:
+        assert abs(got[u] - r[u]) < 1e-8, (u, got[u], r[u])
+    # trust mass concentrates near seeds: total seed trust beats a
+    # uniform share
+    seed_mass = sum(got[u] for u in seeds)
+    assert seed_mass > len(seeds) / n
+
+
+# ---------------------------------------------------------------------------
+# data_split
+# ---------------------------------------------------------------------------
+
+def test_data_split_matches_python_hash_assignment(spark):
+    import re
+
+    con = _con()
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    expect = {}
+    for doc_id, text in rows:
+        b = ((doc_id % DQ._SPLIT_PRIME) * 2654435761) % DQ._SPLIT_MOD
+        split = "train" if b <= 7 else ("val" if b == 8 else "test")
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        n_docs, n_tokens = expect.get(split, (0, 0))
+        expect[split] = (n_docs + 1, n_tokens + len(toks))
+
+    got = {
+        r["split"]: (r["n_docs"], r["n_tokens"])
+        for r in DQ.q_data_split(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert got["train"][0] > got["val"][0]
+    assert got["train"][0] > got["test"][0]
+
+
+# ---------------------------------------------------------------------------
+# oov_rate
+# ---------------------------------------------------------------------------
+
+def test_oov_rate_matches_python_coverage(spark):
+    import re
+
+    con = _con()
+    rows = con.execute(
+        "SELECT doc_id, text, lang FROM documents"
+    ).fetchall()
+    doc_toks = {}
+    lang_of = {}
+    df = {}
+    for doc_id, text, lang in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        doc_toks[doc_id] = toks
+        lang_of[doc_id] = lang
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    vocab = {t for t, d in df.items() if d >= DQ._OOV_MIN_DF}
+    per_lang = {}
+    for doc_id, toks in doc_toks.items():
+        oov = sum(1 for t in toks if t not in vocab) / len(toks)
+        per_lang.setdefault(lang_of[doc_id], []).append(oov)
+    expect = {
+        lang: (len(vs), round(sum(vs) / len(vs), 4))
+        for lang, vs in per_lang.items()
+    }
+
+    got = {
+        r["lang"]: (r["n_docs"], r["avg_oov"])
+        for r in DQ.q_oov_rate(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    # a df-10 vocab on a Zipf corpus must cover most tokens
+    assert all(v[1] < 0.5 for v in got.values())
