@@ -5415,6 +5415,246 @@ FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
 GROUP BY d.lang"""
 
 
+# ---------------------------------------------------------------------------
+# NEAR/k proximity retrieval (X7 generalized: window instead of adjacency)
+# ---------------------------------------------------------------------------
+
+_NEAR_W = 3   # max |pos_b - pos_a| for a proximity hit
+
+
+def q_bm25_near(spark, sf_dir):
+    """NEAR/k proximity retrieval: docs where 'merge' and 'join' occur
+    within _NEAR_W positions of each other, scored like the phrase
+    operator (X7) but with the adjacency test widened to a window — the
+    classic fulltext NEAR operator the reference's phrase ISR is the
+    k=1 special case of.  near-tf counts the DISTINCT anchor-term
+    positions that have a partner in range (so clustered partners don't
+    double-count an anchor), near-df comes from the same window-count
+    trick as q_bm25_phrase, and the BM25 mix is identical.
+
+    Scale shape: positions reach the join only for the two query terms
+    (filter below the posexplode output — at 10^12 docs this is two
+    posting lists, not the corpus), the position join is per-doc equi on
+    doc_id with the window test as a residual filter, and the df/stats
+    sides are 1-row broadcasts.  In the packed engine this same shape is
+    served by the positional kernel with a widened gap test
+    (plans/packed_exec.py X7 kernel).
+    """
+    toks = _tokens(spark, sf_dir)
+    a = toks.filter(F.col("term") == "merge").select("doc_id", F.col("pos").alias("pa"))
+    b = toks.filter(F.col("term") == "join").select("doc_id", F.col("pos").alias("pb"))
+    hits = (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("pb") - F.col("pa")) <= _NEAR_W)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("pa").cast("long").alias("ntf"))
+    )
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
+    from pyspark.sql import Window
+
+    hits = hits.withColumn("_ndf", F.count("*").over(Window.partitionBy()))
+    return (
+        hits.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "ntf",
+            _r4(
+                bm25.idf_col(F.col("_ndf").cast("double"), F.col("_n").cast("double"))
+                * bm25.weight_col(F.col("ntf"), F.col("dl"), F.col("_avgdl"))
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_BM25_NEAR = f"""WITH {_TOKS_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT a.doc_id AS doc_id, count(DISTINCT a.pos) AS ntf
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+   AND abs(b.pos - a.pos) <= {_NEAR_W}
+  WHERE a.term = 'merge' AND b.term = 'join'
+  GROUP BY a.doc_id
+),
+ndf AS (SELECT count(*) AS ndf FROM hits)
+{_topk_sql('''SELECT h.doc_id AS doc_id, h.ntf AS ntf,
+       round(ln((stats.n_docs - ndf.ndf + 0.5) / (ndf.ndf + 0.5) + 1.0)
+             * (h.ntf * (1.2 + 1.0))
+             / (h.ntf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 4) AS score
+FROM hits h JOIN dl ON h.doc_id = dl.doc_id CROSS JOIN stats CROSS JOIN ndf''')}"""
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease (classic readability quality signal)
+# ---------------------------------------------------------------------------
+
+def q_readability(spark, sf_dir):
+    """Per-language Flesch reading-ease: FRE = 206.835 - 1.015*(words/
+    sentences) - 84.6*(syllables/words), with sentences counted as
+    [.!?]+ runs (min 1) and syllables approximated as [aeiouy]+ vowel
+    groups per token (min 1 per word) — the standard dictionary-free
+    approximation.  A readability band is one of the quality columns
+    every curation recipe (C4, Gopher rules) keys on.
+
+    Scale shape: syllable and word counts are narrow per-token
+    expressions aggregated map-side per doc; the sentence count is one
+    regexp over the raw text (no second tokenize pass); the final
+    rollup is |langs| groups.  Nothing shuffles more than one row per
+    document.
+    """
+    syl = F.greatest(
+        F.lit(1),
+        F.size(F.expr("regexp_extract_all(term, '[aeiouy]+', 0)")),
+    )
+    per_doc = (
+        _tokens(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("words"),
+            F.sum(syl).alias("sylls"),
+        )
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+        ).alias("sents"),
+    )
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words") / F.col("sents"))
+        - F.lit(84.6) * (F.col("sylls") / F.col("words"))
+    )
+    return (
+        per_doc.join(docs, "doc_id")
+        .select("lang", fre.alias("fre"), (F.col("words") / F.col("sents")).alias("wps"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            _r4(F.avg("fre")).alias("avg_fre"),
+            _r4(F.avg("wps")).alias("avg_wps"),
+        )
+    )
+
+
+SQL_READABILITY = f"""WITH {_TOKS_SQL},
+per_doc AS (
+  SELECT doc_id, count(*) AS words,
+         sum(greatest(1, len(regexp_extract_all(term, '[aeiouy]+')))) AS sylls
+  FROM toks GROUP BY doc_id
+),
+sents AS (
+  SELECT doc_id, lang,
+         greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sents
+  FROM documents
+)
+SELECT s.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(206.835 - 1.015 * (p.words / CAST(s.sents AS DOUBLE))
+                 - 84.6 * (p.sylls / CAST(p.words AS DOUBLE))), 4) AS avg_fre,
+       round(avg(p.words / CAST(s.sents AS DOUBLE)), 4) AS avg_wps
+FROM per_doc p JOIN sents s ON p.doc_id = s.doc_id
+GROUP BY s.lang"""
+
+
+# ---------------------------------------------------------------------------
+# item co-occurrence similarity (collaborative filtering over event logs)
+# ---------------------------------------------------------------------------
+
+_COOC_CAP = 64   # per-user item-history cap (most-viewed first)
+
+
+def q_cooccur_items(spark, sf_dir):
+    """Item-item co-occurrence similarity from the event log: items (the
+    `k` prop of 'view' events) that the same users view, ranked by
+    cosine over user co-occurrence counts — the related-items /
+    related-queries construction behind every search-engine suggestion
+    panel.  Top-20 pairs by cosine (r4), pair-id tiebreak.
+
+    Scale shape: the self-join that produces pairs is the classic
+    quadratic hazard, so each user's history is CAPPED first at
+    _COOC_CAP items (row_number by view count desc, item asc — fully
+    deterministic), exactly the hot-key bound the LSH band join uses;
+    after the cap a user contributes at most C(_COOC_CAP, 2) pairs
+    regardless of corpus size, item counts are computed over the SAME
+    capped universe so the cosine is internally consistent, and the
+    join key is user_id (hash-distributed, no skew beyond the cap).
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+    )
+    per = ev.groupBy("user_id", "item").agg(F.count("*").alias("v"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("v").desc(), F.col("item").asc()
+    )
+    capped = (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _COOC_CAP)
+        .select("user_id", "item")
+    )
+    ci = capped.groupBy("item").agg(F.count("*").alias("c"))
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "user_id")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").cast("long").alias("cab"))
+    )
+    return (
+        pairs.join(ci.select(F.col("item").alias("item_a"), F.col("c").alias("ca")), "item_a")
+        .join(ci.select(F.col("item").alias("item_b"), F.col("c").alias("cb")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "cab",
+            _r4(F.col("cab") / F.sqrt(F.col("ca") * F.col("cb"))).alias("cosine"),
+        )
+        .orderBy(
+            F.col("cosine").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+        )
+        .limit(20)
+    )
+
+
+SQL_COOCCUR_ITEMS = f"""WITH ev AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'view'
+),
+per AS (SELECT user_id, item, count(*) AS v FROM ev GROUP BY user_id, item),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY v DESC, item ASC) AS rn
+    FROM per) WHERE rn <= {_COOC_CAP}
+),
+ci AS (SELECT item, count(*) AS c FROM capped GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS cab
+  FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT p.item_a, p.item_b, CAST(p.cab AS BIGINT) AS cab,
+       round(p.cab / sqrt(ca.c * cb.c), 4) AS cosine
+FROM pairs p
+JOIN ci ca ON p.item_a = ca.item
+JOIN ci cb ON p.item_b = cb.item
+ORDER BY cosine DESC, p.item_a ASC, p.item_b ASC LIMIT 20"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -5500,4 +5740,7 @@ QUERIES = {
     "trustrank": (q_trustrank, SQL_TRUSTRANK),
     "data_split": (q_data_split, SQL_DATA_SPLIT),
     "oov_rate": (q_oov_rate, SQL_OOV_RATE),
+    "bm25_near": (q_bm25_near, SQL_BM25_NEAR),
+    "readability": (q_readability, SQL_READABILITY),
+    "cooccur_items": (q_cooccur_items, SQL_COOCCUR_ITEMS),
 }
