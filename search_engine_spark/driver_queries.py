@@ -5655,6 +5655,235 @@ JOIN ci cb ON p.item_b = cb.item
 ORDER BY cosine DESC, p.item_a ASC, p.item_b ASC LIMIT 20"""
 
 
+# ---------------------------------------------------------------------------
+# BPE merge-pair statistics (tokenizer training, iteration-1 inner loop)
+# ---------------------------------------------------------------------------
+
+_BPE_EOW = "</w>"   # classic end-of-word marker (Sennrich et al.)
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """The inner statistic of every BPE tokenizer-training iteration: count
+    adjacent symbol pairs over the corpus word distribution (symbols =
+    characters at iteration 1, plus the end-of-word marker), weighted by
+    word frequency; the argmax pair is the next merge (Sennrich et al.
+    2016).  Top-20 pairs by count, pair-string tiebreak.
+
+    Scale shape: word frequencies aggregate map-side FIRST (the pair
+    expansion runs over the DISTINCT-word table, ~10^7 rows after
+    df-style collapse, not the 10^13 raw token stream — BPE trainers do
+    exactly this collapse); pair generation is a narrow array transform
+    + posexplode; the final count is a map-side-combinable hash agg on
+    a bounded key space (|alphabet|^2 + |alphabet| marker pairs).
+    """
+    wf = (
+        _tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = F.concat(
+        F.array(
+            F.expr(
+                "transform(sequence(1, length(term) - 1),"
+                " i -> concat(substr(term, i, 1), substr(term, i + 1, 1)))"
+            )
+        ).getItem(0),
+        F.array(
+            F.concat(
+                F.expr("substr(term, length(term), 1)"), F.lit(_BPE_EOW)
+            )
+        ),
+    )
+    return (
+        wf.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+SQL_BPE_PAIRS = f"""WITH {_TOKS_SQL},
+wf AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+pairs AS (
+  SELECT freq,
+         unnest(list_concat(
+           list_transform(range(1, length(term)),
+                          i -> substr(term, i, 1) || substr(term, i + 1, 1)),
+           [substr(term, length(term), 1) || '{_BPE_EOW}'])) AS pair
+  FROM wf
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs
+GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# learning-to-rank feature export
+# ---------------------------------------------------------------------------
+
+_LTR_TERMS = ["merge", "join"]
+_LTR_K = 50
+
+
+def q_ltr_features(spark, sf_dir):
+    """Learning-to-rank feature export: for the 2-term query, emit the
+    per-candidate feature vector a reranker trains on — BM25 sum, raw tf
+    sum, matched-term coverage, doc length, and earliest query-term
+    position — for the top-_LTR_K stage-1 candidates.  This is the
+    candidate-generation → feature-join shape of every LTR pipeline:
+    features are computed only for retrieved candidates, never the
+    corpus.
+
+    Scale shape: the _scored leaf touches only the query terms' postings
+    (filter below the tf agg); positions join the SAME filtered token
+    slice; the final cutoff is a distributed TakeOrdered, so no global
+    sort materializes.  At 10^12 docs the cost is two posting lists +
+    a k-row result.
+    """
+    toks = _tokens(spark, sf_dir).filter(F.col("term").isin(_LTR_TERMS))
+    s = _scored(spark, sf_dir, _LTR_TERMS)
+    feat = (
+        s.groupBy("doc_id")
+        .agg(
+            F.sum("score").alias("_bm25"),
+            F.count("*").cast("long").alias("n_match"),
+        )
+    )
+    tfpos = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("tf_sum"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
+    dl = _dl(spark, sf_dir)
+    return (
+        feat.join(tfpos, "doc_id")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            _r4("_bm25").alias("bm25"),
+            "n_match",
+            "tf_sum",
+            F.col("dl").cast("long").alias("dl"),
+            "first_pos",
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_LTR_K)
+    )
+
+
+SQL_LTR_FEATURES = f"""WITH {_BM25_CORE_SQL},
+feat AS (
+  SELECT doc_id, round(sum(score), 4) AS bm25, count(*) AS n_match
+  FROM scored WHERE term IN ('merge', 'join') GROUP BY doc_id
+),
+tfpos AS (
+  SELECT doc_id, count(*) AS tf_sum, min(pos) AS first_pos
+  FROM toks WHERE term IN ('merge', 'join') GROUP BY doc_id
+)
+SELECT f.doc_id, f.bm25, f.n_match, t.tf_sum, dl.dl, t.first_pos
+FROM feat f JOIN tfpos t ON f.doc_id = t.doc_id
+JOIN dl ON f.doc_id = dl.doc_id
+ORDER BY f.bm25 DESC, f.doc_id ASC LIMIT {_LTR_K}"""
+
+
+# ---------------------------------------------------------------------------
+# robots.txt disallow filtering (crawl-frontier politeness, S1/S2 adjunct)
+# ---------------------------------------------------------------------------
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt disallow-prefix filtering of the crawl frontier: each
+    URL is allowed iff its path starts with none of its host's
+    disallowed prefixes (the longest-used robots.txt rule form; REP
+    RFC 9309 prefix semantics).  Hosts and paths are synthesized
+    deterministically from doc_id like q_url_normalize; each host's
+    rule set is derived from the host index (1-2 disallow prefixes).
+    Output: per-host URL / blocked / allowed counts.
+
+    Scale shape: the rules side is per-host tiny (robots files are KBs)
+    and broadcast; the prefix test is a narrow starts_with after an
+    equi-join on host, aggregated per URL then per host — at 10^12 URLs
+    this is one broadcast-join stage over the frontier scan, no
+    corpus-wide shuffle (the per-host rollup moves |hosts| rows).
+    """
+    d = _docs(spark, sf_dir).select("doc_id")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("/sec"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit("/page"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    hosts = spark.range(7).select(
+        F.concat(F.lit("site"), F.col("id").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.col("id").alias("h"),
+    )
+    rules = hosts.select(
+        "host",
+        F.explode(
+            F.when(
+                F.col("h") % 2 == 0,
+                F.array(
+                    F.concat(F.lit("/sec"), (F.col("h") % 5).cast("string"), F.lit("/")),
+                    F.concat(F.lit("/sec"), ((F.col("h") + 2) % 5).cast("string"), F.lit("/")),
+                ),
+            ).otherwise(
+                F.array(
+                    F.concat(F.lit("/sec"), (F.col("h") % 5).cast("string"), F.lit("/"))
+                )
+            )
+        ).alias("prefix"),
+    )
+    per_url = (
+        urls.join(F.broadcast(rules), "host", "left")
+        .groupBy("doc_id", "host")
+        .agg(
+            F.max(
+                F.when(F.col("path").startswith(F.col("prefix")), 1).otherwise(0)
+            ).alias("blocked")
+        )
+    )
+    return (
+        per_url.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum("blocked").cast("long").alias("n_blocked"),
+            F.sum(1 - F.col("blocked")).cast("long").alias("n_allowed"),
+        )
+    )
+
+
+SQL_ROBOTS_FILTER = """WITH urls AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         '/sec' || CAST(doc_id % 5 AS VARCHAR) || '/page'
+           || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+hosts AS (
+  SELECT 'site' || CAST(h AS VARCHAR) || '.example.com' AS host, h
+  FROM (SELECT unnest(range(0, 7)) AS h)
+),
+rules AS (
+  SELECT host,
+         unnest(CASE WHEN h % 2 = 0
+                THEN ['/sec' || CAST(h % 5 AS VARCHAR) || '/',
+                      '/sec' || CAST((h + 2) % 5 AS VARCHAR) || '/']
+                ELSE ['/sec' || CAST(h % 5 AS VARCHAR) || '/'] END) AS prefix
+  FROM hosts
+),
+per_url AS (
+  SELECT u.doc_id, u.host,
+         max(CASE WHEN starts_with(u.path, r.prefix) THEN 1 ELSE 0 END)
+           AS blocked
+  FROM urls u LEFT JOIN rules r ON u.host = r.host
+  GROUP BY u.doc_id, u.host
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(blocked) AS BIGINT) AS n_blocked,
+       CAST(sum(1 - blocked) AS BIGINT) AS n_allowed
+FROM per_url GROUP BY host"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -5743,4 +5972,7 @@ QUERIES = {
     "bm25_near": (q_bm25_near, SQL_BM25_NEAR),
     "readability": (q_readability, SQL_READABILITY),
     "cooccur_items": (q_cooccur_items, SQL_COOCCUR_ITEMS),
+    "bpe_pairs": (q_bpe_pairs, SQL_BPE_PAIRS),
+    "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
+    "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
 }
