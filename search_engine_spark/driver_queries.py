@@ -6120,6 +6120,248 @@ FROM qs q LEFT JOIN hits ON q.qid = hits.qid
 ORDER BY qid"""
 
 
+# ---------------------------------------------------------------------------
+# query-likelihood retrieval (Dirichlet-smoothed LM, the BM25 alternative)
+# ---------------------------------------------------------------------------
+
+_QL_MU = 200.0   # Dirichlet pseudo-count
+_QL_TERMS = ["merge", "join"]
+
+
+def q_query_likelihood(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet smoothing (Ponte-Croft /
+    Zhai-Lafferty): score(d) = Σ_q log((tf + μ·cf/T) / (dl + μ)) over the
+    query terms, including the smoothed mass for terms the doc lacks —
+    the standard LM alternative to BM25, and the second scorer every IR
+    stack A/B-tests.  Top-10.
+
+    Scale shape mirrors _scored: only the query terms' postings reach
+    the tf shuffle; the collection LM (cf/T per query term) is a
+    |q|-row broadcast; the missing-term smoothing is reshaped so the
+    corpus is never outer-joined — score(d) = Σ_q log(μ·p_q / (dl+μ))
+    + Σ_{q∈d} [log(tf + μ·p_q) - log(μ·p_q)], where the first sum is a
+    per-doc expression over dl and the second touches only matching
+    postings.  That identity (smooth-all + matched correction) is what
+    makes LM scoring WAND-able at 10^12 docs.
+    """
+    toks = _tokens(spark, sf_dir)
+    dl = _dl(spark, sf_dir)
+    total = toks.agg(F.count("*").alias("_t"))
+    cf = (
+        toks.filter(F.col("term").isin(_QL_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .crossJoin(F.broadcast(total))
+        .select("term", (F.col("cf") / F.col("_t")).alias("p"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(_QL_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    # matched correction per doc: Σ log(tf + μ·p) − log(μ·p)
+    corr = (
+        tf.join(F.broadcast(cf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(F.col("tf") + F.lit(_QL_MU) * F.col("p"))
+                - F.log(F.lit(_QL_MU) * F.col("p"))
+            ).alias("_corr")
+        )
+    )
+    # base per doc: Σ_q log(μ·p_q) − |q|·log(dl + μ)
+    base_const = cf.agg(
+        F.sum(F.log(F.lit(_QL_MU) * F.col("p"))).alias("_b"),
+        F.count("*").alias("_nq"),
+    )
+    return (
+        dl.crossJoin(F.broadcast(base_const))
+        .join(corr, "doc_id", "left")
+        .select(
+            "doc_id",
+            _r4(
+                F.col("_b")
+                - F.col("_nq") * F.log(F.col("dl") + F.lit(_QL_MU))
+                + F.coalesce(F.col("_corr"), F.lit(0.0))
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_QUERY_LIKELIHOOD = f"""WITH {_TOKS_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+total AS (SELECT count(*) AS t FROM toks),
+cf AS (
+  SELECT term, count(*)::DOUBLE / (SELECT t FROM total) AS p
+  FROM toks WHERE term IN ('merge', 'join') GROUP BY term
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN ('merge', 'join') GROUP BY term, doc_id
+),
+corr AS (
+  SELECT tf.doc_id,
+         sum(ln(tf.tf + {_QL_MU} * cf.p) - ln({_QL_MU} * cf.p)) AS corr
+  FROM tf JOIN cf ON tf.term = cf.term GROUP BY tf.doc_id
+),
+bc AS (SELECT sum(ln({_QL_MU} * p)) AS b, count(*) AS nq FROM cf)
+{_topk_sql(f'''SELECT dl.doc_id AS doc_id,
+       round(bc.b - bc.nq * ln(dl.dl + {_QL_MU})
+             + coalesce(corr.corr, 0.0), 4) AS score
+FROM dl CROSS JOIN bc LEFT JOIN corr ON dl.doc_id = corr.doc_id''')}"""
+
+
+# ---------------------------------------------------------------------------
+# related terms via posting-set Jaccard (term clustering signal)
+# ---------------------------------------------------------------------------
+
+_RT_MIN_DF = 20    # both bounds keep the self-join off the head AND the tail
+_RT_MAX_DF = 400   # (wide here: the synthetic vocab is 31 near-ubiquitous
+                   # terms; at web scale the band is ~[1e3, 1e5] — the
+                   # MECHANISM under test is banding before the pair join)
+
+
+def q_related_terms(spark, sf_dir):
+    """Related-term mining: term pairs whose POSTING SETS overlap, ranked
+    by Jaccard of their doc sets — the doc-level companion to the
+    positional pmi_bigrams, and the signal behind 'related searches'
+    term clustering.  Top-20 pairs by Jaccard (r4), pair tiebreak.
+
+    Scale shape: the posting self-join is bounded on BOTH ends before
+    any pair forms — df < _RT_MAX_DF kills head terms (a stopword's
+    posting list would square), df ≥ _RT_MIN_DF kills the long tail
+    (typos/ids that only add noise and rows); what remains joins on
+    doc_id where each doc contributes C(terms_in_band, 2) pairs, and
+    the band is enforceable per doc.  Same philosophy as the LSH band
+    cap: bound the quadratic BEFORE it happens, deterministically.
+    """
+    tf = _tf(spark, sf_dir).select("term", "doc_id")
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    band = df.filter(
+        (F.col("df") >= _RT_MIN_DF) & (F.col("df") < _RT_MAX_DF)
+    )
+    sel = tf.join(band, "term")
+    inter = (
+        sel.alias("a")
+        .join(sel.alias("b"), "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"),
+            F.col("b.term").alias("term_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("inter"),
+            F.first("a.df").alias("dfa"),
+            F.first("b.df").alias("dfb"),
+        )
+    )
+    return (
+        inter.select(
+            "term_a",
+            "term_b",
+            "inter",
+            _r4(
+                F.col("inter")
+                / (F.col("dfa") + F.col("dfb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("jaccard").desc(),
+            F.col("term_a").asc(),
+            F.col("term_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+SQL_RELATED_TERMS = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+band AS (SELECT term, df FROM df
+         WHERE df >= {_RT_MIN_DF} AND df < {_RT_MAX_DF}),
+sel AS (SELECT tf.term, tf.doc_id, band.df
+        FROM tf JOIN band ON tf.term = band.term),
+inter AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS inter,
+         any_value(a.df) AS dfa, any_value(b.df) AS dfb
+  FROM sel a JOIN sel b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT term_a, term_b, CAST(inter AS BIGINT) AS inter,
+       round(inter::DOUBLE / (dfa + dfb - inter), 4) AS jaccard
+FROM inter
+ORDER BY jaccard DESC, term_a ASC, term_b ASC LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# smoothed click-through-rate model (ranking signal from the event log)
+# ---------------------------------------------------------------------------
+
+_CTR_A = 2.0    # Beta prior pseudo-clicks
+_CTR_B = 10.0   # Beta prior pseudo-views
+
+
+def q_ctr_model(spark, sf_dir):
+    """Click model: per item (the `k` prop), impressions ('view' events),
+    clicks ('click' events), and the Beta-smoothed CTR
+    (clicks + α) / (views + α + β) — the posterior-mean shrinkage that
+    keeps low-traffic items from dominating a ranking signal on noise.
+    All items, ordered by smoothed CTR.
+
+    Scale shape: two filtered scans aggregate map-side to one row per
+    (item, type) before the join; the output is |items| rows.  At
+    10^12 events the per-item partial counts are the only shuffle —
+    this is the textbook pre-aggregate-then-join shape.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("views"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("clicks"))
+    )
+    return (
+        views.join(clicks, "item", "left")
+        .select(
+            "item",
+            "views",
+            F.coalesce(F.col("clicks"), F.lit(0)).cast("long").alias("clicks"),
+            _r4(
+                (F.coalesce(F.col("clicks"), F.lit(0)) + F.lit(_CTR_A))
+                / (F.col("views") + F.lit(_CTR_A) + F.lit(_CTR_B))
+            ).alias("ctr"),
+        )
+        .orderBy(F.col("ctr").desc(), F.col("item").asc())
+    )
+
+
+SQL_CTR_MODEL = f"""WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+),
+views AS (SELECT item, count(*) AS views FROM ev
+          WHERE event_type = 'view' GROUP BY item),
+clicks AS (SELECT item, count(*) AS clicks FROM ev
+           WHERE event_type = 'click' GROUP BY item)
+SELECT v.item, CAST(v.views AS BIGINT) AS views,
+       CAST(coalesce(c.clicks, 0) AS BIGINT) AS clicks,
+       round((coalesce(c.clicks, 0) + {_CTR_A})
+             / (v.views + {_CTR_A} + {_CTR_B}), 4) AS ctr
+FROM views v LEFT JOIN clicks c ON v.item = c.item
+ORDER BY ctr DESC, v.item ASC"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -6212,4 +6454,7 @@ QUERIES = {
     "ltr_features": (q_ltr_features, SQL_LTR_FEATURES),
     "robots_filter": (q_robots_filter, SQL_ROBOTS_FILTER),
     "ann_pq_recall": (q_ann_pq_recall, SQL_ANN_PQ_RECALL),
+    "query_likelihood": (q_query_likelihood, SQL_QUERY_LIKELIHOOD),
+    "related_terms": (q_related_terms, SQL_RELATED_TERMS),
+    "ctr_model": (q_ctr_model, SQL_CTR_MODEL),
 }
