@@ -149,8 +149,13 @@ class QueryEngine:
                 .agg(F.sum("score").alias("score"))  # ≤2 addends: order-free
             )
         if isinstance(expr, Phrase):
-            body = self._eval_phrase(expr.effective_stems, scored, decorated=False)
-            title = self._eval_phrase(expr.effective_stems, scored, decorated=True)
+            win = int(getattr(expr, "window", 1))  # Near rides this branch
+            body = self._eval_phrase(
+                expr.effective_stems, scored, decorated=False, window=win
+            )
+            title = self._eval_phrase(
+                expr.effective_stems, scored, decorated=True, window=win
+            )
             return self._combine_or(body, title)
         if isinstance(expr, And):
             if isinstance(expr.right, Not):  # a & -b → anti join fast path
@@ -201,7 +206,8 @@ class QueryEngine:
         )
 
     def _eval_phrase(
-        self, stems: list[str], scored: DataFrame, decorated: bool
+        self, stems: list[str], scored: DataFrame, decorated: bool,
+        window: int = 1,
     ) -> DataFrame:
         keys = [("@" + s if decorated else s) for s in stems]
         cols = None
@@ -232,14 +238,37 @@ class QueryEngine:
 
             return f
 
-        cond = None
-        for i in range(1, len(keys)):
-            c = _contains_at(i)
-            cond = c if cond is None else _and(cond, c)
-        if cond is None:  # single-term phrase
-            tf_col = F.size(F.col("_p0"))
+        if window > 1:
+            # Near: ordered chain, each next stem within `window` of the
+            # previous — nested F.exists over the position arrays (the
+            # DataFrame twin of packed_exec.phrase_match's backward pass)
+            def _chain(i: int):
+                if i == len(keys):
+                    return lambda prev: F.lit(True)
+                nxt = _chain(i + 1)
+                col = F.col(f"_p{i}")
+
+                def f(prev):
+                    return F.exists(
+                        col,
+                        lambda q: (q > prev) & (q <= prev + window) & nxt(q),
+                    )
+
+                return f
+
+            if len(keys) == 1:
+                tf_col = F.size(F.col("_p0"))
+            else:
+                tf_col = F.size(F.filter(F.col("_p0"), _chain(1)))
         else:
-            tf_col = F.size(F.filter(F.col("_p0"), cond))
+            cond = None
+            for i in range(1, len(keys)):
+                c = _contains_at(i)
+                cond = c if cond is None else _and(cond, c)
+            if cond is None:  # single-term phrase
+                tf_col = F.size(F.col("_p0"))
+            else:
+                tf_col = F.size(F.filter(F.col("_p0"), cond))
         matches = cols.select(
             "doc_id", "dl", tf_col.cast("double").alias("_ptf")
         ).filter(F.col("_ptf") > 0)

@@ -99,10 +99,11 @@ class Spec:
             return {"op": "w", "i": len(self.wslots) - 1}
         if isinstance(e, Phrase):
             stems = tuple(e.effective_stems)
-            self.pslots.append((stems, False))
-            self.pslots.append((stems, True))
+            win = int(getattr(e, "window", 1))   # Near carries window>1
+            self.pslots.append((stems, False, win))
+            self.pslots.append((stems, True, win))
             return {"op": "p", "b": len(self.pslots) - 2,
-                    "t": len(self.pslots) - 1, "stems": stems}
+                    "t": len(self.pslots) - 1, "stems": stems, "win": win}
         if isinstance(e, And):
             # Not fast paths in the executor's exact precedence order
             if isinstance(e.right, Not):
@@ -216,8 +217,9 @@ class _BucketEval:
             return parts[0] if len(parts) == 1 else np.union1d(*parts)
         if isinstance(e, Phrase):
             stems = tuple(e.effective_stems)
-            bids, _ = self.phrase_match(stems, False)
-            tids, _ = self.phrase_match(stems, True)
+            win = int(getattr(e, "window", 1))
+            bids, _ = self.phrase_match(stems, False, win)
+            tids, _ = self.phrase_match(stems, True, win)
             return np.union1d(bids, tids)
         if isinstance(e, And):
             if isinstance(e.right, Not):
@@ -242,11 +244,15 @@ class _BucketEval:
         raise TypeError(type(e))
 
     # -- phrase adjacency over packed positions ------------------------------
-    def phrase_match(self, stems: tuple[str, ...], decorated: bool):
-        """(ids, ptf): docs containing the stems at consecutive positions,
-        and the per-doc count of phrase starts — executor._eval_phrase
-        semantics over the decoded position streams, fully vectorized."""
-        ck = (stems, decorated)
+    def phrase_match(self, stems: tuple[str, ...], decorated: bool,
+                     window: int = 1):
+        """(ids, ptf): docs containing the stems at consecutive positions
+        (window=1, the Phrase/X7 case) or as an ordered chain with each
+        next stem within ``window`` positions of the previous (Near) —
+        executor._eval_phrase semantics over the decoded position
+        streams, fully vectorized.  ptf counts chain STARTS (distinct
+        first-stem positions that can begin a valid chain)."""
+        ck = (stems, decorated, window)
         hit = self._phrase_cache.get(ck)
         if hit is not None:
             return hit
@@ -279,13 +285,31 @@ class _BucketEval:
             cidx = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
             return cidx * np.int64(2**32) + pos
 
-        surv = cand_pos_keys(terms[0], 0)
-        for i, t in enumerate(terms[1:], start=1):
-            surv = np.intersect1d(surv, cand_pos_keys(t, i),
-                                  assume_unique=True)
-            if surv.size == 0:
-                self._phrase_cache[ck] = empty
-                return empty
+        if window == 1:
+            surv = cand_pos_keys(terms[0], 0)
+            for i, t in enumerate(terms[1:], start=1):
+                surv = np.intersect1d(surv, cand_pos_keys(t, i),
+                                      assume_unique=True)
+                if surv.size == 0:
+                    self._phrase_cache[ck] = empty
+                    return empty
+        else:
+            # ordered-window chain, evaluated BACKWARD: S holds the keys of
+            # stem i+1 positions that can complete a chain; a stem-i key K
+            # survives iff S has an entry in (K, K+window].  Keys are
+            # doc-partitioned by the 2^32 stride, and window << 2^32, so a
+            # range probe never crosses a doc boundary.  Two searchsorted
+            # calls per stem — same O(n log n) as the intersect path.
+            surv = cand_pos_keys(terms[-1], 0)
+            for t in reversed(terms[:-1]):
+                keys = cand_pos_keys(t, 0)
+                lo = np.searchsorted(surv, keys, side="right")
+                hi = np.searchsorted(surv, keys + np.int64(window),
+                                     side="right")
+                surv = keys[hi > lo]
+                if surv.size == 0:
+                    self._phrase_cache[ck] = empty
+                    return empty
         ptf_all = np.bincount((surv >> np.int64(32)).astype(np.int64),
                               minlength=cand.size)
         m = ptf_all > 0
@@ -304,8 +328,9 @@ class _BucketEval:
             return ids, wmat, np.zeros((ids.size, n_p), np.int64)
         if op == "p":
             stems = spec["stems"]
-            bids, bptf = self.phrase_match(stems, False)
-            tids, tptf = self.phrase_match(stems, True)
+            win = spec.get("win", 1)
+            bids, bptf = self.phrase_match(stems, False, win)
+            tids, tptf = self.phrase_match(stems, True, win)
             ids = np.union1d(bids, tids)
             pmat = np.zeros((ids.size, n_p), np.int64)
             pmat[np.searchsorted(ids, bids), spec["b"]] = bptf
@@ -451,7 +476,7 @@ def search_packed(engine, ast: Expr, k: int = 10) -> DataFrame:
         # (no self-referencing plan branch that would re-run it).  This is
         # the executor's window-count trick, bucket-distributed.
         pkeys = sorted({("@" + s if deco else s)
-                        for stems, deco in pslots for s in stems})
+                        for stems, deco, _w in pslots for s in stems})
         pcols = ["term", "df", "doc_ids", "tfs", "pos"]
         prows = _bucket_rows_for(engine, pkeys, pcols, outer=False)
         pslots_ = list(pslots)
@@ -464,8 +489,8 @@ def search_packed(engine, ast: Expr, k: int = 10) -> DataFrame:
                     decoded = _decode_rows(brow.trows, True)
                     ev = _BucketEval(decoded, int(brow.start), dls.size, dls,
                                      n_docs, avgdl, k1, b)
-                    out.append([int(ev.phrase_match(stems, deco)[0].size)
-                                for stems, deco in pslots_])
+                    out.append([int(ev.phrase_match(stems, deco, w)[0].size)
+                                for stems, deco, w in pslots_])
                 yield pd.DataFrame({"c": pd.Series(out, dtype="object")})
 
         counts = (
@@ -596,7 +621,7 @@ def batch_general_candidates(engine, items: list[tuple[str, "Expr"]],
         for ps, g in gslots.items():
             gs_list[g] = ps
         pkeys = sorted({("@" + s if deco else s)
-                        for stems, deco in gs_list for s in stems})
+                        for stems, deco, _w in gs_list for s in stems})
         pcols = ["term", "df", "doc_ids", "tfs", "pos"]
         prows = _bucket_rows_for(engine, pkeys, pcols, outer=False)
 
@@ -608,8 +633,8 @@ def batch_general_candidates(engine, items: list[tuple[str, "Expr"]],
                     decoded = _decode_rows(brow.trows, True)
                     ev = _BucketEval(decoded, int(brow.start), dls.size, dls,
                                      n_docs, avgdl, k1, b)
-                    out.append([int(ev.phrase_match(stems, deco)[0].size)
-                                for stems, deco in gs_list])
+                    out.append([int(ev.phrase_match(stems, deco, w)[0].size)
+                                for stems, deco, w in gs_list])
                 yield pd.DataFrame({"c": pd.Series(out, dtype="object")})
 
         # ONE shared count subplan for every phrase in the batch, folded to

@@ -26,6 +26,7 @@ DataFrame pipeline.
 
 from __future__ import annotations
 
+import re
 import urllib.parse
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -67,6 +68,18 @@ class Phrase(Expr):
         terms, matching the index side where stopwords consume no position
         (Indexer.hpp:429-439)."""
         return [s for s in self.stems if s]
+
+
+@dataclass
+class Near(Phrase):
+    """Ordered proximity: the phrase terms in order, each within ``window``
+    positions of the previous (``"a b"~k`` syntax, Lucene-style).  window=1
+    is exactly a Phrase — the engine serves both through one positional
+    kernel (packed_exec.phrase_match), with the chain test widened.
+    Beyond-reference surface: the reference's ISRPhrase (isr.cpp:571-598)
+    is the k=1 special case."""
+
+    window: int = 1
 
 
 @dataclass
@@ -141,6 +154,8 @@ def tokenize(query: str) -> list[str]:
 
 # --- parser: query.cpp:590-653 -------------------------------------------------
 
+_NEAR_RE = re.compile(r"~\d+")
+
 def _leaf(token: str) -> Expr:
     if token.startswith(SYM_PHRASE):
         terms = [t for t in token[1:].split(" ") if t]
@@ -168,7 +183,16 @@ def _parse_term(tokens: list[str], idx: list[int]) -> Expr | None:
         idx[0] += 1
         return expr
     idx[0] += 1
-    return _leaf(token)
+    leaf = _leaf(token)
+    # Lucene-style proximity suffix: "`a b`"~k directly after a phrase
+    if (
+        isinstance(leaf, Phrase)
+        and idx[0] < len(tokens)
+        and _NEAR_RE.fullmatch(tokens[idx[0]])
+    ):
+        leaf = Near(leaf.terms, window=max(1, int(tokens[idx[0]][1:])))
+        idx[0] += 1
+    return leaf
 
 
 def _parse_expression(tokens: list[str], idx: list[int]) -> Expr | None:
