@@ -6362,6 +6362,252 @@ FROM views v LEFT JOIN clicks c ON v.item = c.item
 ORDER BY ctr DESC, v.item ASC"""
 
 
+# ---------------------------------------------------------------------------
+# per-source distribution drift (KL divergence of unigram LMs)
+# ---------------------------------------------------------------------------
+
+_KL_ALPHA = 1.0   # add-one smoothing over the corpus vocabulary
+
+
+def q_kl_drift(spark, sf_dir):
+    """Corpus-drift sheet: per source, the KL divergence of its smoothed
+    unigram distribution from the whole-corpus distribution — the
+    monitoring number that flags a crawl slice (or a new dump) whose
+    language shifted before it contaminates a training mix.  Both
+    distributions are add-α smoothed over the SAME corpus vocabulary so
+    support matches and KL is finite.
+
+    Scale shape: per-(source, term) counts aggregate map-side; the
+    corpus LM joins by term (no broadcast hint — vocab cardinality is
+    corpus-dependent, the dsir lesson); the vocab-size and per-source
+    totals are small broadcast side plans.  Terms a source lacks
+    contribute ONLY through the smoothing mass, folded in closed form
+    (α-only terms share one log), so the plan never outer-joins
+    source × vocab.
+    """
+    toks = _tokens(spark, sf_dir).select("doc_id", "term")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    st = toks.join(src, "doc_id").select("source", "term")
+    # per-source term counts and totals
+    sc = st.groupBy("source", "term").agg(F.count("*").alias("c"))
+    stot = sc.groupBy("source").agg(F.sum("c").alias("n"))
+    # corpus counts, total, vocab size
+    cc = st.groupBy("term").agg(F.count("*").alias("cc"))
+    ctot = cc.agg(
+        F.sum("cc").alias("t"), F.count("*").alias("v")
+    )
+    # p_s(w) = (c + α)/(n + αV), q(w) = (cc + α)/(t + αV)
+    # KL = Σ_vocab p log(p/q); terms with c=0 have p = α/(n+αV) —
+    # their Σ is  α/(n+αV) · Σ_{c=0} log(p/q), folded via
+    # Σ_{c=0} log q  =  Σ_all log q − Σ_{c>0} log q  (all computed on
+    # matched rows; Σ_all log q is one corpus-wide aggregate)
+    j = sc.join(cc, "term").join(F.broadcast(stot), "source").crossJoin(
+        F.broadcast(ctot)
+    )
+    a = F.lit(_KL_ALPHA)
+    p = (F.col("c") + a) / (F.col("n") + a * F.col("v"))
+    q = (F.col("cc") + a) / (F.col("t") + a * F.col("v"))
+    matched = j.groupBy("source").agg(
+        F.sum(p * F.log(p / q)).alias("_kl_pos"),
+        F.sum(F.log(q)).alias("_logq_pos"),
+        F.count("*").alias("_nterms"),
+        F.first("n").alias("_n"),
+        F.first("v").alias("_v"),
+        F.first("t").alias("_t"),
+    )
+    logq_all = cc.crossJoin(F.broadcast(ctot)).agg(
+        F.sum(
+            F.log((F.col("cc") + a) / (F.col("t") + a * F.col("v")))
+        ).alias("_logq_all")
+    )
+    p0 = a / (F.col("_n") + a * F.col("_v"))
+    kl = (
+        F.col("_kl_pos")
+        + p0
+        * (
+            (F.col("_v") - F.col("_nterms")) * F.log(p0)
+            - (F.col("_logq_all") - F.col("_logq_pos"))
+        )
+    )
+    return (
+        matched.crossJoin(F.broadcast(logq_all))
+        .select(
+            "source",
+            F.col("_n").cast("long").alias("n_tokens"),
+            _r4(kl).alias("kl"),
+        )
+        .orderBy(F.col("kl").desc(), F.col("source").asc())
+    )
+
+
+SQL_KL_DRIFT = f"""WITH {_TOKS_SQL},
+st AS (
+  SELECT d.source, t.term FROM toks t
+  JOIN documents d ON t.doc_id = d.doc_id
+),
+sc AS (SELECT source, term, count(*) AS c FROM st GROUP BY source, term),
+stot AS (SELECT source, sum(c) AS n FROM sc GROUP BY source),
+cc AS (SELECT term, count(*) AS cc FROM st GROUP BY term),
+ctot AS (SELECT sum(cc) AS t, count(*) AS v FROM cc),
+logq_all AS (
+  SELECT sum(ln((cc + {_KL_ALPHA}) / (t + {_KL_ALPHA} * v))) AS logq_all
+  FROM cc CROSS JOIN ctot
+),
+matched AS (
+  SELECT sc.source,
+         sum(((sc.c + {_KL_ALPHA}) / (stot.n + {_KL_ALPHA} * ctot.v))
+             * ln(((sc.c + {_KL_ALPHA}) / (stot.n + {_KL_ALPHA} * ctot.v))
+                  / ((cc.cc + {_KL_ALPHA}) / (ctot.t + {_KL_ALPHA} * ctot.v))))
+           AS kl_pos,
+         sum(ln((cc.cc + {_KL_ALPHA}) / (ctot.t + {_KL_ALPHA} * ctot.v)))
+           AS logq_pos,
+         count(*) AS nterms,
+         any_value(stot.n) AS n, any_value(ctot.v) AS v
+  FROM sc JOIN cc ON sc.term = cc.term
+  JOIN stot ON sc.source = stot.source
+  CROSS JOIN ctot
+  GROUP BY sc.source
+)
+SELECT m.source, CAST(m.n AS BIGINT) AS n_tokens,
+       round(m.kl_pos
+             + ({_KL_ALPHA} / (m.n + {_KL_ALPHA} * m.v))
+               * ((m.v - m.nterms)
+                    * ln({_KL_ALPHA} / (m.n + {_KL_ALPHA} * m.v))
+                  - (l.logq_all - m.logq_pos)), 4) AS kl
+FROM matched m CROSS JOIN logq_all l
+ORDER BY kl DESC, m.source ASC"""
+
+
+# ---------------------------------------------------------------------------
+# asymmetric shingle containment (subset-duplication detector)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_MIN = 0.4   # report pairs where |A∩B| / |A| ≥ this
+
+
+def q_containment(spark, sf_dir):
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B| / |A| (Broder's
+    second resemblance measure) — catches a short doc swallowed by a
+    longer one (quotes, wrapped reposts, boilerplate shells), which
+    symmetric Jaccard under-scores because the union is large.  Reports
+    ordered pairs (contained, container) at containment ≥ _CONTAIN_MIN.
+
+    Scale shape: identical to ngram_jaccard — shared-shingle equi-join
+    with the head-shingle df cap bounding hot keys; containment just
+    divides by ONE side's size, so no new shuffle.  Both directions of
+    a pair come from the same joined row (a<b once, then both ratios),
+    not a second join.
+    """
+    sh = _shingles(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh = sh.join(df_ok, "sh", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("da"), "sh")
+    b = sh.select(F.col("doc_id").alias("db"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("da"),
+                           F.col("sz").alias("sza")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"),
+                           F.col("sz").alias("szb")), "db")
+    )
+    fwd = inter.select(
+        F.col("da").alias("contained"), F.col("db").alias("container"),
+        _r4(F.col("inter") / F.col("sza")).alias("containment"),
+    )
+    rev = inter.select(
+        F.col("db").alias("contained"), F.col("da").alias("container"),
+        _r4(F.col("inter") / F.col("szb")).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("containment") >= _CONTAIN_MIN)
+        .orderBy(
+            F.col("containment").desc(),
+            F.col("contained").asc(),
+            F.col("container").asc(),
+        )
+        .limit(20)
+    )
+
+
+SQL_CONTAINMENT = f"""WITH {_SHINGLES_SQL},
+capped AS (
+  SELECT s.doc_id, s.sh FROM shingles s
+  JOIN (SELECT sh FROM shingles GROUP BY sh
+        HAVING count(*) <= {_SHINGLE_DF_CAP}) ok ON s.sh = ok.sh
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sized AS (
+  SELECT i.da, i.db, i.inter, sa.sz AS sza, sb.sz AS szb
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.da
+  JOIN sizes sb ON sb.doc_id = i.db
+),
+dirs AS (
+  SELECT da AS contained, db AS container,
+         round(inter * 1.0 / sza, 4) AS containment FROM sized
+  UNION ALL
+  SELECT db AS contained, da AS container,
+         round(inter * 1.0 / szb, 4) AS containment FROM sized
+)
+SELECT contained, container, containment FROM dirs
+WHERE containment >= {_CONTAIN_MIN}
+ORDER BY containment DESC, contained ASC, container ASC LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# freshness-decayed ranking (time-aware retrieval)
+# ---------------------------------------------------------------------------
+
+_FRESH_TAU = 90.0   # e-folding age, days
+
+
+def q_freshness_rank(spark, sf_dir):
+    """Time-decayed retrieval: BM25 for 'merge' multiplied by
+    exp(-age_days/τ) — the standard freshness prior for news-ish
+    verticals.  Crawl ages are synthesized deterministically from doc_id
+    (doc_id % 365 days old, like q_url_normalize's synthetic URLs) so
+    both engines see identical inputs.  Top-10 by decayed score.
+
+    Scale shape: the decay is a narrow per-row expression on top of the
+    same pruned _scored plan (only the query term's postings shuffle);
+    freshness changes the ORDER, not the plan.  In the packed engine
+    the same factor folds into the WAND upper bound (w · max-decay of a
+    bucket) without breaking pruning.
+    """
+    s = _scored(spark, sf_dir, ["merge"]).filter(F.col("term") == "merge")
+    age = (F.col("doc_id") % 365).cast("double")
+    return (
+        s.select(
+            "doc_id",
+            age.cast("long").alias("age_days"),
+            _r4(F.col("score") * F.exp(-age / F.lit(_FRESH_TAU))).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_FRESHNESS_RANK = f"""WITH {_BM25_CORE_SQL}
+{_topk_sql(f'''SELECT doc_id, CAST(doc_id % 365 AS BIGINT) AS age_days,
+       round(score * exp(-(doc_id % 365) / {_FRESH_TAU}), 4) AS score
+FROM scored WHERE term = 'merge' ''')}"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -6457,4 +6703,7 @@ QUERIES = {
     "query_likelihood": (q_query_likelihood, SQL_QUERY_LIKELIHOOD),
     "related_terms": (q_related_terms, SQL_RELATED_TERMS),
     "ctr_model": (q_ctr_model, SQL_CTR_MODEL),
+    "kl_drift": (q_kl_drift, SQL_KL_DRIFT),
+    "containment": (q_containment, SQL_CONTAINMENT),
+    "freshness_rank": (q_freshness_rank, SQL_FRESHNESS_RANK),
 }
