@@ -146,6 +146,25 @@ def _engine_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/k proximity retrieval on the PHYSICAL path: the ordered-chain
+    positional kernel (plans/packed_exec.py phrase_match, window>1
+    branch) over the packed ``pos`` streams — the Lucene-style "a b"~k
+    surface the phrase ISR (X7) is the k=1 special case of.  Packed ≡
+    exhaustive-executor rank identity plus NEAR/1 ≡ Phrase are enforced
+    by tests/test_near_engine.py; this entry golden-checks the values
+    end-to-end, mixed with a word term so the ptf-slot finalize and the
+    word-slot kernel compose."""
+    from search_engine_spark.plans.wand import PackedQueryEngine
+
+    eng = PackedQueryEngine.from_catalog(_engine_catalog(spark))
+    eng.fallback = None  # prove the packed path serves NEAR alone
+    return _check_golden(
+        "engine_near_topk",
+        eng.search('"w0 w1"~4 scores', k=10),
+    )
+
+
 def _engine_dynamic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic-parity ranking flow (SURVEY §2.7 R4/R5): static gate +
     rarest-term span features + synonym fallback + 0.75/0.25 final mix
@@ -225,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_postings_sample"] = _engine_postings_sample
     out["engine_batch_search"] = _engine_batch_search
     out["engine_phrase_topk"] = _engine_phrase_topk
+    out["engine_near_topk"] = _engine_near_topk
     out["engine_dynamic_topk"] = _engine_dynamic_topk
     out["media_features"] = _media_features
     return out
