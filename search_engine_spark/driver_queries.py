@@ -6608,6 +6608,181 @@ SQL_FRESHNESS_RANK = f"""WITH {_BM25_CORE_SQL}
 FROM scored WHERE term = 'merge' ''')}"""
 
 
+# ---------------------------------------------------------------------------
+# NDCG@10 ranking-quality evaluation
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_QS = ["merge", "join", "scan"]
+
+
+def q_ndcg_eval(spark, sf_dir):
+    """Offline ranking evaluation: NDCG@_NDCG_K of the BM25 ranking per
+    query, against deterministic synthetic graded labels (rel ∈ 0..3 from
+    a multiplicative hash of doc_id — the stand-in for editorial
+    judgments, identical in both engines).  DCG uses the standard
+    (2^rel − 1)/log2(rank+1) gain; IDCG re-ranks the SAME top-K pool by
+    label (the 'local ideal' convention for pooled judgments).
+
+    Scale shape: ranking cutoffs are per-query rank windows over the
+    pruned _scored plan (only the 3 query terms' postings shuffle); the
+    eval aggregate is |queries| rows.  This is the operator an IR stack
+    runs on every ranker change — measurement as a first-class plan.
+    """
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, _NDCG_QS).filter(
+        F.col("term").isin(_NDCG_QS)
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc()
+    )
+    top = (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NDCG_K)
+        .withColumn(
+            "rel",
+            F.pmod(
+                (F.col("doc_id") % _SPLIT_PRIME) * F.lit(2654435761),
+                F.lit(4),
+            ).cast("double"),
+        )
+        .withColumn(
+            "gain",
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+            / (F.log(F.col("rank") + 1.0) / F.log(F.lit(2.0))),
+        )
+    )
+    iw = Window.partitionBy("term").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ideal = top.withColumn("irank", F.row_number().over(iw)).withColumn(
+        "igain",
+        (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+        / (F.log(F.col("irank") + 1.0) / F.log(F.lit(2.0))),
+    )
+    return (
+        ideal.groupBy("term")
+        .agg(
+            _r4(
+                F.sum("gain") / F.greatest(F.sum("igain"), F.lit(1e-12))
+            ).alias("ndcg"),
+            F.count("*").cast("long").alias("judged"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_NDCG_EVAL = f"""WITH {_BM25_CORE_SQL},
+top AS (
+  SELECT term, doc_id, rank,
+         CAST(((doc_id % {_SPLIT_PRIME}) * 2654435761) % 4 AS DOUBLE) AS rel
+  FROM (
+    SELECT term, doc_id, row_number() OVER (
+      PARTITION BY term ORDER BY round(score, 4) DESC, doc_id ASC) AS rank
+    FROM scored WHERE term IN ('merge', 'join', 'scan'))
+  WHERE rank <= {_NDCG_K}
+),
+gains AS (
+  SELECT term, doc_id, rel,
+         (pow(2.0, rel) - 1.0) / (ln(rank + 1.0) / ln(2.0)) AS gain,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY rel DESC, doc_id ASC) AS irank
+  FROM top
+)
+SELECT term,
+       round(sum(gain)
+             / greatest(sum((pow(2.0, rel) - 1.0)
+                            / (ln(irank + 1.0) / ln(2.0))), 1e-12), 4)
+         AS ndcg,
+       count(*) AS judged
+FROM gains GROUP BY term ORDER BY term"""
+
+
+# ---------------------------------------------------------------------------
+# percolation / reverse search (stored-query alerting)
+# ---------------------------------------------------------------------------
+
+_PERC_QUERIES = [
+    # (qid, mode, terms) — the stored alert table (Elasticsearch
+    # percolator shape); terms drawn from the synthetic vocabulary
+    (1, "and", ["merge", "join"]),
+    (2, "and", ["hash", "join", "spark"]),
+    (3, "or", ["vector", "window"]),
+    (4, "and", ["scan", "filter"]),
+    (5, "or", ["dup", "stream"]),
+    (6, "and", ["merge", "sort", "batch"]),
+]
+
+
+def q_percolate(spark, sf_dir):
+    """Reverse search (percolation): match every document against a STORED
+    query table — the alerting/subscription primitive (saved searches,
+    brand monitoring) where the queries are the index and the doc is the
+    probe.  AND queries need every term present, OR queries any.  Output:
+    per stored query, how many docs fire it.
+
+    Scale shape: the stored-query term table is tiny and broadcast (an
+    alert table is KB-MB even with millions of alerts after term
+    sharding); one pass over DISTINCT (doc, term) pairs joins it, the
+    per-(doc, query) coverage count is map-side combinable, and the AND
+    threshold is a join-free post-filter.  The corpus is scanned ONCE no
+    matter how many stored queries — the whole point of percolation.
+    """
+    qrows = [
+        (qid, mode, t, len(terms))
+        for qid, mode, terms in _PERC_QUERIES
+        for t in terms
+    ]
+    qtab = spark.createDataFrame(
+        qrows, "qid int, mode string, term string, n_terms int"
+    )
+    dt = _tf(spark, sf_dir).select("doc_id", "term")
+    cov = (
+        dt.join(F.broadcast(qtab), "term")
+        .groupBy("doc_id", "qid")
+        .agg(
+            F.count("*").alias("hit"),
+            F.first("mode").alias("mode"),
+            F.first("n_terms").alias("n_terms"),
+        )
+    )
+    fired = cov.filter(
+        (F.col("mode") == "or") | (F.col("hit") == F.col("n_terms"))
+    )
+    return (
+        fired.groupBy("qid")
+        .agg(
+            F.first("mode").alias("mode"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _percolate_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{mode}', '{t}', {len(terms)})"
+        for qid, mode, terms in _PERC_QUERIES
+        for t in terms
+    )
+    return f"""WITH {_TOKS_SQL},
+dt AS (SELECT DISTINCT doc_id, term FROM toks),
+qtab(qid, mode, term, n_terms) AS (VALUES {vals}),
+cov AS (
+  SELECT d.doc_id, q.qid, count(*) AS hit,
+         any_value(q.mode) AS mode, any_value(q.n_terms) AS n_terms
+  FROM dt d JOIN qtab q ON d.term = q.term
+  GROUP BY d.doc_id, q.qid
+)
+SELECT qid, any_value(mode) AS mode, CAST(count(*) AS BIGINT) AS n_docs
+FROM cov WHERE mode = 'or' OR hit = n_terms
+GROUP BY qid ORDER BY qid"""
+
+
+SQL_PERCOLATE = _percolate_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -6706,4 +6881,6 @@ QUERIES = {
     "kl_drift": (q_kl_drift, SQL_KL_DRIFT),
     "containment": (q_containment, SQL_CONTAINMENT),
     "freshness_rank": (q_freshness_rank, SQL_FRESHNESS_RANK),
+    "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
+    "percolate": (q_percolate, SQL_PERCOLATE),
 }
