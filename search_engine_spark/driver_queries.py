@@ -6783,6 +6783,186 @@ GROUP BY qid ORDER BY qid"""
 SQL_PERCOLATE = _percolate_sql()
 
 
+# ---------------------------------------------------------------------------
+# character-entropy quality signal (Gopher-style repetition/garbage rule)
+# ---------------------------------------------------------------------------
+
+def q_entropy_quality(spark, sf_dir):
+    """Per-doc character-level Shannon entropy of the lowercased [a-z0-9]
+    stream, bucketed per language: low entropy flags repeated/garbage
+    text (keyboard mashing, template spam), high entropy flags
+    encrypted/binary junk — a standard companion to the token-level
+    repetition rules.  Reports per-lang doc counts and mean entropy, plus
+    how many docs fall under 2.5 bits (the curation cut line).
+
+    Scale shape: the char histogram is one posexplode-free pass —
+    36 count columns per doc via narrow length/replace arithmetic would
+    be 36 expressions; instead chars explode but aggregate map-side to
+    ≤36 rows per doc before the shuffle, then one per-doc entropy fold
+    and a |langs|-row rollup.
+    """
+    chars = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.split(
+                    F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""), ""
+                )
+            ).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+    )
+    hist = chars.groupBy("doc_id", "lang", "ch").agg(
+        F.count("*").alias("c")
+    )
+    # two-step: total per doc, then -Σ (c/n) log2(c/n)
+    tot = hist.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    ent = (
+        hist.join(tot, "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("c") / F.col("n"))
+                    * (F.log(F.col("c") / F.col("n")) / F.log(F.lit(2.0)))
+                )
+            ).alias("h")
+        )
+    )
+    return (
+        ent.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            _r4(F.avg("h")).alias("avg_entropy"),
+            F.sum(F.when(F.col("h") < 2.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_ENTROPY_QUALITY = """WITH chars AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(
+           regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), ''),
+           x -> x <> '')) AS ch
+  FROM documents
+),
+hist AS (SELECT doc_id, any_value(lang) AS lang, ch, count(*) AS c
+         FROM chars GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, sum(c) AS n FROM hist GROUP BY doc_id),
+ent AS (
+  SELECT h.doc_id, any_value(h.lang) AS lang,
+         -sum((h.c * 1.0 / t.n) * (ln(h.c * 1.0 / t.n) / ln(2.0))) AS h
+  FROM hist h JOIN tot t ON h.doc_id = t.doc_id
+  GROUP BY h.doc_id
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(h), 4) AS avg_entropy,
+       CAST(sum(CASE WHEN h < 2.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+FROM ent GROUP BY lang ORDER BY lang"""
+
+
+# ---------------------------------------------------------------------------
+# ordered conversion funnel over the event log
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ["view", "click", "purchase"]
+
+
+def q_event_funnel(spark, sf_dir):
+    """Strict ordered funnel (the product-analytics primitive): per user,
+    step i counts only if its FIRST occurrence happens strictly after
+    step i-1's first occurrence.  Reports per-step user counts and the
+    conversion rate from the previous step.
+
+    Scale shape: one filtered scan aggregates to min-ts per (user, step)
+    map-side (3 rows per user max); the step ordering is a per-user
+    width-3 pivot — no self-join, no window over raw events.  At 10^12
+    events the only shuffle is the per-user 3-row aggregate.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin(_FUNNEL)
+    )
+    firsts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _FUNNEL)
+        .agg(F.min("ts"))
+    )
+    s1 = F.col("view").isNotNull()
+    s2 = s1 & F.col("click").isNotNull() & (F.col("click") > F.col("view"))
+    s3 = s2 & F.col("purchase").isNotNull() & (
+        F.col("purchase") > F.col("click")
+    )
+    agg = firsts.agg(
+        F.sum(s1.cast("long")).alias("n1"),
+        F.sum(s2.cast("long")).alias("n2"),
+        F.sum(s3.cast("long")).alias("n3"),
+    )
+    steps = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step"), F.lit("view").alias("name"),
+                    F.col("n1").alias("users"),
+                    F.col("n1").cast("double").alias("_prev"),
+                    F.col("n1").cast("double").alias("_cur0"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step"), F.lit("click").alias("name"),
+                    F.col("n2").alias("users"),
+                    F.col("n1").cast("double").alias("_prev"),
+                    F.col("n2").cast("double").alias("_cur0"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step"), F.lit("purchase").alias("name"),
+                    F.col("n3").alias("users"),
+                    F.col("n2").cast("double").alias("_prev"),
+                    F.col("n3").cast("double").alias("_cur0"),
+                ),
+            )
+        ).alias("s")
+    )
+    return steps.select(
+        F.col("s.step").alias("step"),
+        F.col("s.name").alias("name"),
+        F.col("s.users").cast("long").alias("users"),
+        _r4(
+            F.col("s._cur0") / F.greatest(F.col("s._prev"), F.lit(1.0))
+        ).alias("conv"),
+    ).orderBy("step")
+
+
+SQL_EVENT_FUNNEL = """WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+),
+agg AS (
+  SELECT sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                  THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND c > v
+                   AND p IS NOT NULL AND p > c THEN 1 ELSE 0 END) AS n3
+  FROM firsts
+)
+SELECT 1 AS step, 'view' AS name, CAST(n1 AS BIGINT) AS users,
+       round(n1 / greatest(n1 * 1.0, 1.0), 4) AS conv FROM agg
+UNION ALL
+SELECT 2, 'click', CAST(n2 AS BIGINT),
+       round(n2 / greatest(n1 * 1.0, 1.0), 4) FROM agg
+UNION ALL
+SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+       round(n3 / greatest(n2 * 1.0, 1.0), 4) FROM agg
+ORDER BY step"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -6883,4 +7063,6 @@ QUERIES = {
     "freshness_rank": (q_freshness_rank, SQL_FRESHNESS_RANK),
     "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
     "percolate": (q_percolate, SQL_PERCOLATE),
+    "entropy_quality": (q_entropy_quality, SQL_ENTROPY_QUALITY),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
 }
