@@ -6963,6 +6963,93 @@ SELECT 3, 'purchase', CAST(n3 AS BIGINT),
 ORDER BY step"""
 
 
+# ---------------------------------------------------------------------------
+# MRR / MAP ranking evaluation (binary-relevance companion to ndcg_eval)
+# ---------------------------------------------------------------------------
+
+def q_mrr_map_eval(spark, sf_dir):
+    """Reciprocal rank and average precision of the BM25 top-K per query,
+    under a binary cut (grade >= 2) of the same deterministic synthetic
+    labels ndcg_eval uses.  RR = 1/rank of the first relevant result
+    (0.0 when none lands in the pool); AP follows the pooled convention:
+    precision@k summed at relevant ranks, normalised by the number of
+    relevant docs IN the pool.  Together with ndcg_eval this is the
+    standard offline eval triple an IR stack reruns on every ranker
+    change.
+
+    Scale shape: identical to ndcg_eval — per-query rank windows over the
+    term-pruned _scored plan (only the |queries| terms' postings
+    shuffle), then window sums over the <=K-row pool and a |queries|-row
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, _NDCG_QS).filter(
+        F.col("term").isin(_NDCG_QS)
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc()
+    )
+    top = (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NDCG_K)
+        .withColumn(
+            "rel",
+            F.when(
+                F.pmod(
+                    (F.col("doc_id") % _SPLIT_PRIME) * F.lit(2654435761),
+                    F.lit(4),
+                )
+                >= 2,
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    cw = (
+        Window.partitionBy("term")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = top.withColumn("cum_rel", F.sum("rel").over(cw))
+    return (
+        cum.groupBy("term")
+        .agg(
+            _r4(F.max(F.col("rel") / F.col("rank"))).alias("rr"),
+            _r4(
+                F.sum(F.col("rel") * F.col("cum_rel") / F.col("rank"))
+                / F.greatest(F.sum("rel"), F.lit(1.0))
+            ).alias("ap"),
+            F.sum("rel").cast("long").alias("n_rel"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_MRR_MAP_EVAL = f"""WITH {_BM25_CORE_SQL},
+top AS (
+  SELECT term, doc_id, rank,
+         CASE WHEN ((doc_id % {_SPLIT_PRIME}) * 2654435761) % 4 >= 2
+              THEN 1.0 ELSE 0.0 END AS rel
+  FROM (
+    SELECT term, doc_id, row_number() OVER (
+      PARTITION BY term ORDER BY round(score, 4) DESC, doc_id ASC) AS rank
+    FROM scored WHERE term IN ('merge', 'join', 'scan'))
+  WHERE rank <= {_NDCG_K}
+),
+cums AS (
+  SELECT term, rank, rel,
+         sum(rel) OVER (PARTITION BY term ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rel
+  FROM top
+)
+SELECT term,
+       round(max(rel / rank), 4) AS rr,
+       round(sum(rel * cum_rel / rank) / greatest(sum(rel), 1.0), 4) AS ap,
+       CAST(sum(rel) AS BIGINT) AS n_rel
+FROM cums GROUP BY term ORDER BY term"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -7065,4 +7152,5 @@ QUERIES = {
     "percolate": (q_percolate, SQL_PERCOLATE),
     "entropy_quality": (q_entropy_quality, SQL_ENTROPY_QUALITY),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "mrr_map_eval": (q_mrr_map_eval, SQL_MRR_MAP_EVAL),
 }
