@@ -7050,6 +7050,119 @@ SELECT term,
 FROM cums GROUP BY term ORDER BY term"""
 
 
+# ---------------------------------------------------------------------------
+# traffic-spike detection over the event stream (z-score vs trailing window)
+# ---------------------------------------------------------------------------
+
+def q_spike_detect(spark, sf_dir):
+    """Burst detection: per event type, flag the hours whose count most
+    exceeds the trailing 24h mean, scored as a z-score against the
+    trailing standard deviation (the monitoring primitive behind
+    trending-query and abuse alarms).  The stddev floor of 0.5 keeps z
+    bounded on near-constant series (counts are integers, so sd < 0.5
+    means the history is essentially flat).  Top-20 by z with full
+    deterministic tie-break.
+
+    Scale shape: raw events aggregate map-side to |types| x |hours| rows
+    FIRST; the trailing-stats windows and the top-20 run over that
+    bounded pre-aggregate only (the final cut is TakeOrderedAndProject,
+    not a global sort).  At 10^12 events the one shuffle is the
+    hour-bucket aggregate.
+    """
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("win"),
+        "event_type",
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("win").rowsBetween(-24, -1)
+    scored = (
+        agg.withColumn("mu", F.avg("n").over(w))
+        .withColumn("sd", F.stddev_samp("n").over(w))
+        .withColumn("n_hist", F.count("n").over(w))
+        .filter(F.col("n_hist") >= 12)
+        .withColumn(
+            "z",
+            _r4(
+                (F.col("n") - F.col("mu"))
+                / F.greatest(F.col("sd"), F.lit(0.5))
+            ),
+        )
+    )
+    return (
+        scored.select("event_type", "win", "n", "z")
+        .orderBy(F.col("z").desc(), "event_type", "win")
+        .limit(20)
+    )
+
+
+SQL_SPIKE_DETECT = """WITH agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS win, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, win, n,
+         avg(n) OVER w AS mu,
+         stddev_samp(n) OVER w AS sd,
+         count(n) OVER w AS n_hist
+  FROM agg
+  WINDOW w AS (PARTITION BY event_type ORDER BY win
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, win, n,
+       round((n - mu) / greatest(sd, 0.5), 4) AS z
+FROM scored WHERE n_hist >= 12
+ORDER BY z DESC, event_type, win
+LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# posting-list length histogram (index sizing / codec selection surface)
+# ---------------------------------------------------------------------------
+
+def q_posting_histogram(spark, sf_dir):
+    """Distribution of posting-list lengths (document frequency per term)
+    in power-of-two buckets — the statistic that sizes skip blocks,
+    picks codecs (varbyte vs bitpack vs bitmap), and predicts WAND
+    effectiveness for an index build.  Bucket = bit_length(df) - 1,
+    computed with integer string arithmetic on both sides so no
+    floating log2 sits on a power-of-two boundary.
+
+    Scale shape: tf dedup and the df count are the same two map-side
+    combining aggregates the index build itself runs; the histogram is
+    a <=64-row rollup.
+    """
+    df = (
+        _tf(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    bucket = (F.length(F.bin(F.col("df"))) - 1).cast("long").alias("bucket")
+    return (
+        df.groupBy(bucket)
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.min("df").cast("long").alias("min_df"),
+            F.max("df").cast("long").alias("max_df"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_POSTING_HISTOGRAM = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS n_postings,
+       CAST(min(df) AS BIGINT) AS min_df,
+       CAST(max(df) AS BIGINT) AS max_df
+FROM df GROUP BY 1 ORDER BY bucket"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -7153,4 +7266,6 @@ QUERIES = {
     "entropy_quality": (q_entropy_quality, SQL_ENTROPY_QUALITY),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "mrr_map_eval": (q_mrr_map_eval, SQL_MRR_MAP_EVAL),
+    "spike_detect": (q_spike_detect, SQL_SPIKE_DETECT),
+    "posting_histogram": (q_posting_histogram, SQL_POSTING_HISTOGRAM),
 }
