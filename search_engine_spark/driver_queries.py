@@ -7163,6 +7163,167 @@ SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bucket,
 FROM df GROUP BY 1 ORDER BY bucket"""
 
 
+# ---------------------------------------------------------------------------
+# Rocchio pseudo-relevance feedback over the embedding space
+# ---------------------------------------------------------------------------
+
+_ROCCHIO_POOL = 20
+_ROCCHIO_A, _ROCCHIO_B, _ROCCHIO_G = 1.0, 0.75, 0.15
+
+
+def q_rocchio_feedback(spark, sf_dir):
+    """Rocchio relevance feedback (the vector-space sibling of rm1_expand):
+    retrieve a cosine top-20 pool for query vec 0, split it by the same
+    deterministic synthetic judgments the eval operators use, move the
+    query toward the relevant centroid and away from the non-relevant one
+    (q' = a*q + b*c_rel - g*c_nonrel), and re-rank everything against q'.
+
+    The centroids are CONDITIONAL per-position aggregates over the
+    exploded pool (sum(v*rel)/max(n_rel,1)) rather than per-class joins,
+    so an empty class degrades to a zero vector instead of killing rows.
+
+    Scale shape: the pool cut is TakeOrderedAndProject over one broadcast
+    crossJoin pass; centroid assembly touches pool_size x dim rows (a
+    constant); the re-rank is a second broadcast pass — no shuffle ever
+    carries more than the corpus scan itself.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = emb.filter(F.col("vec_id") != 0)
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pool = (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            _r4(dot / (nrm("embedding") * nrm("qv"))).alias("cos0"),
+        )
+        .orderBy(F.col("cos0").desc(), F.col("vec_id").asc())
+        .limit(_ROCCHIO_POOL)
+        .withColumn(
+            "rel",
+            F.when(
+                F.pmod(
+                    (F.col("vec_id") % _SPLIT_PRIME) * F.lit(2654435761),
+                    F.lit(4),
+                )
+                >= 2,
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    ex = pool.select(
+        "rel", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = ex.groupBy("pos").agg(
+        (
+            F.sum(F.col("v") * F.col("rel"))
+            / F.greatest(F.sum("rel"), F.lit(1.0))
+        ).alias("cr"),
+        (
+            F.sum(F.col("v") * (1.0 - F.col("rel")))
+            / F.greatest(F.sum(1.0 - F.col("rel")), F.lit(1.0))
+        ).alias("cn"),
+    )
+    cents = cent.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cr"))),
+            lambda s: s.getField("cr"),
+        ).alias("crel"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cn"))),
+            lambda s: s.getField("cn"),
+        ).alias("cnrel"),
+    )
+    qprime = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            F.zip_with(
+                F.zip_with(
+                    "qv",
+                    "crel",
+                    lambda a, b: a * _ROCCHIO_A + b * _ROCCHIO_B,
+                ),
+                "cnrel",
+                lambda a, b: a - b * _ROCCHIO_G,
+            ).alias("qp")
+        )
+    )
+    dot2 = F.aggregate(
+        F.zip_with("embedding", "qp", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.crossJoin(F.broadcast(qprime))
+        .select(
+            "vec_id",
+            _r4(dot2 / (nrm("embedding") * nrm("qp"))).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+SQL_ROCCHIO_FEEDBACK = f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+), q AS (SELECT embedding AS qv FROM emb WHERE vec_id = 0),
+pool AS (
+  SELECT e.vec_id, e.embedding,
+         CASE WHEN ((e.vec_id % {_SPLIT_PRIME}) * 2654435761) % 4 >= 2
+              THEN 1.0 ELSE 0.0 END AS rel
+  FROM emb e CROSS JOIN q
+  WHERE e.vec_id <> 0
+  ORDER BY round(list_dot_product(e.embedding, q.qv)
+                 / (sqrt(list_dot_product(e.embedding, e.embedding))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 4) DESC,
+           e.vec_id ASC
+  LIMIT {_ROCCHIO_POOL}
+),
+ex AS (
+  SELECT rel, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM pool
+),
+cent AS (
+  SELECT pos,
+         sum(v * rel) / greatest(sum(rel), 1.0) AS cr,
+         sum(v * (1.0 - rel)) / greatest(sum(1.0 - rel), 1.0) AS cn
+  FROM ex GROUP BY pos
+),
+cents AS (
+  SELECT list(cr ORDER BY pos) AS crel, list(cn ORDER BY pos) AS cnrel
+  FROM cent
+),
+qp AS (
+  SELECT list_transform(
+           list_zip(q.qv, c.crel, c.cnrel),
+           s -> s[1] * {_ROCCHIO_A} + s[2] * {_ROCCHIO_B}
+                - s[3] * {_ROCCHIO_G}) AS qp
+  FROM q CROSS JOIN cents c
+)
+SELECT e.vec_id AS vec_id,
+       round(list_dot_product(e.embedding, qp.qp)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(qp.qp, qp.qp))), 4) AS cos
+FROM emb e CROSS JOIN qp WHERE e.vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -7268,4 +7429,5 @@ QUERIES = {
     "mrr_map_eval": (q_mrr_map_eval, SQL_MRR_MAP_EVAL),
     "spike_detect": (q_spike_detect, SQL_SPIKE_DETECT),
     "posting_histogram": (q_posting_histogram, SQL_POSTING_HISTOGRAM),
+    "rocchio_feedback": (q_rocchio_feedback, SQL_ROCCHIO_FEEDBACK),
 }
