@@ -7324,6 +7324,63 @@ FROM emb e CROSS JOIN qp WHERE e.vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 10"""
 
 
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis one-pass)
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 50
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Weight-proportional sampling without replacement, the
+    Efraimidis-Spirakis one-pass construction: each doc gets key =
+    ln(u)/w for a deterministic u in (0,1) (the catalog's int64-safe
+    split hash) and weight w = n_chars; the k largest keys ARE a
+    without-replacement sample proportional to w.  This is the data-
+    mixing primitive stratified_sample can't express (per-item weights,
+    not per-stratum rates).
+
+    Keys are rounded to 6 decimals before the cut (they live in
+    [-inf, 0)), ties broken by doc_id, so the sampled SET is identical
+    across engines despite libm ulp differences.
+
+    Scale shape: one narrow projection then a top-k
+    (TakeOrderedAndProject) — no shuffle, no sort of the corpus; at
+    10^12 docs each task keeps k candidates and the driver merges
+    tasks' k-lists.
+    """
+    u = (
+        (
+            F.pmod(
+                (F.col("doc_id") % _SPLIT_PRIME) * F.lit(2654435761),
+                F.lit(1000000),
+            )
+            + 0.5
+        )
+        / 1000000.0
+    )
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            w.cast("long").alias("w"),
+            F.round(F.log(u) / w, 6).alias("key"),
+        )
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(_WSAMPLE_K)
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""SELECT doc_id,
+       CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+       round(ln((((doc_id % {_SPLIT_PRIME}) * 2654435761) % 1000000 + 0.5)
+                / 1000000.0)
+             / greatest(n_chars, 1), 6) AS key
+FROM documents
+ORDER BY key DESC, doc_id ASC LIMIT {_WSAMPLE_K}"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -7430,4 +7487,5 @@ QUERIES = {
     "spike_detect": (q_spike_detect, SQL_SPIKE_DETECT),
     "posting_histogram": (q_posting_histogram, SQL_POSTING_HISTOGRAM),
     "rocchio_feedback": (q_rocchio_feedback, SQL_ROCCHIO_FEEDBACK),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
 }
