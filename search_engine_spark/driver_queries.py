@@ -7381,6 +7381,260 @@ FROM documents
 ORDER BY key DESC, doc_id ASC LIMIT {_WSAMPLE_K}"""
 
 
+_CHAMPION_C = 32
+_CHAMPION_TERMS = ["merge", "sort"]
+
+
+def q_champion_topk(spark, sf_dir):
+    """Impact-ordered champion lists (static index pruning, Manning IR
+    §7.1.3): each query term's posting list is cut to its _CHAMPION_C
+    highest-tf docs BEFORE scoring, and the top-10 is answered from the
+    champions only — the classic early-termination serving shape the
+    reference's exhaustive ISR scan (isr.cpp) cannot express.
+
+    df is the TRUE document frequency (computed before the champion
+    cut), so champion BM25 scores equal the exhaustive engine's scores
+    for every doc that survives the cut; only the candidate SET is
+    pruned.  Ties in the cut break by doc_id so the champion set is
+    deterministic across engines.
+
+    Scale shape: the query-term filter sits below the tf aggregation,
+    so only |terms| posting lists reach the shuffle; the champion cut is
+    a window partitioned by term over those lists alone (never the
+    vocabulary); and at serving time the scan cost per term is C docs,
+    not df — at 10^12 docs champion lists are what makes head terms
+    (df ~ 10^10) answerable at interactive latency.  The lists would be
+    precomputed at index-build time; this entry derives them inline so
+    the oracle can mirror it."""
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir).filter(F.col("term").isin(_CHAMPION_TERMS))
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl"))
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    champ = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CHAMPION_C)
+        .drop("rn")
+    )
+    scored = (
+        champ.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            bm25.idf_col(F.col("df"), F.col("_n_docs").cast("double"))
+            * bm25.weight_col(F.col("tf"), F.col("dl"), F.col("_avgdl")),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(_r4(F.sum("score")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_CHAMPION_TOPK = f"""WITH {_TOKS_SQL},
+tfq AS (SELECT term, doc_id, count(*) AS tf FROM toks
+        WHERE term IN ('merge', 'sort') GROUP BY term, doc_id),
+dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+champ AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id ASC) AS rn
+  FROM tfq
+),
+scored AS (
+  SELECT c.doc_id,
+         ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         * (c.tf * (1.2 + 1.0))
+         / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS score
+  FROM champ c
+  JOIN dfq ON c.term = dfq.term
+  JOIN dl ON c.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE c.rn <= {_CHAMPION_C}
+)
+SELECT doc_id, round(sum(score), 4) AS score FROM scored
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
+_MIRROR_W = 4            # shingle width (words)
+_MIRROR_SRC_CAP = 16     # drop shingles present on more hosts (boilerplate)
+
+
+def q_mirror_sources(spark, sf_dir):
+    """Host-level mirror detection (Bharat & Broder, WWW 1999): two
+    sources are mirror candidates when their sampled 4-word shingle sets
+    overlap heavily.  Pipeline: per-host distinct shingles → a
+    deterministic 1-in-4 sample by md5 prefix (the paper's hash-mod
+    shingle sampling, identical in both engines) → boilerplate cap
+    (shingles on more than _MIRROR_SRC_CAP hosts are dropped before the
+    pair join) → shared-shingle self-join → overlap = shared /
+    min(|A|, |B|) over the sampled sets.
+
+    Scale shape: shingling is a NARROW array transform per doc (no
+    positional self-join — contrast _shingles' 3-way join, which this
+    entry deliberately avoids); the sample keeps a fixed fraction of
+    shingle mass independent of corpus size; and the src-cap bounds the
+    per-shingle fanout so the pair join is linear in sampled shingle
+    occurrences, never quadratic in hot-shingle df.  At 10^8 hosts the
+    pair list is sparse because only co-occurring sampled shingles pair."""
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    d = _docs(spark, sf_dir).select("source", arr.alias("a"))
+    sh = (
+        d.filter(F.size("a") >= _MIRROR_W)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(a) - {_MIRROR_W - 1}), "
+                    "i -> concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+        .filter(F.substring(F.md5("s"), 1, 1).isin("0", "1", "2", "3"))
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    ok = (
+        sh.groupBy("s").agg(F.count("*").alias("_nf"))
+        .filter(F.col("_nf") <= _MIRROR_SRC_CAP)
+        .select("s")
+    )
+    sh = sh.join(ok, "s", "left_semi")
+    a = sh.select(F.col("source").alias("src_a"), "s")
+    b = sh.select(F.col("source").alias("src_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb")),
+            "src_b",
+        )
+        .select(
+            "src_a", "src_b", "shared",
+            _r4(F.col("shared") / F.least("na", "nb")).alias("overlap"),
+        )
+        .orderBy(F.col("shared").desc(), "src_a", "src_b")
+        .limit(10)
+    )
+
+
+SQL_MIRROR_SOURCES = f"""WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text),
+                            '[^a-z0-9]+'), x -> x <> ''), 1) AS pos,
+         doc_id
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT t1.source,
+         t1.term || ' ' || t2.term || ' ' || t3.term || ' ' || t4.term AS s
+  FROM toks t1
+  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+  JOIN toks t4 ON t1.doc_id = t4.doc_id AND t4.pos = t1.pos + 3
+),
+samp AS (SELECT source, s FROM sh WHERE substring(md5(s), 1, 1) IN
+         ('0', '1', '2', '3')),
+sizes AS (SELECT source, count(*) AS n FROM samp GROUP BY source),
+ok AS (SELECT s FROM samp GROUP BY s HAVING count(*) <= {_MIRROR_SRC_CAP}),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+  FROM samp a JOIN ok ON a.s = ok.s
+  JOIN samp b ON a.s = b.s AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, shared,
+       round(shared / least(x.n, y.n), 4) AS overlap
+FROM pairs
+JOIN sizes x ON src_a = x.source
+JOIN sizes y ON src_b = y.source
+ORDER BY shared DESC, src_a ASC, src_b ASC LIMIT 10"""
+
+
+def q_lang_consistency(spark, sf_dir):
+    """Host-majority language outliers: per source, the majority language
+    (ties break lexicographically) and every doc whose declared lang
+    disagrees with it — the standard crawl-QA signal for mislabeled
+    language tags and template pollution (a .de host serving 'zh' docs).
+
+    Scale shape: the per-source language histogram is a map-side
+    aggregation to at most |hosts| x |langs| rows; the majority pick is
+    a window over that TINY aggregate (bounded by langs-per-host, never
+    by docs); and flagging rejoins the histogram to docs on source — a
+    plain hash join whose build side is the aggregate.  No per-doc
+    window, no skew amplification."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    tot = d.groupBy("source").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("lang").asc()
+    )
+    maj = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("majority_lang"),
+            F.col("c").alias("mc"),
+        )
+    )
+    return (
+        d.join(maj, "source")
+        .join(tot, "source")
+        .filter(F.col("lang") != F.col("majority_lang"))
+        .select(
+            "doc_id", "source", "lang", "majority_lang",
+            _r4(F.col("mc") / F.col("n")).alias("maj_frac"),
+        )
+        .orderBy("source", "doc_id")
+    )
+
+
+SQL_LANG_CONSISTENCY = """WITH counts AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+),
+tot AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+maj AS (
+  SELECT source, lang AS majority_lang, c AS mc
+  FROM (SELECT source, lang, c,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, lang ASC) AS rn
+        FROM counts)
+  WHERE rn = 1
+)
+SELECT d.doc_id, d.source, d.lang, m.majority_lang,
+       round(m.mc / t.n, 4) AS maj_frac
+FROM documents d
+JOIN maj m ON d.source = m.source
+JOIN tot t ON d.source = t.source
+WHERE d.lang <> m.majority_lang
+ORDER BY d.source ASC, d.doc_id ASC"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -7488,4 +7742,7 @@ QUERIES = {
     "posting_histogram": (q_posting_histogram, SQL_POSTING_HISTOGRAM),
     "rocchio_feedback": (q_rocchio_feedback, SQL_ROCCHIO_FEEDBACK),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "champion_topk": (q_champion_topk, SQL_CHAMPION_TOPK),
+    "mirror_sources": (q_mirror_sources, SQL_MIRROR_SOURCES),
+    "lang_consistency": (q_lang_consistency, SQL_LANG_CONSISTENCY),
 }
