@@ -7635,6 +7635,261 @@ WHERE d.lang <> m.majority_lang
 ORDER BY d.source ASC, d.doc_id ASC"""
 
 
+_BOILER_W = 5          # template shingle width (words)
+_BOILER_MIN_DOCS = 10  # ignore hosts too small to show templates
+_BOILER_TOPK = 3       # template candidates reported per host
+
+
+def q_boilerplate_shingles(spark, sf_dir):
+    """Per-host template (boilerplate) candidates: for each source with
+    at least _BOILER_MIN_DOCS docs, the _BOILER_TOPK 5-word shingles
+    covering the most of that host's documents, with the coverage ratio
+    — the CCNet/trafilatura-style signal for navigation bars, footers,
+    and cookie banners that repeat across a host's pages and should be
+    stripped before LM training.
+
+    Scale shape: shingling is the same NARROW per-doc array transform as
+    mirror_sources (one scan, no positional self-join); presence
+    de-dups to (source, doc_id, shingle) before counting; and the
+    top-k window runs only over shingles REPEATED on the host
+    (docs >= 2 pre-filter) — true boilerplate repeats by definition, and
+    the filter keeps the per-source sort off the ~unique shingle tail,
+    which is the overwhelming mass at web scale.  Ties break by shingle
+    text so both engines pick the same candidates."""
+    from pyspark.sql import Window
+
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "source", arr.alias("a"))
+    sh = (
+        d.filter(F.size("a") >= _BOILER_W)
+        .select(
+            "source", "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(a) - {_BOILER_W - 1}), "
+                    "i -> concat_ws(' ', a[i-1], a[i], a[i+1], a[i+2], a[i+3]))"
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    hosts = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+    )
+    cov = (
+        sh.groupBy("source", "s")
+        .agg(F.count("*").alias("docs"))
+        .filter(F.col("docs") >= 2)
+        .join(F.broadcast(hosts), "source")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("docs").desc(), F.col("s").asc()
+    )
+    return (
+        cov.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BOILER_TOPK)
+        .select(
+            "source",
+            F.col("s").alias("shingle"),
+            "docs",
+            _r4(F.col("docs") / F.col("n_docs")).alias("coverage"),
+        )
+        .orderBy("source", F.col("docs").desc(), "shingle")
+    )
+
+
+SQL_BOILERPLATE_SHINGLES = f"""WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS a
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, doc_id,
+         unnest(list_transform(range(1, len(a) - {_BOILER_W - 2}),
+           i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' ' || a[i+3]
+                || ' ' || a[i+4])) AS s
+  FROM t WHERE len(a) >= {_BOILER_W}
+),
+hosts AS (SELECT source, count(*) AS n_docs FROM documents
+          GROUP BY source HAVING count(*) >= {_BOILER_MIN_DOCS}),
+cov AS (
+  SELECT sh.source, sh.s, count(*) AS docs
+  FROM sh JOIN hosts ON sh.source = hosts.source
+  GROUP BY sh.source, sh.s HAVING count(*) >= 2
+),
+ranked AS (
+  SELECT source, s, docs,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY docs DESC, s ASC) AS rn
+  FROM cov
+)
+SELECT r.source, r.s AS shingle, r.docs,
+       round(r.docs / h.n_docs, 4) AS coverage
+FROM ranked r JOIN hosts h ON r.source = h.source
+WHERE r.rn <= {_BOILER_TOPK}
+ORDER BY r.source ASC, r.docs DESC, shingle ASC"""
+
+
+_HEAPS_POINTS = 8  # geometric doc-id checkpoints for the growth curve
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law fit of vocabulary growth, V(n) = k * n^beta over token
+    count n — the index-sizing statistic that says how the term
+    dictionary (and every vocab-keyed structure: df table, WAND bounds,
+    dictionary shards) grows as the crawl scales from 10^9 to 10^12
+    tokens.  Checkpoints are _HEAPS_POINTS integer-exact cuts of the
+    doc_id VALUE range (never a global row_number — no total sort);
+    vocab at a cut counts terms whose FIRST occurrence (min doc_id,
+    one vocab-sized aggregate) falls at or below it, tokens at a cut
+    sum doc lengths below it.  Both per-cut counts are broadcast theta
+    joins against the tiny checkpoint table, map-side combinable to
+    |checkpoints| rows.  The log-log least-squares fold is one 8-row
+    aggregate; both engines run the identical formula on identical
+    integer pairs.
+
+    Returns one row: beta (the Heaps exponent, ~0.5 for natural text),
+    k (the coefficient), and the checkpoint count."""
+    toks = _tokens(spark, sf_dir)
+    bounds = _docs(spark, sf_dir).agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    cps = (
+        spark.range(1, _HEAPS_POINTS + 1)
+        .withColumnRenamed("id", "i")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (
+                F.col("lo")
+                + F.floor(
+                    (F.col("i") * (F.col("hi") - F.col("lo"))
+                     + F.lit(_HEAPS_POINTS - 1))
+                    / F.lit(_HEAPS_POINTS)
+                )
+            ).cast("long").alias("cp")
+        )
+    )
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    vocab = (
+        first.join(F.broadcast(cps), F.col("fd") <= F.col("cp"))
+        .groupBy("cp").agg(F.count("*").alias("vocab"))
+    )
+    tokens = (
+        _dl(spark, sf_dir)
+        .join(F.broadcast(cps), F.col("doc_id") <= F.col("cp"))
+        .groupBy("cp").agg(F.sum("dl").alias("tokens"))
+    )
+    pts = vocab.join(tokens, "cp").select(
+        F.log(F.col("tokens").cast("double")).alias("x"),
+        F.log(F.col("vocab").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")
+    )
+    return fit.select(
+        _r4(beta).alias("beta"),
+        _r4(F.exp(F.col("my") - beta * F.col("mx"))).alias("k"),
+        F.col("n").cast("long").alias("n_points"),
+    )
+
+
+SQL_HEAPS_LAW = f"""WITH {_TOKS_SQL},
+bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+cps AS (
+  SELECT lo + (i * (hi - lo) + {_HEAPS_POINTS - 1}) // {_HEAPS_POINTS} AS cp
+  FROM bounds, range(1, {_HEAPS_POINTS + 1}) r(i)
+),
+first AS (SELECT term, min(doc_id) AS fd FROM toks GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+vocab AS (SELECT cp, count(*) AS vocab FROM first JOIN cps ON fd <= cp
+          GROUP BY cp),
+tokens AS (SELECT cp, sum(dl) AS tokens FROM dl JOIN cps ON doc_id <= cp
+           GROUP BY cp),
+pts AS (SELECT ln(CAST(tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+        FROM vocab JOIN tokens USING (cp)),
+fit AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+               sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+SELECT round((sxy - n * mx * my) / (sxx - n * mx * mx), 4) AS beta,
+       round(exp(my - (sxy - n * mx * my) / (sxx - n * mx * mx) * mx), 4)
+         AS k,
+       CAST(n AS BIGINT) AS n_points
+FROM fit"""
+
+
+_ZIPF_K = 1000  # head terms used for the rank-frequency fit
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the term rank-frequency curve: slope and
+    intercept of ln(freq) over ln(rank) for the _ZIPF_K most frequent
+    terms — the skew statistic that sizes posting-list caching, WAND
+    block budgets, and hot-shard salting (slope ~ -1 means the head
+    term's list is ~K× the rank-K list).
+
+    Scale shape: the head cut is a distributed TakeOrdered over the
+    term-frequency aggregate (count desc, term asc — deterministic at
+    the boundary); the rank window and the regression fold then touch
+    only those _ZIPF_K rows.  No global sort of the vocabulary."""
+    from pyspark.sql import Window
+
+    head = (
+        _tokens(spark, sf_dir)
+        .groupBy("term").agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(_ZIPF_K)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    pts = head.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("n") * F.col("mx") * F.col("my")) / (
+        F.col("sxx") - F.col("n") * F.col("mx") * F.col("mx")
+    )
+    return fit.select(
+        _r4(slope).alias("slope"),
+        _r4(F.col("my") - slope * F.col("mx")).alias("intercept"),
+        F.col("n").cast("long").alias("n_terms"),
+    )
+
+
+SQL_ZIPF_FIT = f"""WITH {_TOKS_SQL},
+head AS (SELECT term, count(*) AS freq FROM toks GROUP BY term
+         ORDER BY freq DESC, term ASC LIMIT {_ZIPF_K}),
+pts AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, term ASC)
+                 AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM head
+),
+fit AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+               sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+SELECT round((sxy - n * mx * my) / (sxx - n * mx * mx), 4) AS slope,
+       round(my - (sxy - n * mx * my) / (sxx - n * mx * mx) * mx, 4)
+         AS intercept,
+       CAST(n AS BIGINT) AS n_terms
+FROM fit"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -7745,4 +8000,7 @@ QUERIES = {
     "champion_topk": (q_champion_topk, SQL_CHAMPION_TOPK),
     "mirror_sources": (q_mirror_sources, SQL_MIRROR_SOURCES),
     "lang_consistency": (q_lang_consistency, SQL_LANG_CONSISTENCY),
+    "boilerplate_shingles": (q_boilerplate_shingles, SQL_BOILERPLATE_SHINGLES),
+    "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
+    "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
 }
