@@ -7890,6 +7890,383 @@ SELECT round((sxy - n * mx * my) / (sxx - n * mx * mx), 4) AS slope,
 FROM fit"""
 
 
+# ---------------------------------------------------------------------------
+# COEC position-normalized click model
+# ---------------------------------------------------------------------------
+
+# The synthetic event log carries no SERP rank, so the presentation
+# position is DERIVED deterministically from the event id (pmod 10 + 1 —
+# ten result slots).  Both the Spark plan and the DuckDB oracle compute
+# the same derivation, so the model's arithmetic is fully exercised even
+# though the position itself is synthetic.
+_COEC_SLOTS = 10
+
+
+def q_coec_model(spark, sf_dir):
+    """COEC click model (clicks over expected clicks — the standard
+    position-bias correction for ranking feedback): a global
+    position-CTR prior ctr[p] = clicks_at_p / views_at_p, then per item
+    expected = sum of ctr[p] over the item's view impressions and
+    coec = clicks / expected.  COEC > 1 means the item out-performs an
+    average item shown at the same positions — the de-biased relevance
+    signal CTR alone can't give.  All items with positive expectation,
+    ordered by COEC.
+
+    Scale shape: the prior is a ≤10-row aggregate (one map-side pass
+    over the filtered log) joined back by BROADCAST; the per-item
+    expectation and click counts are map-side-combinable aggregates
+    keyed on item — the only real shuffle.  At 10^12 events nothing
+    here exceeds per-item cardinality.
+    """
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            (F.pmod(F.col("event_id"), F.lit(_COEC_SLOTS)) + 1)
+            .cast("long").alias("pos"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    prior = (
+        ev.groupBy("pos")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .alias("v"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .alias("c"),
+        )
+        .filter(F.col("v") > 0)
+        .select("pos", (F.col("c") / F.col("v")).alias("pctr"))
+    )
+    expected = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(prior), "pos")
+        .groupBy("item")
+        .agg(F.sum("pctr").alias("expected"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("clicks"))
+    )
+    return (
+        expected.join(clicks, "item", "left")
+        .filter(F.col("expected") > 0)
+        .select(
+            "item",
+            F.coalesce(F.col("clicks"), F.lit(0)).cast("long").alias("clicks"),
+            _r4("expected").alias("expected"),
+            _r4(
+                F.coalesce(F.col("clicks"), F.lit(0)) / F.col("expected")
+            ).alias("coec"),
+        )
+        .orderBy(F.col("coec").desc(), F.col("item").asc())
+    )
+
+
+SQL_COEC_MODEL = f"""WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         CAST(event_id % {_COEC_SLOTS} + 1 AS BIGINT) AS pos
+  FROM events WHERE event_type IN ('view', 'click')
+),
+ev2 AS (SELECT * FROM ev WHERE item IS NOT NULL),
+prior AS (
+  SELECT pos,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           / CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS pctr
+  FROM ev2 GROUP BY pos
+  HAVING sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+),
+expected AS (
+  SELECT e.item, sum(p.pctr) AS expected
+  FROM ev2 e JOIN prior p ON e.pos = p.pos
+  WHERE e.event_type = 'view' GROUP BY e.item
+),
+clicks AS (SELECT item, count(*) AS clicks FROM ev2
+           WHERE event_type = 'click' GROUP BY item)
+SELECT x.item, CAST(coalesce(c.clicks, 0) AS BIGINT) AS clicks,
+       round(x.expected, 4) AS expected,
+       round(coalesce(c.clicks, 0) / x.expected, 4) AS coec
+FROM expected x LEFT JOIN clicks c ON x.item = c.item
+WHERE x.expected > 0
+ORDER BY coec DESC, x.item ASC"""
+
+
+# ---------------------------------------------------------------------------
+# Adamic–Adar link prediction over the user–item view graph
+# ---------------------------------------------------------------------------
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction (Adamic & Adar 2003): for item pairs
+    sharing viewers, AA(i,j) = Σ_u 1/ln(deg(u)) over common users u —
+    a shared low-degree user is strong evidence the items are related,
+    a shared power-user is weak evidence.  Top-20 predicted links by AA
+    score, pair-id tiebreak; `common` = number of shared users.
+
+    Scale shape: identical hot-key bound to cooccur_items — each user's
+    history is capped at _COOC_CAP items (row_number by view count
+    desc, item asc) BEFORE the self-join, so a user contributes at most
+    C(cap, 2) pairs; degrees are computed over the same capped universe
+    (internally consistent weights) and attached to the LEFT side of
+    the self-join on user_id, reusing the same hash exchange the
+    self-join needs — no extra shuffle, no unbounded broadcast.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    per = ev.groupBy("user_id", "item").agg(F.count("*").alias("v"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("v").desc(), F.col("item").asc()
+    )
+    capped = (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _COOC_CAP)
+        .select("user_id", "item")
+    )
+    deg = capped.groupBy("user_id").agg(F.count("*").alias("deg"))
+    weighted = (
+        capped.join(deg.filter(F.col("deg") >= 2), "user_id")
+        .withColumn("w", F.lit(1.0) / F.log(F.col("deg")))
+    )
+    return (
+        weighted.alias("a")
+        .join(capped.alias("b"), "user_id")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            _r4(F.sum("w")).alias("aa"),
+        )
+        .orderBy(
+            F.col("aa").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+        )
+        .limit(20)
+    )
+
+
+SQL_ADAMIC_ADAR = f"""WITH ev AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'view'
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+per AS (SELECT user_id, item, count(*) AS v FROM ev GROUP BY user_id, item),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY v DESC, item ASC) AS rn
+    FROM per) WHERE rn <= {_COOC_CAP}
+),
+deg AS (SELECT user_id, count(*) AS deg FROM capped GROUP BY user_id),
+weighted AS (
+  SELECT c.user_id, c.item, 1.0 / ln(d.deg) AS w
+  FROM capped c JOIN deg d ON c.user_id = d.user_id AND d.deg >= 2
+)
+SELECT a.item AS item_a, b.item AS item_b,
+       CAST(count(*) AS BIGINT) AS common, round(sum(a.w), 4) AS aa
+FROM weighted a JOIN capped b
+  ON a.user_id = b.user_id AND a.item < b.item
+GROUP BY a.item, b.item
+ORDER BY aa DESC, item_a ASC, item_b ASC LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# BM25-MaxP passage retrieval
+# ---------------------------------------------------------------------------
+
+_MAXP_W = 50   # passage width in tokens (disjoint windows)
+
+
+def q_bm25_maxp(spark, sf_dir):
+    """BM25-MaxP passage retrieval (Callan 1994; Dai & Callan 2019's
+    baseline): chop every document into disjoint _MAXP_W-token
+    passages, score each passage with BM25 computed over PASSAGE-level
+    statistics (passage df, passage count, average passage length —
+    long documents no longer hide a relevant paragraph behind a huge
+    dl normalizer), and score the document as its best passage.
+    Query 'merge join' (sum over terms per passage), top-10 docs with
+    the winning passage index.
+
+    Scale shape: the query-term filter is pushed below the tf
+    aggregate (only matching tokens shuffle); the per-term passage df
+    is a ≤|query|-row broadcast; passage stats are a 1-row broadcast
+    side plan; best-passage is a window partitioned BY DOC over the
+    per-passage sums (no global sort), and the final cut is top-k.
+    """
+    from pyspark.sql import Window
+
+    terms = ["merge", "join"]
+    ptok = _tokens(spark, sf_dir).select(
+        "doc_id",
+        "term",
+        F.floor((F.col("pos") - 1) / _MAXP_W).cast("long").alias("pid"),
+    )
+    pl = ptok.groupBy("doc_id", "pid").agg(F.count("*").alias("pl"))
+    stats = pl.agg(
+        F.count("*").alias("n_pass"), F.avg("pl").alias("avgpl")
+    )
+    tf = (
+        ptok.filter(F.col("term").isin(terms))
+        .groupBy("term", "doc_id", "pid")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_pass") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = idf * (F.col("tf") * (1.2 + 1.0)) / (
+        F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("pl") / F.col("avgpl"))
+    )
+    scored = (
+        tf.join(pl, ["doc_id", "pid"])
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "pid", score.alias("s"))
+    )
+    psum = scored.groupBy("doc_id", "pid").agg(F.sum("s").alias("s"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("pid").asc()
+    )
+    return (
+        psum.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("pid").alias("passage"), _r4("s").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_BM25_MAXP = f"""WITH {_TOKS_SQL},
+ptok AS (SELECT doc_id, term,
+                CAST((pos - 1) // {_MAXP_W} AS BIGINT) AS pid FROM toks),
+pl AS (SELECT doc_id, pid, count(*) AS pl FROM ptok GROUP BY doc_id, pid),
+stats AS (SELECT count(*) AS n_pass, avg(pl) AS avgpl FROM pl),
+tf AS (SELECT term, doc_id, pid, count(*) AS tf FROM ptok
+       WHERE term IN ('merge', 'join') GROUP BY term, doc_id, pid),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.pid,
+         ln((stats.n_pass - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * (1.2 + 1.0))
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * pl.pl / stats.avgpl)) AS s
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN pl ON tf.doc_id = pl.doc_id AND tf.pid = pl.pid
+  CROSS JOIN stats
+),
+psum AS (SELECT doc_id, pid, sum(s) AS s FROM scored GROUP BY doc_id, pid),
+best AS (
+  SELECT doc_id, pid, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, pid ASC) AS rn
+  FROM psum
+)
+SELECT doc_id, pid AS passage, round(s, 4) AS score
+FROM best WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget curriculum selection
+# ---------------------------------------------------------------------------
+
+_CURR_FRAC = 0.25   # token budget as a fraction of the corpus
+
+
+def q_curriculum_select(spark, sf_dir):
+    """Token-budget curriculum selection (easy-first ordering, Bengio et
+    al. 2009, as LLM data pipelines apply it): rank documents by a
+    difficulty proxy (mean token character length — short-word docs
+    first), then take documents in that order until a token budget of
+    _CURR_FRAC of the corpus is exhausted.  Emits the selected
+    manifest: doc, token count, difficulty, and the running token total
+    the loader resumes from.
+
+    Scale shape: the running total over the difficulty ordering is a
+    DISTRIBUTED PREFIX SUM, not a bare Window.orderBy — range-partition
+    by (difficulty, doc_id), cumsum locally inside each range, add each
+    range's base offset from a k-row broadcast side plan (the
+    pack_sequences / docids.py two-level scan).  The budget itself is a
+    1-row aggregate.  Nothing funnels 10^12 rows through one task.
+    """
+    from pyspark.sql import Window
+
+    d = _tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.avg(F.length("term")).alias("diff"),
+    )
+    total = d.agg(F.sum("n_tok").alias("t"))
+    ranged = d.repartitionByRange(8, "diff", "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_cum",
+        F.sum("n_tok").over(
+            Window.partitionBy("_pid").orderBy("diff", "doc_id")
+        ),
+    )
+    bases = (
+        ranged.groupBy("_pid").agg(F.sum("n_tok").alias("_tot"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_base")
+    )
+    cum = (F.col("_base") + F.col("_cum")).cast("long")
+    return (
+        local.join(F.broadcast(bases), "_pid")
+        .crossJoin(F.broadcast(total))
+        .filter(cum <= F.floor(F.lit(_CURR_FRAC) * F.col("t")))
+        .select(
+            "doc_id",
+            "n_tok",
+            _r4("diff").alias("difficulty"),
+            cum.alias("cum_tokens"),
+        )
+        .orderBy(F.col("cum_tokens").asc())
+    )
+
+
+SQL_CURRICULUM_SELECT = f"""WITH {_TOKS_SQL},
+d AS (SELECT doc_id, count(*) AS n_tok, avg(len(term)) AS diff
+      FROM toks GROUP BY doc_id),
+tot AS (SELECT sum(n_tok) AS t FROM d),
+cum AS (
+  SELECT doc_id, n_tok, diff,
+         sum(n_tok) OVER (ORDER BY diff, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM d
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       round(diff, 4) AS difficulty,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum CROSS JOIN tot
+WHERE cum_tokens <= CAST(floor({_CURR_FRAC} * tot.t) AS BIGINT)
+ORDER BY cum_tokens ASC"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -8003,4 +8380,8 @@ QUERIES = {
     "boilerplate_shingles": (q_boilerplate_shingles, SQL_BOILERPLATE_SHINGLES),
     "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+    "coec_model": (q_coec_model, SQL_COEC_MODEL),
+    "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
+    "bm25_maxp": (q_bm25_maxp, SQL_BM25_MAXP),
+    "curriculum_select": (q_curriculum_select, SQL_CURRICULUM_SELECT),
 }
