@@ -8267,6 +8267,310 @@ WHERE cum_tokens <= CAST(floor({_CURR_FRAC} * tot.t) AS BIGINT)
 ORDER BY cum_tokens ASC"""
 
 
+# ---------------------------------------------------------------------------
+# MMR result diversification
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7   # relevance weight (1-λ penalizes redundancy)
+_MMR_CAND = 50      # candidate pool (distributed TakeOrdered cut)
+_MMR_K = 10         # results returned
+
+
+def q_mmr_diversify(spark, sf_dir):
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein 1998)
+    — the classic SERP diversification: from the top-_MMR_CAND
+    candidates by cosine relevance to the query vector (vec 0), greedily
+    select _MMR_K results maximizing λ·rel − (1−λ)·max-similarity to the
+    already-selected set; near-duplicates of an already-chosen result
+    get demoted even when highly relevant.
+
+    Scale shape: candidate generation is the distributed part (cosine
+    scan + TakeOrderedAndProject, or the IVF/int8 path at 10^12
+    vectors); the greedy selection is inherently SEQUENTIAL over a
+    BOUNDED 50-row pool, so it runs as one applyInPandas group on an
+    executor — the standard head-node rerank shape, never a driver
+    collect, never an unbounded group.  Dot products accumulate
+    left-to-right in float64 on both engines (plain loop here,
+    list_dot_product in the oracle).
+    """
+    import pandas as pd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("e", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "e", (dot / (nrm("e") * nrm("qv"))).alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_CAND)
+    )
+
+    def _greedy(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows = [
+            (int(r.vec_id), [float(x) for x in r.e], float(r.rel))
+            for r in pdf.itertuples()
+        ]
+
+        def _dot(a, b):
+            s = 0.0
+            for x, y in zip(a, b):
+                s += x * y
+            return s
+
+        norms = {v: _dot(e, e) ** 0.5 for v, e, _r in rows}
+        cos = {}
+        for i, (va, ea, _ra) in enumerate(rows):
+            for vb, eb, _rb in rows[i + 1:]:
+                c = _dot(ea, eb) / (norms[va] * norms[vb])
+                cos[(va, vb)] = cos[(vb, va)] = c
+        selected, out = [], []
+        pool = {v: r for v, _e, r in rows}
+        while pool and len(selected) < _MMR_K:
+            best = None
+            for v, r in pool.items():
+                pen = max((cos[(v, s)] for s in selected), default=0.0)
+                score = _MMR_LAMBDA * r - (1 - _MMR_LAMBDA) * pen
+                # ties break toward the smaller vec_id (same as the oracle)
+                if best is None or score > best[0] or (
+                    score == best[0] and v < best[1]
+                ):
+                    best = (score, v)
+            score, v = best
+            selected.append(v)
+            out.append((len(selected), v, round(pool.pop(v), 4),
+                        round(score, 4)))
+        return pd.DataFrame(
+            out, columns=["rank", "vec_id", "rel", "mmr"]
+        )
+
+    return (
+        cand.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _k, pdf: _greedy(pdf),
+            "rank long, vec_id long, rel double, mmr double",
+        )
+        .orderBy("rank")
+    )
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR (the pagerank/hits unrolled-CTE idiom): sel_i
+    holds the first i+1 picks; each pick is an argmax over the
+    remaining candidates with max-similarity-to-selected from the
+    pairwise sims CTE."""
+    lam, mu = _MMR_LAMBDA, 1 - _MMR_LAMBDA
+    steps = []
+    for i in range(1, _MMR_K):
+        steps.append(f"""pick{i} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel, {i + 1} AS rank,
+         {lam} * c.rel - {mu} * (
+           SELECT max(s.sim) FROM sims s
+           JOIN sel{i - 1} t ON s.bv = t.vec_id
+           WHERE s.av = c.vec_id) AS mmr
+  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+),
+sel{i} AS MATERIALIZED (SELECT * FROM sel{i - 1}
+  UNION ALL SELECT * FROM pick{i})""")
+    body = ",\n".join(steps)
+    # MATERIALIZED: the unrolled picks reference cand/sims ~2x per step;
+    # without it DuckDB inlines the CTEs and re-opens the parquet scan
+    # once per reference (FD exhaustion + quadratic rescans).
+    return f"""WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+q AS (SELECT e AS qv FROM emb WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT v.vec_id, v.e,
+         list_dot_product(v.e, q.qv)
+         / (sqrt(list_dot_product(v.e, v.e))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS rel
+  FROM emb v CROSS JOIN q WHERE v.vec_id <> 0
+  ORDER BY rel DESC, v.vec_id ASC LIMIT {_MMR_CAND}
+),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS av, b.vec_id AS bv,
+         list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e))
+            * sqrt(list_dot_product(b.e, b.e))) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+sel0 AS MATERIALIZED (
+  SELECT vec_id, rel, 1 AS rank, {lam} * rel AS mmr
+  FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+),
+{body}
+SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+       round(rel, 4) AS rel, round(mmr, 4) AS mmr
+FROM sel{_MMR_K - 1} ORDER BY rank ASC"""
+
+
+SQL_MMR_DIVERSIFY = _mmr_sql()
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for retrieval training
+# ---------------------------------------------------------------------------
+
+_HARDNEG_Q = 20   # anchor sample (vec_ids 0..Q-1)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (the dense-retrieval training step: for each
+    anchor, the most similar vector with a DIFFERENT label is the
+    negative that teaches the model the most — random negatives are too
+    easy).  Anchors = vec_ids 0.._HARDNEG_Q-1; emits each anchor's
+    hardest negative with both labels and the cosine.
+
+    Scale shape: the anchor sample is a K-row BROADCAST against the
+    corpus scan; per-anchor argmax is a rank window partitioned by
+    anchor (never a global sort).  The brute-force scan is the declared
+    accuracy baseline — at 10^12 vectors the same mining runs inside
+    nprobe IVF cells over int8 codes (ann_ivf_quantized's layout).
+    """
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    anchors = emb.filter(F.col("vec_id") < _HARDNEG_Q).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("label_a"),
+        F.col("e").alias("qa"),
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "qa", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("label_a"))
+        .select(
+            "anchor",
+            "label_a",
+            "vec_id",
+            "label",
+            (dot / (nrm("e") * nrm("qa"))).alias("cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "anchor",
+            "label_a",
+            F.col("vec_id").alias("negative"),
+            F.col("label").alias("label_n"),
+            _r4("cos").alias("cos"),
+        )
+        .orderBy(F.col("anchor").asc())
+    )
+
+
+SQL_HARD_NEGATIVES = f"""WITH emb AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+),
+anchors AS (
+  SELECT vec_id AS anchor, label AS label_a, e AS qa
+  FROM emb WHERE vec_id < {_HARDNEG_Q}
+),
+scored AS (
+  SELECT a.anchor, a.label_a, v.vec_id, v.label,
+         list_dot_product(v.e, a.qa)
+         / (sqrt(list_dot_product(v.e, v.e))
+            * sqrt(list_dot_product(a.qa, a.qa))) AS cos,
+         row_number() OVER (
+           PARTITION BY a.anchor
+           ORDER BY list_dot_product(v.e, a.qa)
+                    / (sqrt(list_dot_product(v.e, v.e))
+                       * sqrt(list_dot_product(a.qa, a.qa))) DESC,
+                    v.vec_id ASC) AS rn
+  FROM emb v CROSS JOIN anchors a
+  WHERE v.label <> a.label_a
+)
+SELECT anchor, label_a, vec_id AS negative, label AS label_n,
+       round(cos, 4) AS cos
+FROM scored WHERE rn = 1 ORDER BY anchor ASC"""
+
+
+# ---------------------------------------------------------------------------
+# Term-shard balance report
+# ---------------------------------------------------------------------------
+
+_SHARDS = 32   # dictionary shards (the A4 term-shard layout)
+
+
+def q_shard_balance(spark, sf_dir):
+    """Term-shard skew report — the operational statistic behind the A4
+    dictionary sharding and hot-shard salting decisions: assign every
+    term to one of _SHARDS shards by md5 prefix (the same
+    engine-portable hash both engines compute bit-identically), and
+    report each shard's vocabulary size, posting mass (sum of df), and
+    skew = mass / mean shard mass.  A skew ratio near 1.0 everywhere
+    means term-hash partitioning holds at 10^12 docs; a hot shard says
+    salt its head terms.
+
+    Scale shape: df is a map-side-combinable distinct-doc count keyed
+    on term; the shard rollup collapses to _SHARDS rows before the skew
+    window (window input is 32 rows, never the vocabulary).
+    """
+    from pyspark.sql import Window
+
+    df = _tf(spark, sf_dir).groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    shard = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long"),
+        F.lit(_SHARDS),
+    ).cast("long")
+    per = df.groupBy(shard.alias("shard")).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("postings"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "shard",
+        "n_terms",
+        "postings",
+        _r4(F.col("postings") / F.avg("postings").over(w)).alias("skew"),
+    ).orderBy(F.col("shard").asc())
+
+
+SQL_SHARD_BALANCE = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+per AS (
+  SELECT CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+              % {_SHARDS} AS BIGINT) AS shard,
+         count(*) AS n_terms, sum(df) AS postings
+  FROM df GROUP BY 1
+)
+SELECT shard, CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(postings AS BIGINT) AS postings,
+       round(postings / avg(postings) OVER (), 4) AS skew
+FROM per ORDER BY shard ASC"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -8384,4 +8688,7 @@ QUERIES = {
     "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
     "bm25_maxp": (q_bm25_maxp, SQL_BM25_MAXP),
     "curriculum_select": (q_curriculum_select, SQL_CURRICULUM_SELECT),
+    "mmr_diversify": (q_mmr_diversify, SQL_MMR_DIVERSIFY),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
+    "shard_balance": (q_shard_balance, SQL_SHARD_BALANCE),
 }
