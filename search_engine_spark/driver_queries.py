@@ -8571,6 +8571,167 @@ SELECT shard, CAST(n_terms AS BIGINT) AS n_terms,
 FROM per ORDER BY shard ASC"""
 
 
+# ---------------------------------------------------------------------------
+# Query clarity score (query performance prediction)
+# ---------------------------------------------------------------------------
+
+_CLARITY_SEEDS = ["data", "join", "merge", "query", "spark"]
+_CLARITY_FB = 10
+
+
+def q_clarity_score(spark, sf_dir):
+    """Query clarity score (Cronen-Townsend, Zhai & Croft 2002) — the
+    classic pre-retrieval-free query performance predictor: build the
+    query's feedback language model P(w|Q) as the uniform mixture of
+    the top-_CLARITY_FB BM25 docs' MLE models, then
+    clarity = Σ_w P(w|Q)·ln(P(w|Q)/P(w|C)) — the KL divergence from the
+    corpus model.  High clarity = focused result set (the engine can
+    trust the ranking); low clarity = the query retrieves
+    corpus-looking noise and deserves reformulation/expansion.  One row
+    per seed query.
+
+    Feedback-set determinism: docs rank by ROUNDED score with doc_id
+    tiebreak (the rm1_expansion trick) so both engines pick identical
+    feedback sets.  Scale shape: only the |seeds| posting lists reach
+    the BM25 pass (_scored pushes the term filter below tf); the
+    feedback set (≤ seeds×FB rows) and its bounded vocabulary
+    BROADCAST; the corpus LM joins the small side by broadcast, so the
+    vocabulary-sized ctf table is never shuffled wholesale and never
+    broadcast itself (the dsir lesson).
+    """
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, _CLARITY_SEEDS).filter(
+        F.col("term").isin(_CLARITY_SEEDS)
+    )
+    w = Window.partitionBy("seed").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    fb = (
+        s.select(F.col("term").alias("seed"), "doc_id", _r4("score").alias("s"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _CLARITY_FB)
+        .select("seed", "doc_id")
+    )
+    nfb = fb.groupBy("seed").agg(F.count("*").alias("n_fb"))
+    tf_all = _tf(spark, sf_dir)
+    dl = _dl(spark, sf_dir)
+    pwd = (
+        tf_all.join(F.broadcast(fb), "doc_id")
+        .join(dl, "doc_id")
+        .select("seed", "term", (F.col("tf") / F.col("dl")).alias("p"))
+    )
+    pwq = pwd.groupBy("seed", "term").agg(F.sum("p").alias("sp"))
+    ctf = _tokens(spark, sf_dir).groupBy("term").agg(
+        F.count("*").alias("ctf")
+    )
+    tot = _dl(spark, sf_dir).agg(F.sum("dl").alias("t"))
+    pq = F.col("sp") / F.col("n_fb")
+    pc = F.col("ctf") / F.col("t")
+    return (
+        ctf.join(F.broadcast(pwq), "term")
+        .join(F.broadcast(nfb), "seed")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("seed", "n_fb")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            _r4(F.sum(pq * F.log(pq / pc))).alias("clarity"),
+        )
+        .orderBy(F.col("seed").asc())
+    )
+
+
+SQL_CLARITY_SCORE = f"""WITH {_BM25_CORE_SQL},
+fb AS (
+  SELECT seed, doc_id FROM (
+    SELECT term AS seed, doc_id,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY round(score, 4) DESC,
+                                       doc_id ASC) AS rn
+    FROM scored
+    WHERE term IN ('data', 'join', 'merge', 'query', 'spark'))
+  WHERE rn <= {_CLARITY_FB}
+),
+nfb AS (SELECT seed, count(*) AS n_fb FROM fb GROUP BY seed),
+pwd AS (
+  SELECT f.seed, t.term, CAST(t.tf AS DOUBLE) / d.dl AS p
+  FROM tf t JOIN fb f ON t.doc_id = f.doc_id
+  JOIN dl d ON t.doc_id = d.doc_id
+),
+pwq AS (SELECT seed, term, sum(p) AS sp FROM pwd GROUP BY seed, term),
+ctf AS (SELECT term, count(*) AS ctf FROM toks GROUP BY term),
+tot AS (SELECT sum(dl) AS t FROM dl)
+SELECT p.seed, CAST(n.n_fb AS BIGINT) AS n_fb,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(sum((p.sp / n.n_fb)
+                 * ln((p.sp / n.n_fb) / (c.ctf / tot.t))), 4) AS clarity
+FROM pwq p
+JOIN nfb n ON p.seed = n.seed
+JOIN ctf c ON p.term = c.term
+CROSS JOIN tot
+GROUP BY p.seed, n.n_fb
+ORDER BY p.seed ASC"""
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (keyword-stuffing / spam lexical signal)
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_DF = 5
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Term burstiness (Church & Gale; Katz's K-mixture observation that
+    content words repeat within a document far more than Poisson
+    predicts): per term with df ≥ _BURST_MIN_DF, the within-document
+    repeat rate b = ctf/df, and the Poisson check df_poisson =
+    N·(1−e^(−ctf/N)) — a term whose observed df falls well below
+    df_poisson concentrates its mass in few docs (df_ratio < 1 =
+    bursty).  Extreme b with low df is the keyword-stuffing /
+    spam-page lexical signature the static ranker demotes.  Top-20 by
+    b, term tiebreak.
+
+    Scale shape: one map-side-combinable groupBy over the tf table (the
+    same aggregate the dictionary build runs), a 1-row doc-count
+    broadcast, and a top-k cut — no joins against the vocabulary, no
+    window over it.
+    """
+    agg = _tf(spark, sf_dir).groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("ctf"),
+        F.max("tf").cast("long").alias("max_tf"),
+    ).filter(F.col("df") >= _BURST_MIN_DF)
+    n = _dl(spark, sf_dir).agg(F.count("*").alias("n_docs"))
+    lam = F.col("ctf") / F.col("n_docs")
+    df_pois = F.col("n_docs") * (F.lit(1.0) - F.exp(-lam))
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .select(
+            "term", "df", "ctf", "max_tf",
+            _r4(F.col("ctf") / F.col("df")).alias("b"),
+            _r4(F.col("df") / df_pois).alias("df_ratio"),
+        )
+        .orderBy(F.col("b").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+SQL_TERM_BURSTINESS = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+agg AS (
+  SELECT term, count(*) AS df, sum(tf) AS ctf, max(tf) AS max_tf
+  FROM tf GROUP BY term HAVING count(*) >= {_BURST_MIN_DF}
+),
+n AS (SELECT count(*) AS n_docs FROM (SELECT DISTINCT doc_id FROM toks))
+SELECT term, CAST(df AS BIGINT) AS df, CAST(ctf AS BIGINT) AS ctf,
+       CAST(max_tf AS BIGINT) AS max_tf,
+       round(CAST(ctf AS DOUBLE) / df, 4) AS b,
+       round(df / (n_docs * (1.0 - exp(-(CAST(ctf AS DOUBLE) / n_docs)))),
+             4) AS df_ratio
+FROM agg CROSS JOIN n
+ORDER BY b DESC, term ASC LIMIT 20"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -8691,4 +8852,6 @@ QUERIES = {
     "mmr_diversify": (q_mmr_diversify, SQL_MMR_DIVERSIFY),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "shard_balance": (q_shard_balance, SQL_SHARD_BALANCE),
+    "clarity_score": (q_clarity_score, SQL_CLARITY_SCORE),
+    "term_burstiness": (q_term_burstiness, SQL_TERM_BURSTINESS),
 }
