@@ -8732,6 +8732,248 @@ FROM agg CROSS JOIN n
 ORDER BY b DESC, term ASC LIMIT 20"""
 
 
+# ---------------------------------------------------------------------------
+# Interleaved ranker evaluation (online A/B, Joachims-style)
+# ---------------------------------------------------------------------------
+
+_IL_SEEDS = ["data", "join", "merge", "query", "spark"]
+_IL_K = 10       # per-ranker candidate depth and interleaved list length
+_IL_SCAN = 5     # cascade user scans this many interleaved positions
+_IL_MU = 200.0   # Dirichlet pseudo-count for ranker B
+
+
+def q_interleaved_eval(spark, sf_dir):
+    """Interleaved ranker evaluation (Joachims 2002 / the online-eval
+    primitive behind team-draft A/B tests): per seed query, ranker A
+    (BM25) and ranker B (Dirichlet query-likelihood, mu=200) each
+    produce a top-10; the two lists interleave deterministically — A's
+    rank-r entry lands at position 2r-1, B's at 2r, a document shown by
+    both keeps its earliest position and credits that team (the
+    deterministic twin of team-draft's coin, so the oracle can mirror
+    it).  A cascade user scans the first 5 interleaved positions and
+    clicks every consensus-relevant doc (one appearing in BOTH top-10
+    lists); the team with more credited clicks wins the query.  One row
+    per seed: clicks_a, clicks_b, winner.
+
+    Determinism: both rankers order by ROUNDED (4dp) score with doc_id
+    tiebreak, so both engines draft identical lists.  Scale shape: only
+    the |seeds| posting lists reach either scorer (term filter below the
+    tf agg); every window partitions by seed over ≤2k rows per seed; the
+    corpus LM for ranker B is a 1-row broadcast total plus per-seed ctf
+    — nothing vocabulary-sized shuffles or broadcasts.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir).filter(F.col("term").isin(_IL_SEEDS))
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = _dl(spark, sf_dir)
+    tot = dl.agg(F.sum("dl").alias("_t"))
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+
+    a = _scored(spark, sf_dir, _IL_SEEDS).select(
+        F.col("term").alias("seed"), "doc_id", _r4("score").alias("s")
+    )
+    wa = Window.partitionBy("seed").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    a = (
+        a.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= _IL_K)
+        .select("seed", "doc_id", (2 * F.col("r") - 1).alias("ipos"))
+    )
+
+    p = F.col("ctf") / F.col("_t")
+    b = (
+        tf.join(F.broadcast(ctf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("term").alias("seed"),
+            "doc_id",
+            _r4(
+                F.log(
+                    (F.col("tf") + F.lit(_IL_MU) * p)
+                    / (F.col("dl") + F.lit(_IL_MU))
+                )
+            ).alias("s"),
+        )
+    )
+    b = (
+        b.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") <= _IL_K)
+        .select("seed", "doc_id", (2 * F.col("r")).alias("ipos"))
+    )
+
+    both = a.unionByName(b)
+    merged = both.groupBy("seed", "doc_id").agg(
+        F.min("ipos").alias("ipos"), F.count("*").alias("n_lists")
+    )
+    wr = Window.partitionBy("seed").orderBy(F.col("ipos").asc())
+    shown = (
+        merged.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _IL_K)
+    )
+    click = (F.col("rank") <= _IL_SCAN) & (F.col("n_lists") == 2)
+    team_a = F.col("ipos") % 2 == 1
+    out = shown.groupBy("seed").agg(
+        F.count("*").cast("long").alias("n_shown"),
+        F.sum(F.when(click & team_a, 1).otherwise(0))
+        .cast("long").alias("clicks_a"),
+        F.sum(F.when(click & ~team_a, 1).otherwise(0))
+        .cast("long").alias("clicks_b"),
+    )
+    winner = (
+        F.when(F.col("clicks_a") > F.col("clicks_b"), F.lit("A"))
+        .when(F.col("clicks_b") > F.col("clicks_a"), F.lit("B"))
+        .otherwise(F.lit("tie"))
+    )
+    return out.select(
+        "seed", "n_shown", "clicks_a", "clicks_b", winner.alias("winner")
+    ).orderBy("seed")
+
+
+SQL_INTERLEAVED_EVAL = f"""WITH {_BM25_CORE_SQL},
+seeds AS (SELECT unnest(['data','join','merge','query','spark']) AS seed),
+tot AS (SELECT sum(dl) AS t FROM dl),
+ctf AS (SELECT tf.term, sum(tf.tf) AS ctf FROM tf
+        JOIN seeds ON tf.term = seeds.seed GROUP BY tf.term),
+ranked_a AS (
+  SELECT term AS seed, doc_id,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY round(score, 4) DESC, doc_id ASC) AS r
+  FROM scored JOIN seeds ON scored.term = seeds.seed
+),
+list_a AS (SELECT seed, doc_id, 2 * r - 1 AS ipos
+           FROM ranked_a WHERE r <= {_IL_K}),
+ranked_b AS (
+  SELECT tf.term AS seed, tf.doc_id,
+         row_number() OVER (
+           PARTITION BY tf.term
+           ORDER BY round(ln((tf.tf + {_IL_MU} * ctf.ctf / tot.t)
+                             / (dl.dl + {_IL_MU})), 4) DESC,
+                    tf.doc_id ASC) AS r
+  FROM tf
+  JOIN ctf ON tf.term = ctf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN tot
+),
+list_b AS (SELECT seed, doc_id, 2 * r AS ipos
+           FROM ranked_b WHERE r <= {_IL_K}),
+merged AS (
+  SELECT seed, doc_id, min(ipos) AS ipos, count(*) AS n_lists
+  FROM (SELECT * FROM list_a UNION ALL SELECT * FROM list_b)
+  GROUP BY seed, doc_id
+),
+shown AS (
+  SELECT seed, ipos, n_lists,
+         row_number() OVER (PARTITION BY seed ORDER BY ipos ASC) AS rank
+  FROM merged
+  QUALIFY rank <= {_IL_K}
+),
+agg AS (
+  SELECT seed, CAST(count(*) AS BIGINT) AS n_shown,
+         CAST(sum(CASE WHEN rank <= {_IL_SCAN} AND n_lists = 2
+                        AND ipos % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS clicks_a,
+         CAST(sum(CASE WHEN rank <= {_IL_SCAN} AND n_lists = 2
+                        AND ipos % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS clicks_b
+  FROM shown GROUP BY seed
+)
+SELECT seed, n_shown, clicks_a, clicks_b,
+       CASE WHEN clicks_a > clicks_b THEN 'A'
+            WHEN clicks_b > clicks_a THEN 'B'
+            ELSE 'tie' END AS winner
+FROM agg ORDER BY seed"""
+
+
+# ---------------------------------------------------------------------------
+# Recrawl scheduling (Cho & Garcia-Molina change-rate estimation)
+# ---------------------------------------------------------------------------
+
+_RECRAWL_MIN_POLLS = 5
+_RECRAWL_CHANGE_TYPES = ["click", "purchase"]
+
+
+def q_recrawl_priority(spark, sf_dir):
+    """Recrawl scheduling via Poisson change-rate estimation (Cho &
+    Garcia-Molina, "Estimating Frequency of Change", TOIT 2003): each
+    page (events.user_id) is polled at every event; a poll detects a
+    change when event_type is click/purchase.  With n polls, x detected
+    changes, and mean poll interval tau, the bias-corrected estimator
+    is lambda_hat = -ln((n - x + 0.5)/(n + 0.5)) / tau — the change
+    rate a crawler cannot observe directly because multiple changes
+    between polls collapse into one detection.  Suggested recrawl
+    interval = 1/lambda_hat.  Top-20 hottest pages by lambda_hat.
+
+    Scale shape: one map-side-combinable groupBy over the event log
+    (count / conditional count / min / max all partial-aggregate), then
+    arithmetic on the |pages| aggregate and a TakeOrderedAndProject
+    top-20 — no window over the raw log, no join.  At 10^12 events the
+    only shuffle is the per-page aggregate.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # parquet ts is TIMESTAMP_NTZ; the cast's implied zone cancels in t1-t0
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    agg = (
+        ev.groupBy(F.col("user_id").alias("page"))
+        .agg(
+            F.count("*").cast("long").alias("n_polls"),
+            F.sum(
+                F.when(
+                    F.col("event_type").isin(_RECRAWL_CHANGE_TYPES), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_changed"),
+            F.min(us).alias("_t0"),
+            F.max(us).alias("_t1"),
+        )
+        .filter(
+            (F.col("n_polls") >= _RECRAWL_MIN_POLLS)
+            & (F.col("_t1") > F.col("_t0"))
+        )
+    )
+    tau_h = (
+        (F.col("_t1") - F.col("_t0"))
+        / F.lit(1e6) / (F.col("n_polls") - 1) / F.lit(3600.0)
+    )
+    lam = -F.log(
+        (F.col("n_polls") - F.col("n_changed") + 0.5)
+        / (F.col("n_polls") + 0.5)
+    ) / tau_h
+    return (
+        agg.select(
+            "page", "n_polls", "n_changed",
+            _r4(tau_h).alias("tau_hours"),
+            _r4(lam).alias("lambda_hat"),
+            _r4(F.when(lam > 0, 1.0 / lam)).alias("recrawl_hours"),
+        )
+        .orderBy(F.col("lambda_hat").desc(), F.col("page").asc())
+        .limit(20)
+    )
+
+
+SQL_RECRAWL_PRIORITY = f"""WITH agg AS (
+  SELECT user_id AS page, CAST(count(*) AS BIGINT) AS n_polls,
+         CAST(sum(CASE WHEN event_type IN ('click', 'purchase')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM events GROUP BY user_id
+  HAVING count(*) >= {_RECRAWL_MIN_POLLS} AND max(epoch_us(ts)) > min(epoch_us(ts))
+),
+est AS (
+  SELECT page, n_polls, n_changed,
+         (t1 - t0) / 1e6 / (n_polls - 1) / 3600.0 AS tau_h,
+         -ln((n_polls - n_changed + 0.5) / (n_polls + 0.5))
+           / ((t1 - t0) / 1e6 / (n_polls - 1) / 3600.0) AS lam
+  FROM agg
+)
+SELECT page, n_polls, n_changed, round(tau_h, 4) AS tau_hours,
+       round(lam, 4) AS lambda_hat,
+       round(CASE WHEN lam > 0 THEN 1.0 / lam END, 4) AS recrawl_hours
+FROM est
+ORDER BY round(lam, 4) DESC, page ASC LIMIT 20"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -8854,4 +9096,6 @@ QUERIES = {
     "shard_balance": (q_shard_balance, SQL_SHARD_BALANCE),
     "clarity_score": (q_clarity_score, SQL_CLARITY_SCORE),
     "term_burstiness": (q_term_burstiness, SQL_TERM_BURSTINESS),
+    "interleaved_eval": (q_interleaved_eval, SQL_INTERLEAVED_EVAL),
+    "recrawl_priority": (q_recrawl_priority, SQL_RECRAWL_PRIORITY),
 }
