@@ -8974,6 +8974,285 @@ FROM est
 ORDER BY round(lam, 4) DESC, page ASC LIMIT 20"""
 
 
+# ---------------------------------------------------------------------------
+# CORI shard selection (distributed-search query routing)
+# ---------------------------------------------------------------------------
+
+_CORI_B = 0.4
+_CORI_TOPN = 3
+
+
+def q_cori_shards(spark, sf_dir):
+    """CORI resource/shard selection (Callan, Lu & Croft, SIGIR 1995) —
+    the query-routing step a federated 10^12-doc deployment runs BEFORE
+    any posting list is touched: rank index shards (documents.source)
+    by the collection-level belief that they hold relevant docs, then
+    fan the query out to the top shards only.  Per seed term t and
+    shard s:  T = df_st / (df_st + 50 + 150*cw_s/avg_cw),
+    I = ln((|S|+0.5)/cf_t) / ln(|S|+1), belief = 0.4 + 0.6*T*I — the
+    df.icf analogue of tf.idf with shards as "documents".  Top-3 shards
+    per seed.
+
+    Scale shape: everything downstream of the per-(shard, term) df
+    aggregate is |shards| x |seeds| sized — the shard statistics table
+    IS the entire working set (that is the point of CORI: route from a
+    kilobyte-scale summary, not the index).  The term filter sits below
+    the df agg, shard sizes are a |shards|-row broadcast, and cf_t /
+    avg_cw are tiny side rollups.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    seed_toks = toks.filter(F.col("term").isin(_IL_SEEDS)).join(src, "doc_id")
+    dfst = seed_toks.groupBy("source", "term").agg(
+        F.count_distinct("doc_id").alias("df_st")
+    )
+    cw = toks.join(src, "doc_id").groupBy("source").agg(
+        F.count("*").alias("cw")
+    )
+    avgcw = cw.agg(F.avg("cw").alias("_avg_cw"), F.count("*").alias("_n_s"))
+    cf = dfst.groupBy("term").agg(F.count("*").alias("cf_t"))
+    t_part = F.col("df_st") / (
+        F.col("df_st") + 50.0 + 150.0 * F.col("cw") / F.col("_avg_cw")
+    )
+    i_part = F.log((F.col("_n_s") + 0.5) / F.col("cf_t")) / F.log(
+        F.col("_n_s") + 1.0
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("belief").desc(), F.col("source").asc()
+    )
+    return (
+        dfst.join(F.broadcast(cw), "source")
+        .join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(avgcw))
+        .withColumn(
+            "belief", _r4(_CORI_B + (1.0 - _CORI_B) * t_part * i_part)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CORI_TOPN)
+        .select(
+            F.col("term").alias("seed"), F.col("source").alias("shard"),
+            "df_st", "belief", "rank",
+        )
+        .orderBy("seed", "rank")
+    )
+
+
+SQL_CORI_SHARDS = f"""WITH {_TOKS_SQL},
+src AS (SELECT doc_id, source FROM documents),
+dfst AS (
+  SELECT s.source, t.term, count(DISTINCT t.doc_id) AS df_st
+  FROM toks t JOIN src s ON t.doc_id = s.doc_id
+  WHERE t.term IN ('data', 'join', 'merge', 'query', 'spark')
+  GROUP BY s.source, t.term
+),
+cw AS (
+  SELECT s.source, count(*) AS cw
+  FROM toks t JOIN src s ON t.doc_id = s.doc_id GROUP BY s.source
+),
+avgcw AS (SELECT avg(cw) AS avg_cw, count(*) AS n_s FROM cw),
+cf AS (SELECT term, count(*) AS cf_t FROM dfst GROUP BY term),
+belief AS (
+  SELECT d.term AS seed, d.source AS shard, d.df_st,
+         round({_CORI_B} + {1.0 - _CORI_B}
+               * (d.df_st / (d.df_st + 50.0 + 150.0 * c.cw / a.avg_cw))
+               * (ln((a.n_s + 0.5) / f.cf_t) / ln(a.n_s + 1.0)),
+               4) AS belief
+  FROM dfst d
+  JOIN cw c ON d.source = c.source
+  JOIN cf f ON d.term = f.term
+  CROSS JOIN avgcw a
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY seed
+                               ORDER BY belief DESC, shard ASC) AS rank
+  FROM belief
+)
+SELECT seed, shard, CAST(df_st AS BIGINT) AS df_st, belief,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_CORI_TOPN} ORDER BY seed, rank"""
+
+
+# ---------------------------------------------------------------------------
+# Pivoted-normalization vector-space retrieval (Singhal et al. 1996)
+# ---------------------------------------------------------------------------
+
+_PIV_S = 0.2
+_PIV_TERMS = ["merge", "join"]
+
+
+def q_pivoted_vsm(spark, sf_dir):
+    """Pivoted length normalization VSM (Singhal, Buckley & Mitra,
+    SIGIR 1996) — the pre-BM25 classic the reference era's Smart system
+    shipped, kept in the catalog as the third scorer family next to
+    BM25 and Dirichlet-QL: score(d) = sum over matched query terms of
+    (1 + ln(1 + ln(tf))) / ((1-s) + s*dl/avgdl) * ln((N+1)/df) with the
+    pivot slope s=0.2.  Top-10 docs, rounded-score doc_id-tiebreak
+    ranking.
+
+    Scale shape: identical to _scored — the query-term filter is pushed
+    below the tf aggregate so only |terms| posting lists shuffle; df
+    and the 1-row (N, avgdl) stats broadcast; the cut is a distributed
+    TakeOrderedAndProject.
+    """
+    toks = _tokens(spark, sf_dir).filter(F.col("term").isin(_PIV_TERMS))
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    part = (
+        (1.0 + F.log(1.0 + F.log(F.col("tf"))))
+        / ((1.0 - _PIV_S) + _PIV_S * F.col("dl") / F.col("_avgdl"))
+        * F.log((F.col("_n") + 1.0) / F.col("df"))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            _r4(F.sum(part)).alias("score"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_PIVOTED_VSM = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks
+       WHERE term IN ('merge', 'join') GROUP BY term, doc_id),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum((1.0 + ln(1.0 + ln(tf.tf)))
+                 / ((1.0 - {_PIV_S}) + {_PIV_S} * dl.dl / stats.avgdl)
+                 * ln((stats.n + 1.0) / df.df)), 4) AS score,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM tf
+JOIN df ON tf.term = df.term
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
+# Block-max WAND pruning statistics (index-efficiency measurement)
+# ---------------------------------------------------------------------------
+
+_WAND_PAIRS = [("data", "join"), ("merge", "query"), ("spark", "data")]
+_WAND_BLOCK = 128
+_WAND_K = 10
+
+
+def q_wand_prune_stats(spark, sf_dir):
+    """Block-max WAND pruning effectiveness (Ding & Suel, SIGIR 2011),
+    measured as a relational plan over the same 128-doc blocks the
+    packed engine's A3 skip headers use: for each 2-term OR query,
+    theta = the k-th best exact rounded score, each term's per-block
+    max contributes an upper bound ub(d) = sum of the doc's block maxes
+    (0 when the term has no posting in the block), and a candidate doc
+    is PRUNED when ub < theta — the exact skip decision the engine's
+    WAND gate makes, so prune_pct is the fraction of candidate docs a
+    block-max index never scores.  Lossless by construction (any doc
+    with true score >= theta has ub >= score >= theta); the test
+    asserts it.
+
+    Scale shape: only the pairs' posting lists are scanned (term filter
+    below the tf agg); block maxes aggregate map-side on (term,
+    block_id); theta is a K-row broadcast from a distributed
+    TakeOrdered; output is one row per query pair.
+    """
+    terms = sorted({t for p in _WAND_PAIRS for t in p})
+    pairs = spark.createDataFrame(
+        [(a, b, f"{a}+{b}") for a, b in _WAND_PAIRS], "ta string, tb string, pair string"
+    )
+    s = _scored(spark, sf_dir, terms).select(
+        "term", "doc_id", _r4("score").alias("s"),
+        (F.floor(F.col("doc_id") / _WAND_BLOCK)).alias("blk"),
+    )
+    # per (pair, doc) exact OR score over the pair's matched terms
+    hits = (
+        s.join(F.broadcast(pairs),
+               (F.col("term") == F.col("ta")) | (F.col("term") == F.col("tb")))
+        .select("pair", "doc_id", "blk", "term", "s")
+    )
+    doc_tot = hits.groupBy("pair", "doc_id", "blk").agg(
+        F.sum("s").alias("tot")
+    )
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy("pair").orderBy(
+        F.col("tot").desc(), F.col("doc_id").asc()
+    )
+    theta = (
+        doc_tot.withColumn("_r", F.row_number().over(wk))
+        .filter(F.col("_r") <= _WAND_K)
+        .groupBy("pair")
+        .agg(F.min("tot").alias("theta"))
+    )
+    # per (pair, term, block) max — the A3 block-max header
+    bmax = hits.groupBy("pair", "term", "blk").agg(F.max("s").alias("bm"))
+    ub = bmax.groupBy("pair", "blk").agg(F.sum("bm").alias("ub"))
+    return (
+        doc_tot.join(ub, ["pair", "blk"])
+        .join(F.broadcast(theta), "pair")
+        .groupBy("pair", "theta")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("ub") < F.col("theta"), 1).otherwise(0))
+            .cast("long").alias("n_pruned"),
+        )
+        .select(
+            "pair", "theta", "n_candidates", "n_pruned",
+            _r4(F.col("n_pruned") / F.col("n_candidates")).alias("prune_pct"),
+        )
+        .orderBy("pair")
+    )
+
+
+SQL_WAND_PRUNE_STATS = f"""WITH {_BM25_CORE_SQL},
+pairs AS (
+  SELECT * FROM (VALUES ('data', 'join', 'data+join'),
+                        ('merge', 'query', 'merge+query'),
+                        ('spark', 'data', 'spark+data'))
+  AS t(ta, tb, pair)
+),
+hits AS (
+  SELECT p.pair, s.doc_id, CAST(floor(s.doc_id / {_WAND_BLOCK}) AS BIGINT)
+           AS blk, s.term, round(s.score, 4) AS s
+  FROM scored s JOIN pairs p ON s.term = p.ta OR s.term = p.tb
+),
+doc_tot AS (
+  SELECT pair, doc_id, blk, sum(s) AS tot
+  FROM hits GROUP BY pair, doc_id, blk
+),
+theta AS (
+  SELECT pair, min(tot) AS theta FROM (
+    SELECT pair, tot,
+           row_number() OVER (PARTITION BY pair
+                              ORDER BY tot DESC, doc_id ASC) AS r
+    FROM doc_tot) WHERE r <= {_WAND_K} GROUP BY pair
+),
+bmax AS (
+  SELECT pair, term, blk, max(s) AS bm FROM hits GROUP BY pair, term, blk
+),
+ub AS (SELECT pair, blk, sum(bm) AS ub FROM bmax GROUP BY pair, blk)
+SELECT d.pair, t.theta, CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN u.ub < t.theta THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pruned,
+       round(sum(CASE WHEN u.ub < t.theta THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS prune_pct
+FROM doc_tot d
+JOIN ub u ON d.pair = u.pair AND d.blk = u.blk
+JOIN theta t ON d.pair = t.pair
+GROUP BY d.pair, t.theta
+ORDER BY d.pair"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -9098,4 +9377,7 @@ QUERIES = {
     "term_burstiness": (q_term_burstiness, SQL_TERM_BURSTINESS),
     "interleaved_eval": (q_interleaved_eval, SQL_INTERLEAVED_EVAL),
     "recrawl_priority": (q_recrawl_priority, SQL_RECRAWL_PRIORITY),
+    "cori_shards": (q_cori_shards, SQL_CORI_SHARDS),
+    "pivoted_vsm": (q_pivoted_vsm, SQL_PIVOTED_VSM),
+    "wand_prune_stats": (q_wand_prune_stats, SQL_WAND_PRUNE_STATS),
 }
