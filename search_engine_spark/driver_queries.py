@@ -9253,6 +9253,334 @@ GROUP BY d.pair, t.theta
 ORDER BY d.pair"""
 
 
+# ---------------------------------------------------------------------------
+# WIG post-retrieval query-performance prediction (Zhou & Croft 2007)
+# ---------------------------------------------------------------------------
+
+_WIG_K = 5
+
+
+def q_wig_qpp(spark, sf_dir):
+    """WIG — Weighted Information Gain query-performance prediction
+    (Zhou & Croft, SIGIR 2007), the post-retrieval companion to
+    clarity_score: how far the top-k scores stand above the average
+    matching document's score.  A high gap means the head of the
+    ranking separates cleanly from the background (the ranking is
+    trustworthy); a gap near zero means the top-k looks like every
+    other match and the query deserves reformulation.  Per seed:
+    wig = mean(top-k score) - mean(all candidate scores) (|q|=1 seeds,
+    so the 1/sqrt(|q|) factor is 1).
+
+    Determinism: the top-k picks by ROUNDED score with doc_id tiebreak
+    and both means run over the rounded scores, so both engines average
+    identical values.  Scale shape: only the |seeds| posting lists are
+    scored (_scored pushes the term filter below the tf agg); the
+    per-seed mean is one map-side-combinable aggregate and the top-k
+    mean runs over k rows from a rank window per seed.
+    """
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, _IL_SEEDS).select(
+        F.col("term").alias("seed"), "doc_id", _r4("score").alias("s")
+    )
+    w = Window.partitionBy("seed").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    ranked = s.withColumn("_r", F.row_number().over(w))
+    all_mean = ranked.groupBy("seed").agg(
+        F.count("*").cast("long").alias("n_cand"),
+        F.avg("s").alias("_ma"),
+    )
+    top_mean = (
+        ranked.filter(F.col("_r") <= _WIG_K)
+        .groupBy("seed")
+        .agg(F.avg("s").alias("_mt"))
+    )
+    return (
+        all_mean.join(top_mean, "seed")
+        .select(
+            "seed", "n_cand",
+            _r4("_mt").alias("mean_top"),
+            _r4("_ma").alias("mean_all"),
+            _r4(F.col("_mt") - F.col("_ma")).alias("wig"),
+        )
+        .orderBy("seed")
+    )
+
+
+SQL_WIG_QPP = f"""WITH {_BM25_CORE_SQL},
+ranked AS (
+  SELECT term AS seed, doc_id, round(score, 4) AS s,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY round(score, 4) DESC, doc_id ASC) AS r
+  FROM scored
+  WHERE term IN ('data', 'join', 'merge', 'query', 'spark')
+),
+am AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_cand, avg(s) AS ma
+       FROM ranked GROUP BY seed),
+tm AS (SELECT seed, avg(s) AS mt FROM ranked WHERE r <= {_WIG_K}
+       GROUP BY seed)
+SELECT am.seed, am.n_cand, round(tm.mt, 4) AS mean_top,
+       round(am.ma, 4) AS mean_all, round(tm.mt - am.ma, 4) AS wig
+FROM am JOIN tm ON am.seed = tm.seed ORDER BY am.seed"""
+
+
+# ---------------------------------------------------------------------------
+# Sequential dependence model retrieval (Metzler & Croft 2005)
+# ---------------------------------------------------------------------------
+
+_SDM_A, _SDM_B = "merge", "join"
+_SDM_MU = 200.0
+_SDM_W = 8                        # unordered co-occurrence window
+_SDM_WT, _SDM_WO, _SDM_WU = 0.85, 0.10, 0.05
+
+
+def q_sdm_retrieval(spark, sf_dir):
+    """Sequential Dependence Model retrieval (Metzler & Croft, SIGIR
+    2005) — the term-dependence upgrade over bag-of-words LM scoring
+    that positional indexes exist to serve: for the query "merge join",
+    score = 0.85*f_T + 0.10*f_O + 0.05*f_U where f_T is the
+    Dirichlet-smoothed unigram log-likelihood of both terms, f_O the
+    same for the ORDERED bigram (#1: 'join' immediately after 'merge' —
+    the phrase ISR X7 feature), and f_U for UNORDERED co-occurrence
+    within an 8-token window (the NEAR/k X7-extension feature).
+    Candidates = docs containing both terms; bigram/window collection
+    priors get +0.5 so an absent feature still smooths.  Top-10.
+
+    Scale shape: only the two terms' postings reach any join; the
+    positional pair counts run per doc over those two lists (the same
+    bounded per-doc positional intersection the packed phrase kernel
+    does); collection stats are 1-row broadcasts; the cut is
+    distributed TakeOrdered.
+    """
+    toks = _tokens(spark, sf_dir).filter(
+        F.col("term").isin([_SDM_A, _SDM_B])
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    cand = (
+        tf.groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("_nt"))
+        .filter(F.col("_nt") == 2)
+        .select("doc_id")
+    )
+    dl = _dl(spark, sf_dir)
+    tot = dl.agg(F.sum("dl").alias("_t"))
+    ctf = _tokens(spark, sf_dir).filter(
+        F.col("term").isin([_SDM_A, _SDM_B])
+    ).groupBy("term").agg(F.count("*").alias("ctf"))
+
+    pa = toks.filter(F.col("term") == _SDM_A).select(
+        "doc_id", F.col("pos").alias("pa")
+    ).join(F.broadcast(cand), "doc_id")
+    pb = toks.filter(F.col("term") == _SDM_B).select(
+        "doc_id", F.col("pos").alias("pb")
+    ).join(F.broadcast(cand), "doc_id")
+    pairs = pa.join(pb, "doc_id")
+    tf_o = pairs.filter(F.col("pb") == F.col("pa") + 1).groupBy(
+        "doc_id"
+    ).agg(F.count("*").alias("tf_o"))
+    tf_u = pairs.filter(
+        F.abs(F.col("pb") - F.col("pa")) <= _SDM_W
+    ).groupBy("doc_id").agg(F.count("*").alias("tf_u"))
+    ctf_o = tf_o.agg(F.sum("tf_o").alias("_co"))
+    ctf_u = tf_u.agg(F.sum("tf_u").alias("_cu"))
+
+    p_t = F.col("ctf") / F.col("_t")
+    f_t_rows = (
+        tf.join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(ctf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.col("tf") + F.lit(_SDM_MU) * p_t)
+                    / (F.col("dl") + F.lit(_SDM_MU))
+                )
+            ).alias("f_t"),
+            F.first("dl").alias("dl"),
+        )
+    )
+    p_o = (F.col("_co") + 0.5) / F.col("_t")
+    p_u = (F.col("_cu") + 0.5) / F.col("_t")
+    return (
+        f_t_rows.join(tf_o, "doc_id", "left")
+        .join(tf_u, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ctf_o))
+        .crossJoin(F.broadcast(ctf_u))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("tf_o"), F.lit(0)).cast("long").alias("tf_o"),
+            F.coalesce(F.col("tf_u"), F.lit(0)).cast("long").alias("tf_u"),
+            _r4(
+                F.lit(_SDM_WT) * F.col("f_t")
+                + F.lit(_SDM_WO)
+                * F.log(
+                    (F.coalesce(F.col("tf_o"), F.lit(0)) + _SDM_MU * p_o)
+                    / (F.col("dl") + _SDM_MU)
+                )
+                + F.lit(_SDM_WU)
+                * F.log(
+                    (F.coalesce(F.col("tf_u"), F.lit(0)) + _SDM_MU * p_u)
+                    / (F.col("dl") + _SDM_MU)
+                )
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_SDM_RETRIEVAL = f"""WITH {_TOKS_SQL},
+qt AS (SELECT doc_id, term, pos FROM toks
+       WHERE term IN ('{_SDM_A}', '{_SDM_B}')),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM qt GROUP BY term, doc_id),
+cand AS (SELECT doc_id FROM tf GROUP BY doc_id
+         HAVING count(DISTINCT term) = 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+tot AS (SELECT sum(dl) AS t FROM dl),
+ctf AS (SELECT term, count(*) AS ctf FROM qt GROUP BY term),
+pairs AS (
+  SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+  FROM (SELECT doc_id, pos FROM qt WHERE term = '{_SDM_A}'
+        AND doc_id IN (SELECT doc_id FROM cand)) a
+  JOIN (SELECT doc_id, pos FROM qt WHERE term = '{_SDM_B}'
+        AND doc_id IN (SELECT doc_id FROM cand)) b
+  ON a.doc_id = b.doc_id
+),
+tfo AS (SELECT doc_id, count(*) AS tf_o FROM pairs
+        WHERE pb = pa + 1 GROUP BY doc_id),
+tfu AS (SELECT doc_id, count(*) AS tf_u FROM pairs
+        WHERE abs(pb - pa) <= {_SDM_W} GROUP BY doc_id),
+co AS (SELECT coalesce(sum(tf_o), 0) AS co FROM tfo),
+cu AS (SELECT coalesce(sum(tf_u), 0) AS cu FROM tfu),
+ft AS (
+  SELECT tf.doc_id,
+         sum(ln((tf.tf + {_SDM_MU} * ctf.ctf / tot.t)
+                / (dl.dl + {_SDM_MU}))) AS f_t,
+         min(dl.dl) AS dl
+  FROM tf
+  JOIN cand ON tf.doc_id = cand.doc_id
+  JOIN ctf ON tf.term = ctf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN tot
+  GROUP BY tf.doc_id
+)
+SELECT ft.doc_id,
+       CAST(coalesce(tfo.tf_o, 0) AS BIGINT) AS tf_o,
+       CAST(coalesce(tfu.tf_u, 0) AS BIGINT) AS tf_u,
+       round({_SDM_WT} * ft.f_t
+             + {_SDM_WO} * ln((coalesce(tfo.tf_o, 0)
+                               + {_SDM_MU} * (co.co + 0.5) / tot.t)
+                              / (ft.dl + {_SDM_MU}))
+             + {_SDM_WU} * ln((coalesce(tfu.tf_u, 0)
+                               + {_SDM_MU} * (cu.cu + 0.5) / tot.t)
+                              / (ft.dl + {_SDM_MU})), 4) AS score
+FROM ft
+LEFT JOIN tfo ON ft.doc_id = tfo.doc_id
+LEFT JOIN tfu ON ft.doc_id = tfu.doc_id
+CROSS JOIN tot CROSS JOIN co CROSS JOIN cu
+ORDER BY score DESC, ft.doc_id ASC LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
+# Posting-list codec cost model (varbyte vs Elias-gamma, A2 sizing)
+# ---------------------------------------------------------------------------
+
+def q_codec_cost(spark, sf_dir):
+    """Codec cost model for the A2 posting compressor: encode every
+    posting list's docid gaps under varbyte (what the engine ships,
+    operators/codec.py) and Elias-gamma, integer-exactly, and roll the
+    byte counts up by posting_histogram's power-of-two df buckets —
+    the measurement behind the classic result that gamma wins on dense
+    head lists (small gaps cost a few bits vs varbyte's 1-byte floor)
+    while varbyte wins sparse tail lists (a 20-bit gap costs 39 gamma
+    bits vs 24 varbyte bits) and decodes faster everywhere — which is
+    why the engine ships varbyte (A2) and this entry quantifies what
+    that choice pays per df bucket.  varbyte bytes per
+    gap = ceil(bitlen/7); gamma bits per gap = 2*bitlen - 1; per-list
+    gamma bytes = ceil(total bits / 8).  All bit lengths via
+    length(bin(x)) string arithmetic — no floating log2 on power
+    boundaries.
+
+    Scale shape: the gap window partitions by term ordered by doc_id —
+    the exact shuffle the index merge itself runs (A6) — then two
+    nested map-side-combinable aggregates (per-term, per-bucket); the
+    output is a <=64-row rollup.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = (
+        _tf(spark, sf_dir)
+        .select("term", "doc_id")
+        .withColumn(
+            "gap",
+            F.col("doc_id")
+            - F.coalesce(F.lag("doc_id").over(w), F.lit(-1)),
+        )
+    )
+    bitlen = F.length(F.bin(F.col("gap")))
+    per_term = (
+        gaps.select(
+            "term",
+            F.floor((bitlen + 6) / 7).alias("vb"),
+            (2 * bitlen - 1).alias("gb"),
+        )
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("vb").alias("vb_bytes"),
+            F.floor((F.sum("gb") + 7) / 8).alias("g_bytes"),
+        )
+    )
+    bucket = (F.length(F.bin(F.col("df"))) - 1).cast("long").alias("bucket")
+    return (
+        per_term.groupBy(bucket)
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum("vb_bytes").cast("long").alias("varbyte_bytes"),
+            F.sum("g_bytes").cast("long").alias("gamma_bytes"),
+        )
+        .withColumn(
+            "gamma_vs_varbyte",
+            _r4(F.col("gamma_bytes") / F.col("varbyte_bytes")),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_CODEC_COST = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id FROM toks GROUP BY term, doc_id),
+gaps AS (
+  SELECT term,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                                             ORDER BY doc_id), -1) AS gap
+  FROM tf
+),
+per_gap AS (
+  SELECT term, (length(bin(gap)) + 6) // 7 AS vb,
+         2 * length(bin(gap)) - 1 AS gb
+  FROM gaps
+),
+per_term AS (
+  SELECT term, count(*) AS df, sum(vb) AS vb_bytes,
+         (sum(gb) + 7) // 8 AS g_bytes
+  FROM per_gap GROUP BY term
+)
+SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(df) AS BIGINT) AS n_postings,
+       CAST(sum(vb_bytes) AS BIGINT) AS varbyte_bytes,
+       CAST(sum(g_bytes) AS BIGINT) AS gamma_bytes,
+       round(sum(g_bytes) / CAST(sum(vb_bytes) AS DOUBLE), 4)
+         AS gamma_vs_varbyte
+FROM per_term GROUP BY 1 ORDER BY bucket"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -9380,4 +9708,7 @@ QUERIES = {
     "cori_shards": (q_cori_shards, SQL_CORI_SHARDS),
     "pivoted_vsm": (q_pivoted_vsm, SQL_PIVOTED_VSM),
     "wand_prune_stats": (q_wand_prune_stats, SQL_WAND_PRUNE_STATS),
+    "wig_qpp": (q_wig_qpp, SQL_WIG_QPP),
+    "sdm_retrieval": (q_sdm_retrieval, SQL_SDM_RETRIEVAL),
+    "codec_cost": (q_codec_cost, SQL_CODEC_COST),
 }
