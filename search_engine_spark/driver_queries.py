@@ -9581,6 +9581,299 @@ SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bucket,
 FROM per_term GROUP BY 1 ORDER BY bucket"""
 
 
+# ---------------------------------------------------------------------------
+# ERR ranking evaluation (Chapelle et al., CIKM 2009)
+# ---------------------------------------------------------------------------
+
+_ERR_K = 10
+
+
+def q_err_eval(spark, sf_dir):
+    """ERR@10 — Expected Reciprocal Rank (Chapelle, Metzler, Zhang &
+    Grinspan, CIKM 2009), completing the offline eval family next to
+    ndcg_eval / mrr_map_eval: the cascade-model metric where a user
+    scans down the ranking and stops at rank r with probability
+    R_r = (2^rel − 1)/2^g_max, so ERR = Σ_r (1/r)·R_r·Π_{i<r}(1−R_i).
+    Uses the same deterministic synthetic grades (rel ∈ 0..3 from a
+    multiplicative hash of doc_id) as ndcg_eval, so the two metrics are
+    directly comparable per query.
+
+    Determinism: with g_max = 3 every stop probability is an exact
+    /16 rational, so the cascade product is computed as an INTEGER
+    numerator product (≤ 16⁹ < 2⁵³, exact in doubles) via a
+    cumulative-product window over the preceding ranks, divided by the
+    exact power 16^(r−1) — no exp(Σ ln) drift between engines.
+    Scale shape: per-query rank windows over the pruned _scored plan
+    (only the 3 query terms' postings shuffle); output is |queries|
+    rows.
+    """
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, _NDCG_QS).filter(F.col("term").isin(_NDCG_QS))
+    w = Window.partitionBy("term").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc()
+    )
+    top = (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ERR_K)
+        .withColumn(
+            "rel",
+            F.pmod(
+                (F.col("doc_id") % _SPLIT_PRIME) * F.lit(2654435761),
+                F.lit(4),
+            ).cast("int"),
+        )
+        # stop probability R = num_stop/16; survival 1-R = num_pass/16
+        .withColumn("num_stop", F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+        .withColumn("num_pass", F.lit(16.0) - F.col("num_stop"))
+    )
+    cw = (
+        Window.partitionBy("term")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = top.withColumn(
+        "cum_pass", F.coalesce(F.product("num_pass").over(cw), F.lit(1.0))
+    ).withColumn(
+        "c",
+        (F.lit(1.0) / F.col("rank"))
+        * (F.col("num_stop") / 16.0)
+        * (F.col("cum_pass") / F.pow(F.lit(16.0), F.col("rank") - 1)),
+    )
+    return (
+        contrib.groupBy("term")
+        .agg(
+            _r4(F.sum("c")).alias("err"),
+            F.count("*").cast("long").alias("judged"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_ERR_EVAL = f"""WITH {_BM25_CORE_SQL},
+top AS (
+  SELECT term, doc_id, rank,
+         CAST(((doc_id % {_SPLIT_PRIME}) * 2654435761) % 4 AS INT) AS rel
+  FROM (
+    SELECT term, doc_id, row_number() OVER (
+      PARTITION BY term ORDER BY round(score, 4) DESC, doc_id ASC) AS rank
+    FROM scored WHERE term IN ('merge', 'join', 'scan'))
+  WHERE rank <= {_ERR_K}
+),
+probs AS (
+  SELECT term, rank, pow(2.0, rel) - 1.0 AS num_stop,
+         16.0 - (pow(2.0, rel) - 1.0) AS num_pass
+  FROM top
+),
+casc AS (
+  SELECT term, rank, num_stop,
+         coalesce(product(num_pass) OVER (
+           PARTITION BY term ORDER BY rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1.0)
+           AS cum_pass
+  FROM probs
+)
+SELECT term,
+       round(sum((1.0 / rank) * (num_stop / 16.0)
+                 * (cum_pass / pow(16.0, rank - 1))), 4) AS err,
+       CAST(count(*) AS BIGINT) AS judged
+FROM casc GROUP BY term ORDER BY term"""
+
+
+# ---------------------------------------------------------------------------
+# Impact-ordered posting quantization (Anh & Moffat, SIGIR 2001/2006)
+# ---------------------------------------------------------------------------
+
+_IMP_BITS = 5                     # 2^5 = 32 impact buckets
+
+
+def q_impact_quantize(spark, sf_dir):
+    """Impact quantization for an impact-ordered index (Anh & Moffat):
+    map every posting's exact BM25 contribution onto 2^5 = 32 uniform
+    buckets between the global min/max impact, the transform that lets
+    an index store one small integer per posting (sorted by impact, so
+    query evaluation can early-terminate) instead of a float.  Per seed
+    term this measures exactly what the transform costs: `overlap10` =
+    |exact top-10 ∩ quantized top-10| (quantized ranking orders by
+    bucket then doc_id — ties inside a bucket are the information the
+    quantizer destroyed) and `mae` = mean |reconstructed − exact| over
+    the list (reconstruction = bucket midpoint).
+
+    Determinism: quantization runs on round(score,4) values, so both
+    engines bucket identical doubles with identical IEEE subtract/
+    divide/floor.  Scale shape: only the |seeds| posting lists are
+    scored; min/max is a 1-row broadcast side plan; rankings are
+    per-seed rank windows; output is |seeds| rows.
+    """
+    from pyspark.sql import Window
+
+    n_b = 1 << _IMP_BITS
+    s = _scored(spark, sf_dir, _IL_SEEDS).select(
+        F.col("term").alias("seed"), "doc_id", _r4("score").alias("s")
+    )
+    ext = s.agg(F.min("s").alias("_mn"), F.max("s").alias("_mx"))
+    q = s.crossJoin(F.broadcast(ext)).withColumn(
+        "q",
+        F.least(
+            F.floor(
+                (F.col("s") - F.col("_mn"))
+                / (F.col("_mx") - F.col("_mn"))
+                * n_b
+            ),
+            F.lit(n_b - 1),
+        ).cast("long"),
+    ).withColumn(
+        "imp",
+        F.col("_mn")
+        + (F.col("q") + 0.5) * (F.col("_mx") - F.col("_mn")) / n_b,
+    )
+    we = Window.partitionBy("seed").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    wq = Window.partitionBy("seed").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc()
+    )
+    ranked = q.withColumn("re", F.row_number().over(we)).withColumn(
+        "rq", F.row_number().over(wq)
+    )
+    return (
+        ranked.groupBy("seed")
+        .agg(
+            F.count("*").cast("long").alias("n_postings"),
+            F.sum(
+                F.when(
+                    (F.col("re") <= 10) & (F.col("rq") <= 10), 1
+                ).otherwise(0)
+            ).cast("long").alias("overlap10"),
+            _r4(F.avg(F.abs(F.col("imp") - F.col("s")))).alias("mae"),
+        )
+        .orderBy("seed")
+    )
+
+
+SQL_IMPACT_QUANTIZE = f"""WITH {_BM25_CORE_SQL},
+sl AS (
+  SELECT term AS seed, doc_id, round(score, 4) AS s FROM scored
+  WHERE term IN ('data', 'join', 'merge', 'query', 'spark')
+),
+ext AS (SELECT min(s) AS mn, max(s) AS mx FROM sl),
+qz AS (
+  SELECT seed, doc_id, s,
+         least(CAST(floor((s - ext.mn) / (ext.mx - ext.mn)
+                          * {1 << _IMP_BITS}) AS BIGINT),
+               {(1 << _IMP_BITS) - 1}) AS q,
+         ext.mn AS mn, ext.mx AS mx
+  FROM sl CROSS JOIN ext
+),
+ranked AS (
+  SELECT seed, doc_id, s,
+         mn + (q + 0.5) * (mx - mn) / {1 << _IMP_BITS} AS imp,
+         row_number() OVER (PARTITION BY seed
+                            ORDER BY s DESC, doc_id ASC) AS re,
+         row_number() OVER (PARTITION BY seed
+                            ORDER BY q DESC, doc_id ASC) AS rq
+  FROM qz
+)
+SELECT seed, CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(sum(CASE WHEN re <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS overlap10,
+       round(avg(abs(imp - s)), 4) AS mae
+FROM ranked GROUP BY seed ORDER BY seed"""
+
+
+# ---------------------------------------------------------------------------
+# DFR PL2 retrieval (Amati & van Rijsbergen, TOIS 2002)
+# ---------------------------------------------------------------------------
+
+_PL2_TERMS = ["merge", "join"]
+_PL2_C = 1.0
+_PL2_LOG2E = 1.4426950408889634      # 1/ln 2, inlined so both engines
+_PL2_2PI = 6.283185307179586         # share the exact same doubles
+
+
+def q_dfr_pl2(spark, sf_dir):
+    """PL2 retrieval from the Divergence-From-Randomness framework
+    (Amati & van Rijsbergen, TOIS 2002) — the third ranking family in
+    the catalog next to BM25 (bm25_*) and Dirichlet QL
+    (query_likelihood), i.e. the model-swap experiment an IR stack runs
+    on the SAME postings: Poisson randomness model, Laplace
+    after-effect, H2 length normalization.  Per matching (term, doc):
+    tfn = tf·log2(1 + c·avgdl/dl), λ = ctf/N, and the weight is
+    (tfn·log2(tfn/λ) + (λ − tfn)·log2 e + 0.5·log2(2π·tfn)) / (tfn+1),
+    summed over query terms (OR semantics, qtf = 1); top-10.
+
+    Determinism: log2 e and 2π are inlined as identical double
+    literals in both engines; everything else is ln/arithmetic under
+    the suite-wide round-4 contract.  Scale shape: only the two query
+    terms' postings pass the term filter below the tf aggregation;
+    collection stats (N, avgdl, per-term ctf) are 1-row/|q|-row
+    broadcast side plans; the cut is a distributed TakeOrdered.
+    """
+    toks = _tokens(spark, sf_dir)
+    tf = (
+        toks.filter(F.col("term").isin(_PL2_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    ctf = (
+        toks.filter(F.col("term").isin(_PL2_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("ctf"))
+    )
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(
+        F.count("*").alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    log2 = lambda c: F.log(c) * _PL2_LOG2E
+    tfn = F.col("tf") * log2(
+        1.0 + F.lit(_PL2_C) * F.col("_avgdl") / F.col("dl")
+    )
+    lam = F.col("ctf") / F.col("_n")
+    wexpr = (
+        tfn * log2(tfn / lam)
+        + (lam - tfn) * F.lit(_PL2_LOG2E)
+        + 0.5 * log2(F.lit(_PL2_2PI) * tfn)
+    ) / (tfn + 1.0)
+    return (
+        tf.join(F.broadcast(ctf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(_r4(F.sum(wexpr)).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_DFR_PL2 = f"""WITH {_TOKS_SQL},
+qt AS (SELECT doc_id, term FROM toks
+       WHERE term IN ('merge', 'join')),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM qt GROUP BY term, doc_id),
+ctf AS (SELECT term, count(*) AS ctf FROM qt GROUP BY term),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+w AS (
+  SELECT tf.doc_id,
+         (tfn * (ln(tfn / lam) * {_PL2_LOG2E})
+          + (lam - tfn) * {_PL2_LOG2E}
+          + 0.5 * (ln({_PL2_2PI} * tfn) * {_PL2_LOG2E})) / (tfn + 1.0)
+           AS wgt
+  FROM (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * (ln(1.0 + {_PL2_C} * stats.avgdl / dl.dl)
+                    * {_PL2_LOG2E}) AS tfn,
+           CAST(ctf.ctf AS DOUBLE) / stats.n AS lam
+    FROM tf
+    JOIN ctf ON tf.term = ctf.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+  ) tf
+)
+SELECT doc_id, round(sum(wgt), 4) AS score
+FROM w GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -9711,4 +10004,7 @@ QUERIES = {
     "wig_qpp": (q_wig_qpp, SQL_WIG_QPP),
     "sdm_retrieval": (q_sdm_retrieval, SQL_SDM_RETRIEVAL),
     "codec_cost": (q_codec_cost, SQL_CODEC_COST),
+    "err_eval": (q_err_eval, SQL_ERR_EVAL),
+    "impact_quantize": (q_impact_quantize, SQL_IMPACT_QUANTIZE),
+    "dfr_pl2": (q_dfr_pl2, SQL_DFR_PL2),
 }
