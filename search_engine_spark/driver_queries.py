@@ -9874,6 +9874,424 @@ FROM w GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
 
+# ---------------------------------------------------------------------------
+# Tiered-index fidelity (Carmel et al. 2001 / Strohman-Croft tiering)
+# ---------------------------------------------------------------------------
+
+_TIER_PAIRS = [(1, "merge", "join"), (2, "data", "query"), (3, "scan", "filter")]
+_TIER_FRAC = 0.2
+
+
+def q_tier_split(spark, sf_dir):
+    """Tiered-index fidelity measurement (static index pruning, Carmel
+    et al. SIGIR 2001; two-tier serving, Strohman & Croft): keep only
+    tier 1 = the top ceil(0.2·df) postings of each query term's list by
+    per-term impact, answer the OR query from tier 1 alone, and count
+    how many of the full-index top-10 survive.  This is the fidelity
+    check a serving stack runs before routing queries to a pruned
+    first-tier shard — single-term top-k is trivially preserved by
+    impact tiering, so the interesting (and measured) case is
+    multi-term queries where a winner can be assembled from middling
+    per-term impacts that pruning discards.
+
+    Scale shape: only the 6 query terms' postings are scored; tier
+    membership is a per-(pair,term) rank window (the lists' own
+    sharding); both rankings are per-pair top-10 windows; output is
+    |pairs| rows.
+    """
+    from pyspark.sql import Window
+
+    terms = sorted({t for p in _TIER_PAIRS for t in p[1:]})
+    pairs = spark.createDataFrame(
+        [(p, t) for p, a, b in _TIER_PAIRS for t in (a, b)],
+        "pair int, term string",
+    )
+    s = (
+        _scored(spark, sf_dir, terms)
+        .select("term", "doc_id", _r4("score").alias("s"))
+        .join(F.broadcast(pairs), "term")
+    )
+    wl = Window.partitionBy("pair", "term").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    wdf = Window.partitionBy("pair", "term")
+    tiered = s.withColumn(
+        "t1",
+        F.row_number().over(wl)
+        <= F.ceil(F.count("*").over(wdf) * _TIER_FRAC),
+    )
+    docs = tiered.groupBy("pair", "doc_id").agg(
+        _r4(F.sum("s")).alias("fs"),
+        _r4(F.sum(F.when(F.col("t1"), F.col("s")))).alias("ts"),
+        F.sum(F.when(F.col("t1"), 1).otherwise(0)).alias("_n1"),
+    )
+    wf = Window.partitionBy("pair").orderBy(
+        F.col("fs").desc(), F.col("doc_id").asc()
+    )
+    wt = Window.partitionBy("pair").orderBy(
+        F.col("ts").desc(), F.col("doc_id").asc()
+    )
+    ranked = docs.withColumn("rf", F.row_number().over(wf))
+    # the tiered ranking covers ONLY tier-1-reachable docs (that is the
+    # point of the measurement: pruned-away docs cannot be retrieved)
+    t1docs = docs.filter(F.col("_n1") > 0).withColumn(
+        "rt", F.row_number().over(wt)
+    ).select("pair", "doc_id", "rt")
+    full10 = ranked.filter(F.col("rf") <= 10).select("pair", "doc_id")
+    tier10 = t1docs.filter(F.col("rt") <= 10).select("pair", "doc_id")
+    overlap = (
+        full10.join(tier10, ["pair", "doc_id"])
+        .groupBy("pair")
+        .agg(F.count("*").cast("long").alias("overlap10"))
+    )
+    sizes = tiered.groupBy("pair").agg(
+        F.count("*").cast("long").alias("n_postings"),
+        F.sum(F.when(F.col("t1"), 1).otherwise(0)).cast("long").alias("n_tier1"),
+    )
+    return (
+        sizes.join(overlap, "pair", "left")
+        .select(
+            "pair", "n_postings", "n_tier1",
+            F.coalesce("overlap10", F.lit(0)).cast("long").alias("overlap10"),
+        )
+        .orderBy("pair")
+    )
+
+
+_TIER_PAIRS_SQL = ", ".join(
+    f"({p}, '{a}'), ({p}, '{b}')" for p, a, b in _TIER_PAIRS
+)
+
+SQL_TIER_SPLIT = f"""WITH {_BM25_CORE_SQL},
+pairs(pair, term) AS (VALUES {_TIER_PAIRS_SQL}),
+sl AS (
+  SELECT pairs.pair, scored.term, scored.doc_id,
+         round(scored.score, 4) AS s
+  FROM scored JOIN pairs ON scored.term = pairs.term
+),
+tiered AS (
+  SELECT pair, term, doc_id, s,
+         row_number() OVER (PARTITION BY pair, term
+                            ORDER BY s DESC, doc_id ASC)
+           <= ceil(count(*) OVER (PARTITION BY pair, term)
+                   * {_TIER_FRAC}) AS t1
+  FROM sl
+),
+docs AS (
+  SELECT pair, doc_id, round(sum(s), 4) AS fs,
+         round(sum(CASE WHEN t1 THEN s END), 4) AS ts,
+         sum(CASE WHEN t1 THEN 1 ELSE 0 END) AS n1
+  FROM tiered GROUP BY pair, doc_id
+),
+full10 AS (
+  SELECT pair, doc_id FROM (
+    SELECT pair, doc_id, row_number() OVER (
+      PARTITION BY pair ORDER BY fs DESC, doc_id ASC) AS rf
+    FROM docs) WHERE rf <= 10
+),
+tier10 AS (
+  SELECT pair, doc_id FROM (
+    SELECT pair, doc_id, row_number() OVER (
+      PARTITION BY pair ORDER BY ts DESC, doc_id ASC) AS rt
+    FROM docs WHERE n1 > 0) WHERE rt <= 10
+),
+ov AS (
+  SELECT full10.pair, count(*) AS overlap10
+  FROM full10 JOIN tier10
+    ON full10.pair = tier10.pair AND full10.doc_id = tier10.doc_id
+  GROUP BY full10.pair
+)
+SELECT t.pair, CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(sum(CASE WHEN t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tier1,
+       CAST(coalesce(any_value(ov.overlap10), 0) AS BIGINT) AS overlap10
+FROM tiered t LEFT JOIN ov ON t.pair = ov.pair
+GROUP BY t.pair ORDER BY t.pair"""
+
+
+# ---------------------------------------------------------------------------
+# LM smoothing sweep (Zhai & Lafferty, SIGIR 2001)
+# ---------------------------------------------------------------------------
+
+_SW_SETTINGS = [("dirichlet", 200.0), ("dirichlet", 2000.0),
+                ("jm", 0.2), ("jm", 0.8)]
+
+
+def q_smoothing_sweep(spark, sf_dir):
+    """The Zhai-Lafferty smoothing study (SIGIR 2001) as one plan: rank
+    the OR candidates of query {merge, join} under four LM smoothing
+    settings — Dirichlet μ ∈ {200, 2000} and Jelinek-Mercer
+    λ ∈ {0.2, 0.8} — and report, per setting, the top-10 overlap with
+    the BM25 ranking of the same candidates plus the rank-1 doc.  This
+    is the parameter-sensitivity experiment run before picking a
+    production scorer; overlap@10 is the integer, engine-agnostic way
+    to compare rankings.
+
+    Scale shape: candidates × |q|=2 query terms (left join tf) is the
+    only non-k-row relation; the collection LM (p_q) and doc lengths
+    join narrowly; the 4-setting axis is a broadcast literal cross
+    join, so the scoring pass is shared across settings; rankings are
+    per-setting windows; output is 4 rows.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    total = toks.agg(F.count("*").alias("_t"))
+    p = (
+        toks.filter(F.col("term").isin(_QL_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .crossJoin(F.broadcast(total))
+        .select("term", (F.col("cf") / F.col("_t")).alias("p"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(_QL_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    cand = tf.select("doc_id").distinct()
+    grid = cand.crossJoin(F.broadcast(p)).join(
+        tf, ["term", "doc_id"], "left"
+    ).join(_dl(spark, sf_dir), "doc_id").select(
+        "doc_id", "term",
+        F.coalesce("tf", F.lit(0)).alias("tf"), "p", "dl",
+    )
+    settings = spark.createDataFrame(
+        _SW_SETTINGS, "method string, param double"
+    )
+    scored = grid.crossJoin(F.broadcast(settings)).withColumn(
+        "w",
+        F.when(
+            F.col("method") == "dirichlet",
+            F.log(
+                (F.col("tf") + F.col("param") * F.col("p"))
+                / (F.col("dl") + F.col("param"))
+            ),
+        ).otherwise(
+            F.log(
+                (1.0 - F.col("param")) * F.col("tf") / F.col("dl")
+                + F.col("param") * F.col("p")
+            )
+        ),
+    ).groupBy("method", "param", "doc_id").agg(_r4(F.sum("w")).alias("s"))
+    ws = Window.partitionBy("method", "param").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+    lm10 = scored.withColumn("r", F.row_number().over(ws)).filter(
+        F.col("r") <= 10
+    )
+    bm = (
+        _scored(spark, sf_dir, _QL_TERMS)
+        .groupBy("doc_id")
+        .agg(_r4(F.sum(_r4("score"))).alias("bs"))
+    )
+    wb = Window.orderBy(F.col("bs").desc(), F.col("doc_id").asc())
+    bm10 = (
+        bm.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= 10)
+        .select("doc_id")
+    )
+    return (
+        lm10.join(F.broadcast(bm10), "doc_id", "left_semi")
+        .groupBy("method", "param")
+        .agg(F.count("*").cast("long").alias("overlap10"))
+        .join(
+            lm10.filter(F.col("r") == 1).select(
+                "method", "param", F.col("doc_id").alias("top1")
+            ),
+            ["method", "param"],
+        )
+        .orderBy("method", "param")
+    )
+
+
+_SW_SETTINGS_SQL = ", ".join(f"('{m}', {v})" for m, v in _SW_SETTINGS)
+
+SQL_SMOOTHING_SWEEP = f"""WITH {_BM25_CORE_SQL},
+qt AS (SELECT term, doc_id, tf FROM tf WHERE term IN ('merge', 'join')),
+tot AS (SELECT count(*) AS t FROM toks),
+p AS (SELECT term, CAST(count(*) AS DOUBLE) / any_value(tot.t) AS p
+      FROM toks CROSS JOIN tot
+      WHERE term IN ('merge', 'join') GROUP BY term),
+cand AS (SELECT DISTINCT doc_id FROM qt),
+grid AS (
+  SELECT cand.doc_id, p.term, coalesce(qt.tf, 0) AS tf, p.p, dl.dl
+  FROM cand CROSS JOIN p
+  LEFT JOIN qt ON qt.term = p.term AND qt.doc_id = cand.doc_id
+  JOIN dl ON dl.doc_id = cand.doc_id
+),
+settings(method, param) AS (VALUES {_SW_SETTINGS_SQL}),
+lm AS (
+  SELECT method, param, doc_id,
+         round(sum(CASE WHEN method = 'dirichlet'
+                   THEN ln((tf + param * p) / (dl + param))
+                   ELSE ln((1.0 - param) * tf / dl + param * p)
+                   END), 4) AS s
+  FROM grid CROSS JOIN settings
+  GROUP BY method, param, doc_id
+),
+lm10 AS (
+  SELECT method, param, doc_id, r FROM (
+    SELECT method, param, doc_id, row_number() OVER (
+      PARTITION BY method, param ORDER BY s DESC, doc_id ASC) AS r
+    FROM lm) WHERE r <= 10
+),
+bm10 AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY bs DESC, doc_id ASC) AS rb
+    FROM (SELECT doc_id, round(sum(round(score, 4)), 4) AS bs
+          FROM scored WHERE term IN ('merge', 'join')
+          GROUP BY doc_id)) WHERE rb <= 10
+)
+SELECT lm10.method, lm10.param,
+       CAST(sum(CASE WHEN bm10.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS overlap10,
+       any_value(CASE WHEN lm10.r = 1 THEN lm10.doc_id END) AS top1
+FROM lm10 LEFT JOIN bm10 ON lm10.doc_id = bm10.doc_id
+GROUP BY lm10.method, lm10.param ORDER BY lm10.method, lm10.param"""
+
+
+# ---------------------------------------------------------------------------
+# CombSUM / CombMNZ run fusion (Fox & Shaw, TREC-2 1994)
+# ---------------------------------------------------------------------------
+
+_COMB_DEPTH = 20
+_COMB_MU = 1000.0
+
+
+def q_combsum_fusion(spark, sf_dir):
+    """Score-based run fusion (Fox & Shaw, TREC-2): fuse the BM25 run
+    and the Dirichlet-QL run (μ=1000) for query {merge, join}, each cut
+    to its top-20, by min-max normalizing scores WITHIN each run and
+    summing — CombSUM = Σ norm(s), CombMNZ = CombSUM × (#runs that
+    retrieved the doc).  The score-based counterpart to rrf_fusion
+    (rank-based); MNZ's multiply-by-hits is the classic consensus
+    boost.  Top-10 by CombMNZ.
+
+    Scale shape: each run is cut to k=20 FIRST by a distributed
+    TakeOrdered, so normalization (per-run 1-row min/max over 20 rows)
+    and the full-outer fusion join touch O(k) rows; all corpus-scale
+    work stays inside the two retrieval plans (term-filtered postings,
+    broadcast collection stats).  Output ≤ 10 rows.
+    """
+    from pyspark.sql import Window
+
+    bm = (
+        _scored(spark, sf_dir, _QL_TERMS)
+        .groupBy("doc_id")
+        .agg(_r4(F.sum(_r4("score"))).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_COMB_DEPTH)
+    )
+    toks = _tokens(spark, sf_dir)
+    total = toks.agg(F.count("*").alias("_t"))
+    p = (
+        toks.filter(F.col("term").isin(_QL_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .crossJoin(F.broadcast(total))
+        .select("term", (F.col("cf") / F.col("_t")).alias("p"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(_QL_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    ql = (
+        tf.select("doc_id").distinct()
+        .crossJoin(F.broadcast(p))
+        .join(tf, ["term", "doc_id"], "left")
+        .join(_dl(spark, sf_dir), "doc_id")
+        .withColumn(
+            "w",
+            F.log(
+                (F.coalesce("tf", F.lit(0)) + _COMB_MU * F.col("p"))
+                / (F.col("dl") + _COMB_MU)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(_r4(F.sum("w")).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_COMB_DEPTH)
+    )
+
+    def norm(run):
+        ext = run.agg(F.min("s").alias("_mn"), F.max("s").alias("_mx"))
+        return run.crossJoin(F.broadcast(ext)).select(
+            "doc_id",
+            (
+                (F.col("s") - F.col("_mn"))
+                / (F.col("_mx") - F.col("_mn"))
+            ).alias("ns"),
+        )
+
+    fused = (
+        norm(bm).select("doc_id", F.col("ns").alias("ns_bm"))
+        .join(
+            norm(ql).select("doc_id", F.col("ns").alias("ns_ql")),
+            "doc_id",
+            "full_outer",
+        )
+        .select(
+            "doc_id",
+            (
+                F.when(F.col("ns_bm").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("ns_ql").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_sys"),
+            (
+                F.coalesce("ns_bm", F.lit(0.0))
+                + F.coalesce("ns_ql", F.lit(0.0))
+            ).alias("_cs"),
+        )
+    )
+    return (
+        fused.select(
+            "doc_id", "n_sys",
+            _r4("_cs").alias("combsum"),
+            _r4(F.col("_cs") * F.col("n_sys")).alias("combmnz"),
+        )
+        .orderBy(F.col("combmnz").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_COMBSUM_FUSION = f"""WITH {_BM25_CORE_SQL},
+bm AS (
+  SELECT doc_id, round(sum(round(score, 4)), 4) AS s
+  FROM scored WHERE term IN ('merge', 'join')
+  GROUP BY doc_id ORDER BY s DESC, doc_id ASC LIMIT {_COMB_DEPTH}
+),
+qt AS (SELECT term, doc_id, tf FROM tf WHERE term IN ('merge', 'join')),
+tot AS (SELECT count(*) AS t FROM toks),
+p AS (SELECT term, CAST(count(*) AS DOUBLE) / any_value(tot.t) AS p
+      FROM toks CROSS JOIN tot
+      WHERE term IN ('merge', 'join') GROUP BY term),
+ql AS (
+  SELECT doc_id, round(sum(w), 4) AS s FROM (
+    SELECT cand.doc_id,
+           ln((coalesce(qt.tf, 0) + {_COMB_MU} * p.p)
+              / (dl.dl + {_COMB_MU})) AS w
+    FROM (SELECT DISTINCT doc_id FROM qt) cand
+    CROSS JOIN p
+    LEFT JOIN qt ON qt.term = p.term AND qt.doc_id = cand.doc_id
+    JOIN dl ON dl.doc_id = cand.doc_id)
+  GROUP BY doc_id ORDER BY s DESC, doc_id ASC LIMIT {_COMB_DEPTH}
+),
+nbm AS (SELECT doc_id, (s - min(s) OVER ()) / (max(s) OVER ()
+               - min(s) OVER ()) AS ns FROM bm),
+nql AS (SELECT doc_id, (s - min(s) OVER ()) / (max(s) OVER ()
+               - min(s) OVER ()) AS ns FROM ql),
+fused AS (
+  SELECT coalesce(nbm.doc_id, nql.doc_id) AS doc_id,
+         (CASE WHEN nbm.ns IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN nql.ns IS NOT NULL THEN 1 ELSE 0 END) AS n_sys,
+         coalesce(nbm.ns, 0.0) + coalesce(nql.ns, 0.0) AS cs
+  FROM nbm FULL OUTER JOIN nql ON nbm.doc_id = nql.doc_id
+)
+SELECT doc_id, CAST(n_sys AS BIGINT) AS n_sys, round(cs, 4) AS combsum,
+       round(cs * n_sys, 4) AS combmnz
+FROM fused ORDER BY combmnz DESC, doc_id ASC LIMIT 10"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -10007,4 +10425,7 @@ QUERIES = {
     "err_eval": (q_err_eval, SQL_ERR_EVAL),
     "impact_quantize": (q_impact_quantize, SQL_IMPACT_QUANTIZE),
     "dfr_pl2": (q_dfr_pl2, SQL_DFR_PL2),
+    "tier_split": (q_tier_split, SQL_TIER_SPLIT),
+    "smoothing_sweep": (q_smoothing_sweep, SQL_SMOOTHING_SWEEP),
+    "combsum_fusion": (q_combsum_fusion, SQL_COMBSUM_FUSION),
 }
