@@ -10292,6 +10292,313 @@ SELECT doc_id, CAST(n_sys AS BIGINT) AS n_sys, round(cs, 4) AS combsum,
 FROM fused ORDER BY combmnz DESC, doc_id ASC LIMIT 10"""
 
 
+# ---------------------------------------------------------------------------
+# ranker-agreement metrics (Kendall tau, RBO) and sample-based shard routing
+# ---------------------------------------------------------------------------
+
+_AGREE_DEPTH = 10
+_RBO_P = 0.9
+_REDDE_MOD = 8       # deterministic 1/8 centralized sample: doc_id % 8 == 0
+_REDDE_N = 40        # sample-retrieval depth the shard estimate sums over
+
+
+def _rank_pair(spark, sf_dir):
+    """The two rankings the agreement metrics compare: BM25 and
+    Dirichlet-QL (mu = `_COMB_MU`, the same second run combsum_fusion
+    fuses — both scorers share the candidate pool, so the truncated
+    lists overlap enough for agreement metrics to be informative; PL2
+    at this corpus size retrieves a near-disjoint set), each cut to
+    top-`_AGREE_DEPTH`, inner-joined on doc_id -> (doc_id, ra, rb).
+    Both ranks are dense 1..k with rounded-score ordering and doc_id
+    tie-break so the pair table is identical in both engines.  All
+    corpus-scale work lives inside the two retrieval plans (term filter
+    below the tf agg, broadcast stats); the windows rank <= k rows
+    post-limit."""
+    from pyspark.sql import Window
+
+    bm = (
+        _scored(spark, sf_dir, _QL_TERMS)
+        .groupBy("doc_id")
+        .agg(_r4(F.sum(_r4("score"))).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_AGREE_DEPTH)
+    )
+    toks = _tokens(spark, sf_dir)
+    total = toks.agg(F.count("*").alias("_t"))
+    p = (
+        toks.filter(F.col("term").isin(_QL_TERMS))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .crossJoin(F.broadcast(total))
+        .select("term", (F.col("cf") / F.col("_t")).alias("p"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(_QL_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    ql = (
+        tf.select("doc_id").distinct()
+        .crossJoin(F.broadcast(p))
+        .join(tf, ["term", "doc_id"], "left")
+        .join(_dl(spark, sf_dir), "doc_id")
+        .withColumn(
+            "w",
+            F.log(
+                (F.coalesce("tf", F.lit(0)) + _COMB_MU * F.col("p"))
+                / (F.col("dl") + _COMB_MU)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(_r4(F.sum("w")).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_AGREE_DEPTH)
+    )
+    wa = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    a = bm.select("doc_id", F.row_number().over(wa).alias("ra"))
+    b = ql.select("doc_id", F.row_number().over(wa).alias("rb"))
+    return a.join(b, "doc_id")
+
+
+_RANK_PAIR_SQL = f"""{_BM25_CORE_SQL},
+bm AS (
+  SELECT doc_id, round(sum(round(score, 4)), 4) AS s
+  FROM scored WHERE term IN ('merge', 'join')
+  GROUP BY doc_id ORDER BY s DESC, doc_id ASC LIMIT {_AGREE_DEPTH}
+),
+qt AS (SELECT term, doc_id, tf FROM tf WHERE term IN ('merge', 'join')),
+tot AS (SELECT count(*) AS t FROM toks),
+p AS (SELECT term, CAST(count(*) AS DOUBLE) / any_value(tot.t) AS p
+      FROM toks CROSS JOIN tot
+      WHERE term IN ('merge', 'join') GROUP BY term),
+ql AS (
+  SELECT doc_id, round(sum(w), 4) AS s FROM (
+    SELECT cand.doc_id,
+           ln((coalesce(qt.tf, 0) + {_COMB_MU} * p.p)
+              / (dl.dl + {_COMB_MU})) AS w
+    FROM (SELECT DISTINCT doc_id FROM qt) cand
+    CROSS JOIN p
+    LEFT JOIN qt ON qt.term = p.term AND qt.doc_id = cand.doc_id
+    JOIN dl ON dl.doc_id = cand.doc_id)
+  GROUP BY doc_id ORDER BY s DESC, doc_id ASC LIMIT {_AGREE_DEPTH}
+),
+ra AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS ra
+       FROM bm),
+rb AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rb
+       FROM ql),
+pair AS (SELECT ra.doc_id, ra.ra, rb.rb
+         FROM ra JOIN rb ON ra.doc_id = rb.doc_id)"""
+
+
+def q_kendall_tau(spark, sf_dir):
+    """Kendall's tau-a rank correlation between the BM25 top-10 and the
+    Dirichlet-QL top-10 for the same query — the standard "did the model swap
+    reorder results?" check an IR stack runs before switching scorers
+    (Voorhees, SIGIR 1998 ties system-agreement to tau).  Truncated-list
+    form: tau over the docs BOTH lists retrieved, by their two rank
+    orders; C/D counted over all unordered pairs, tau = (C-D)/(n(n-1)/2).
+
+    Scale shape: corpus-scale work is confined to the two retrieval
+    plans; the pair table is <= 10 rows, so the O(k^2) concordance
+    self-join is 45 comparisons.  Output is 1 row.
+    """
+    pair = _rank_pair(spark, sf_dir)
+    i = pair.select(
+        F.col("ra").alias("ra_i"), F.col("rb").alias("rb_i")
+    )
+    j = pair.select(
+        F.col("ra").alias("ra_j"), F.col("rb").alias("rb_j")
+    )
+    pairs = i.crossJoin(j).filter(F.col("ra_i") < F.col("ra_j"))
+    return pairs.agg(
+        F.count("*").alias("_np"),
+        F.sum(
+            F.when(F.col("rb_i") < F.col("rb_j"), 1).otherwise(0)
+        ).cast("long").alias("concordant"),
+        F.sum(
+            F.when(F.col("rb_i") > F.col("rb_j"), 1).otherwise(0)
+        ).cast("long").alias("discordant"),
+    ).select(
+        "concordant",
+        "discordant",
+        _r4(
+            (F.col("concordant") - F.col("discordant")) / F.col("_np")
+        ).alias("tau"),
+    )
+
+
+SQL_KENDALL_TAU = f"""WITH {_RANK_PAIR_SQL}
+SELECT CAST(sum(CASE WHEN i.rb < j.rb THEN 1 ELSE 0 END) AS BIGINT)
+         AS concordant,
+       CAST(sum(CASE WHEN i.rb > j.rb THEN 1 ELSE 0 END) AS BIGINT)
+         AS discordant,
+       round((sum(CASE WHEN i.rb < j.rb THEN 1 ELSE 0 END)
+              - sum(CASE WHEN i.rb > j.rb THEN 1 ELSE 0 END))
+             / CAST(count(*) AS DOUBLE), 4) AS tau
+FROM pair i JOIN pair j ON i.ra < j.ra"""
+
+
+def q_rbo_overlap(spark, sf_dir):
+    """Rank-Biased Overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    the same BM25 / Dirichlet-QL top-10 pair — the top-weighted agreement metric
+    that, unlike Kendall's tau, rewards agreement at rank 1 more than at
+    rank 10 and is defined on non-conjoint lists.  Truncated RBO at
+    p={_RBO_P}, depth {_AGREE_DEPTH}:
+    RBO = sum over d=1..k of (1-p) * p^(d-1) * |A_1..d n B_1..d| / d.
+    A doc common to both lists with ranks (ra, rb) contributes to every
+    depth d >= max(ra, rb), so the sum is driven per-doc from max(ra,rb).
+
+    Scale shape: identical to kendall_tau — retrieval plans carry the
+    corpus work, then <= 10 common docs x <= 10 depths = 100 rows.
+    Output is 1 row (overlap@k and rbo).
+    """
+    pair = _rank_pair(spark, sf_dir).select(
+        "doc_id", F.greatest("ra", "rb").alias("m")
+    )
+    depths = pair.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("m"), F.lit(_AGREE_DEPTH))).alias("d"),
+    )
+    contrib = (
+        (1.0 - _RBO_P)
+        * F.pow(F.lit(_RBO_P), F.col("d") - 1)
+        / F.col("d")
+    )
+    return depths.agg(
+        F.count_distinct("doc_id").cast("long").alias("overlap_k"),
+        _r4(F.sum(contrib)).alias("rbo"),
+    )
+
+
+SQL_RBO_OVERLAP = f"""WITH {_RANK_PAIR_SQL},
+m AS (SELECT doc_id, greatest(ra, rb) AS m FROM pair),
+contrib AS (
+  SELECT m.doc_id,
+         (1.0 - {_RBO_P}) * power({_RBO_P}, d.d - 1) / d.d AS c
+  FROM m JOIN (SELECT unnest(range(1, {_AGREE_DEPTH} + 1)) AS d) d
+    ON d.d >= m.m
+)
+SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS overlap_k,
+       round(sum(c), 4) AS rbo
+FROM contrib"""
+
+
+def q_redde_selection(spark, sf_dir):
+    """ReDDE resource selection (Si & Callan, SIGIR 2003) — the
+    sample-based alternative to cori_shards: retrieve from a small
+    CENTRALIZED SAMPLE of all shards, then estimate each shard's
+    relevant-document count by scaling its sample hits back up.  The
+    sample is deterministic (doc_id % {_REDDE_MOD} == 0, ~1/{_REDDE_MOD}
+    of the corpus); BM25 over the sample's OWN statistics retrieves the
+    top {_REDDE_N} sample docs, and shard s (documents.source) scores
+    sum(hits_in_top_n) * |s| / |sample_s|.  Shards ranked by the
+    estimate — the query only fans out to the winners.
+
+    Scale shape: this is the point of ReDDE at 10^12 docs — retrieval
+    runs against the 1/{_REDDE_MOD} sample index only (term filter below
+    the tf agg, sample-scoped broadcast stats), and everything after the
+    top-{_REDDE_N} cut is |shards|-sized: shard totals and sample counts
+    are |shards|-row broadcast rollups.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    sample_ids = docs.filter(F.col("doc_id") % _REDDE_MOD == 0)
+    toks = _tokens(spark, sf_dir).join(
+        sample_ids.select("doc_id"), "doc_id"
+    )
+    tf = (
+        toks.filter(F.col("term").isin(_QL_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    top = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            bm25.idf_col(F.col("df"), F.col("_n_docs").cast("double"))
+            * bm25.weight_col(F.col("tf"), F.col("dl"), F.col("_avgdl")),
+        )
+        .groupBy("doc_id")
+        .agg(_r4(F.sum(_r4("score"))).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_REDDE_N)
+    )
+    shard_total = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    shard_sample = sample_ids.groupBy("source").agg(
+        F.count("*").alias("n_sample")
+    )
+    w = Window.orderBy(F.col("redde_score").desc(), F.col("shard").asc())
+    return (
+        top.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .join(F.broadcast(shard_total), "source")
+        .join(F.broadcast(shard_sample), "source")
+        .select(
+            F.col("source").alias("shard"),
+            "n_hits",
+            _r4(F.col("n_total") / F.col("n_sample")).alias("scale"),
+            _r4(
+                F.col("n_hits") * F.col("n_total") / F.col("n_sample")
+            ).alias("redde_score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .orderBy("rank")
+    )
+
+
+SQL_REDDE_SELECTION = f"""WITH
+docs AS (SELECT doc_id, source FROM documents),
+sample_ids AS (SELECT doc_id, source FROM docs
+               WHERE doc_id % {_REDDE_MOD} = 0),
+stoks AS (
+  SELECT t.doc_id, t.term FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text),
+                              '[^a-z0-9]+'), x -> x <> '')) AS term
+    FROM documents WHERE doc_id % {_REDDE_MOD} = 0) t
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM stoks
+       WHERE term IN ('merge', 'join') GROUP BY term, doc_id),
+dl AS (SELECT doc_id, count(*) AS dl FROM stoks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+top AS (
+  SELECT doc_id, round(sum(round(score, 4)), 4) AS s FROM (
+    SELECT tf.doc_id,
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+             AS score
+    FROM tf JOIN df ON tf.term = df.term
+    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+  GROUP BY doc_id ORDER BY s DESC, doc_id ASC LIMIT {_REDDE_N}
+),
+shard_total AS (SELECT source, count(*) AS n_total FROM docs GROUP BY source),
+shard_sample AS (SELECT source, count(*) AS n_sample FROM sample_ids
+                 GROUP BY source),
+hits AS (
+  SELECT d.source, count(*) AS n_hits
+  FROM top JOIN docs d ON top.doc_id = d.doc_id GROUP BY d.source
+)
+SELECT h.source AS shard, CAST(h.n_hits AS BIGINT) AS n_hits,
+       round(CAST(st.n_total AS DOUBLE) / ss.n_sample, 4) AS scale,
+       round(h.n_hits * CAST(st.n_total AS DOUBLE) / ss.n_sample, 4)
+         AS redde_score,
+       CAST(row_number() OVER (
+         ORDER BY h.n_hits * CAST(st.n_total AS DOUBLE) / ss.n_sample DESC,
+                  h.source ASC) AS BIGINT) AS rank
+FROM hits h JOIN shard_total st ON h.source = st.source
+JOIN shard_sample ss ON h.source = ss.source
+ORDER BY rank"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -10428,4 +10735,7 @@ QUERIES = {
     "tier_split": (q_tier_split, SQL_TIER_SPLIT),
     "smoothing_sweep": (q_smoothing_sweep, SQL_SMOOTHING_SWEEP),
     "combsum_fusion": (q_combsum_fusion, SQL_COMBSUM_FUSION),
+    "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
+    "rbo_overlap": (q_rbo_overlap, SQL_RBO_OVERLAP),
+    "redde_selection": (q_redde_selection, SQL_REDDE_SELECTION),
 }
