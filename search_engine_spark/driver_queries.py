@@ -10599,6 +10599,273 @@ JOIN shard_sample ss ON h.source = ss.source
 ORDER BY rank"""
 
 
+# ---------------------------------------------------------------------------
+# query-log mining: co-click similarity, static cache admission, abandonment
+# ---------------------------------------------------------------------------
+
+_COCLICK_Q = 20      # deterministic pseudo-query id: user_id % 20
+_COCLICK_TOPN = 3
+_CACHE_TOPN = 3
+_ABANDON_COHORTS = 5
+
+
+def q_coclick_similarity(spark, sf_dir):
+    """Query-query similarity from co-clicks (Beeferman & Berger, KDD
+    2000 — agglomerative clustering over the query-URL click bipartite
+    graph): two queries are similar when they click the same items.
+    The click log's query id is derived deterministically
+    (user_id % {_COCLICK_Q}, the same synthetic-derivation convention
+    coec_model uses for positions); per query the clicked-item SET, then
+    Jaccard over item sets for every query pair sharing an item, top-3
+    neighbors per query.
+
+    Scale shape: the pair generation is the classic bipartite self-join
+    keyed on item — the 10^12-row analogue needs the hot-item cap the
+    LSH entries use (an item clicked by q queries emits q^2 pairs);
+    here item fan-out is bounded by |Q|={_COCLICK_Q} so each item emits
+    <= Q^2 pairs and the similarity matrix is <= Q^2 rows.  Set sizes
+    are a |Q|-row broadcast; the neighbor cut is a per-query rank
+    window over <= Q rows.
+    """
+    from pyspark.sql import Window
+
+    qi = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.pmod(F.col("user_id"), F.lit(_COCLICK_Q)).cast("long").alias("q"),
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    sizes = qi.groupBy("q").agg(F.count("*").alias("n"))
+    pairs = (
+        qi.select(F.col("q").alias("qa"), "item")
+        .join(qi.select(F.col("q").alias("qb"), "item"), "item")
+        .filter(F.col("qa") < F.col("qb"))
+        .groupBy("qa", "qb")
+        .agg(F.count("*").cast("long").alias("co"))
+    )
+    w = Window.partitionBy("qa").orderBy(
+        F.col("jaccard").desc(), F.col("qb").asc()
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("q").alias("qa"),
+                                     F.col("n").alias("na"))), "qa")
+        .join(
+            F.broadcast(sizes.select(F.col("q").alias("qb"),
+                                     F.col("n").alias("nb"))), "qb")
+        .withColumn(
+            "jaccard",
+            _r4(F.col("co") / (F.col("na") + F.col("nb") - F.col("co"))),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _COCLICK_TOPN)
+        .select("qa", "qb", "co", "jaccard", "rank")
+        .orderBy("qa", "rank")
+    )
+
+
+SQL_COCLICK_SIMILARITY = f"""WITH qi AS (
+  SELECT DISTINCT user_id % {_COCLICK_Q} AS q,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE event_type = 'click'
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+sizes AS (SELECT q, count(*) AS n FROM qi GROUP BY q),
+pairs AS (
+  SELECT a.q AS qa, b.q AS qb, count(*) AS co
+  FROM qi a JOIN qi b ON a.item = b.item AND a.q < b.q
+  GROUP BY a.q, b.q
+),
+sim AS (
+  SELECT p.qa, p.qb, p.co,
+         round(CAST(p.co AS DOUBLE) / (sa.n + sb.n - p.co), 4) AS jaccard
+  FROM pairs p
+  JOIN sizes sa ON p.qa = sa.q
+  JOIN sizes sb ON p.qb = sb.q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qa
+            ORDER BY jaccard DESC, qb ASC) AS rank
+  FROM sim
+)
+SELECT qa, qb, CAST(co AS BIGINT) AS co, jaccard,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_COCLICK_TOPN} ORDER BY qa, rank"""
+
+
+def q_cache_selection(spark, sf_dir):
+    """Static result-cache admission by QtfDf (Baeza-Yates et al.,
+    SIGIR 2007): a posting-list cache should admit the terms with the
+    highest query-frequency-to-document-frequency ratio — popular in
+    the QUERY log but cheap to keep because their posting lists are
+    short relative to how often they are asked.  The query log is
+    derived deterministically from click events (event_id % |seeds|
+    picks the seed term queried); qtf_df = qfreq / df, cached = the
+    top {_CACHE_TOPN}.
+
+    Scale shape: the log-side rollup is a map-side-combinable count to
+    |seeds| rows; df comes from the tf aggregate with the term filter
+    pushed BELOW it; the join of two |seeds|-row tables is trivially
+    broadcast.  At 10^12 events nothing exceeds |vocabulary-of-the-log|
+    cardinality — the point of QtfDf is that this tiny summary decides
+    what the cache holds.
+    """
+    from pyspark.sql import Window
+
+    seed_arr = F.array(*[F.lit(s) for s in sorted(_IL_SEEDS)])
+    qfreq = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.element_at(
+                seed_arr,
+                (F.pmod(F.col("event_id"), F.lit(len(_IL_SEEDS))) + 1)
+                .cast("int"),
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("qfreq"))
+    )
+    df = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("term").isin(_IL_SEEDS))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+    )
+    w = Window.orderBy(F.col("qtf_df").desc(), F.col("term").asc())
+    return (
+        qfreq.join(F.broadcast(df), "term")
+        .withColumn("qtf_df", _r4(F.col("qfreq") / F.col("df")))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "term", "qfreq", "df", "qtf_df", "rank",
+            (F.col("rank") <= _CACHE_TOPN).alias("cached"),
+        )
+        .orderBy("rank")
+    )
+
+
+_CACHE_SEED_VALUES = ", ".join(
+    f"({i}, '{s}')" for i, s in enumerate(sorted(_IL_SEEDS))
+)
+
+SQL_CACHE_SELECTION = f"""WITH {_TOKS_SQL},
+seeds(i, term) AS (VALUES {_CACHE_SEED_VALUES}),
+qfreq AS (
+  SELECT s.term, count(*) AS qfreq
+  FROM events e JOIN seeds s ON e.event_id % {len(_IL_SEEDS)} = s.i
+  WHERE e.event_type = 'click'
+  GROUP BY s.term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN ({", ".join(f"'{s}'" for s in sorted(_IL_SEEDS))})
+  GROUP BY term
+),
+ranked AS (
+  SELECT q.term, q.qfreq, df.df,
+         round(CAST(q.qfreq AS DOUBLE) / df.df, 4) AS qtf_df,
+         row_number() OVER (
+           ORDER BY CAST(q.qfreq AS DOUBLE) / df.df DESC, q.term ASC) AS rank
+  FROM qfreq q JOIN df ON q.term = df.term
+)
+SELECT term, CAST(qfreq AS BIGINT) AS qfreq, CAST(df AS BIGINT) AS df,
+       qtf_df, CAST(rank AS BIGINT) AS rank,
+       rank <= {_CACHE_TOPN} AS cached
+FROM ranked ORDER BY rank"""
+
+
+def q_query_abandonment(spark, sf_dir):
+    """Session abandonment rate — the standard search-quality KPI: a
+    session that SAW results (a view event) but never clicked is an
+    abandoned session.  Sessions are the same 30-minute-gap islands
+    sessionize emits; rates are rolled up per user cohort
+    (user_id % {_ABANDON_COHORTS}) so the output is bounded and cohort
+    regressions are visible.
+
+    Scale shape: the gaps-and-islands window is per-user (the
+    sessionize pattern — state bounded by one user's events per
+    partition, never a global window); the per-session flag reduce and
+    the cohort rollup are map-side-combinable aggregates.  Output is
+    {_ABANDON_COHORTS} rows.
+    """
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sid = (
+        ev.withColumn("prev_ts", F.lag("ts").over(wu))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                    > 1800
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    sessions = sid.groupBy("user_id", "session_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .alias("has_view"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("has_click"),
+    )
+    return (
+        sessions.filter(F.col("has_view") == 1)
+        .groupBy(
+            F.pmod(F.col("user_id"), F.lit(_ABANDON_COHORTS))
+            .cast("long").alias("cohort")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("has_click") == 0, 1).otherwise(0))
+            .cast("long").alias("n_abandoned"),
+        )
+        .withColumn(
+            "abandon_rate",
+            _r4(F.col("n_abandoned") / F.col("n_sessions")),
+        )
+        .orderBy("cohort")
+    )
+
+
+SQL_QUERY_ABANDONMENT = f"""WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+           AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), sessions AS (
+  SELECT user_id, session_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click
+  FROM sid GROUP BY user_id, session_id
+)
+SELECT CAST(user_id % {_ABANDON_COHORTS} AS BIGINT) AS cohort,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN has_click = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_abandoned,
+       round(sum(CASE WHEN has_click = 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS abandon_rate
+FROM sessions WHERE has_view = 1
+GROUP BY cohort ORDER BY cohort"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -10738,4 +11005,7 @@ QUERIES = {
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
     "rbo_overlap": (q_rbo_overlap, SQL_RBO_OVERLAP),
     "redde_selection": (q_redde_selection, SQL_REDDE_SELECTION),
+    "coclick_similarity": (q_coclick_similarity, SQL_COCLICK_SIMILARITY),
+    "cache_selection": (q_cache_selection, SQL_CACHE_SELECTION),
+    "query_abandonment": (q_query_abandonment, SQL_QUERY_ABANDONMENT),
 }
