@@ -10866,6 +10866,202 @@ FROM sessions WHERE has_view = 1
 GROUP BY cohort ORDER BY cohort"""
 
 
+# ---------------------------------------------------------------------------
+# language-model estimation: Kneser-Ney, Good-Turing, stopword induction
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+_KN_PROBES = [
+    ("order", "fast"), ("window", "join"), ("merge", "join"), ("fast", "data")
+]
+_GT_MAX_R = 5
+_STOP_TOPN = 10
+
+
+def q_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney, ICASSP
+    1995; Chen & Goodman 1998's benchmark winner) for a fixed probe set —
+    the smoothing a production LM actually ships, vs the additive
+    baseline bigram_logprob uses:
+    P(w2|w1) = max(c(w1w2)-D, 0)/c(w1.)
+               + D * N1+(w1,*)/c(w1.) * N1+(*,w2)/N1+(*,*)
+    with discount D={_KN_D}; the continuation probability counts
+    DISTINCT left-contexts, the insight that makes KN beat frequency
+    backoff.  Unseen probes exercise the pure-backoff path.
+
+    Scale shape: bigram counts and the three N1+ tables are map-side
+    combinable aggregates; the probe join keeps everything after them
+    at |probes| rows (the probe table is a literal); c(w1.) and
+    N1+(w1,*) are derived FROM the bigram table so the model is
+    internally consistent (no doc-boundary mismatch).
+    """
+    inst = _word_grams(spark, sf_dir, 2)
+    sp = F.split("g", " ")
+    bi = (
+        inst.select(sp[0].alias("w1"), sp[1].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    left = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count("*").alias("n1f"),      # N1+(w1, *)
+    )
+    right = bi.groupBy("w2").agg(F.count("*").alias("n1b"))  # N1+(*, w2)
+    types = bi.agg(F.count("*").alias("_nt"))                # N1+(*, *)
+    probes = spark.createDataFrame(_KN_PROBES, ["w1", "w2"])
+    p_cont = F.col("n1b") / F.col("_nt")
+    p_kn = (
+        F.greatest(F.coalesce("c12", F.lit(0)) - _KN_D, F.lit(0.0))
+        / F.col("c1")
+        + _KN_D * F.col("n1f") / F.col("c1") * p_cont
+    )
+    return (
+        probes.join(bi, ["w1", "w2"], "left")
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1", "w2",
+            F.coalesce("c12", F.lit(0)).cast("long").alias("c12"),
+            _r4(p_kn).alias("p_kn"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+_KN_PROBE_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in _KN_PROBES)
+
+SQL_KNESER_NEY = f"""WITH {_TOKS_SQL},
+bi AS (
+  SELECT a.term AS w1, b.term AS w2, count(*) AS c12
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+lft AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM bi GROUP BY w1),
+rgt AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY w2),
+types AS (SELECT count(*) AS nt FROM bi),
+probes(w1, w2) AS (VALUES {_KN_PROBE_VALUES})
+SELECT p.w1, p.w2,
+       CAST(coalesce(bi.c12, 0) AS BIGINT) AS c12,
+       round(greatest(coalesce(bi.c12, 0) - {_KN_D}, 0.0) / lft.c1
+             + {_KN_D} * lft.n1f / lft.c1
+               * (CAST(rgt.n1b AS DOUBLE) / types.nt), 4) AS p_kn
+FROM probes p
+LEFT JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2
+JOIN lft ON p.w1 = lft.w1
+JOIN rgt ON p.w2 = rgt.w2
+CROSS JOIN types
+ORDER BY p.w1, p.w2"""
+
+
+def q_good_turing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies estimates (Good 1953; the
+    Gale & Sampson 1995 simple form) over the BIGRAM count table —
+    bigrams, not unigrams, because GT lives off the low-count tail
+    (N_1, N_2, ...) and n-gram tables are where that tail exists:
+    N_r = how many distinct bigrams occur exactly r times, the smoothed
+    count r* = (r+1) * N_(r+1) / N_r for r = 1..{_GT_MAX_R}, and the
+    unseen-event mass p0 = N_1 / N_instances that every smoothing
+    scheme redistributes.  The table a KenLM-style estimator derives
+    its discounts from (and the D in kneser_ney approximates).
+
+    Scale shape: two map-side-combinable aggregates (bigram counts,
+    then counts-of-counts) collapse the bigram vocabulary to <= max(r)
+    rows before anything else runs; the self-join to fetch N_(r+1) is
+    over that tiny table and the totals are a 1-row broadcast.
+    """
+    counts = (
+        _word_grams(spark, sf_dir, 2)
+        .groupBy("g")
+        .agg(F.count("*").alias("r"))
+    )
+    nr = counts.groupBy("r").agg(F.count("*").alias("n_r"))
+    tot = counts.agg(
+        F.sum("r").alias("_ntok"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).alias("_n1"),
+    )  # _ntok = total bigram instances, _n1 = singleton bigram types
+    nxt = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        nr.filter((F.col("r") >= 1) & (F.col("r") <= _GT_MAX_R))
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.coalesce("n_r1", F.lit(0)).cast("long").alias("n_r_plus_1"),
+            _r4(
+                (F.col("r") + 1) * F.coalesce("n_r1", F.lit(0)) / F.col("n_r")
+            ).alias("r_star"),
+            _r4(F.col("_n1") / F.col("_ntok")).alias("unseen_mass"),
+        )
+        .orderBy("r")
+    )
+
+
+SQL_GOOD_TURING = f"""WITH {_TOKS_SQL},
+counts AS (
+  SELECT a.term || ' ' || b.term AS g, count(*) AS r
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term),
+nr AS (SELECT r, count(*) AS n_r FROM counts GROUP BY r),
+tot AS (SELECT sum(r) AS ntok,
+               sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS n1 FROM counts)
+SELECT CAST(nr.r AS BIGINT) AS r, CAST(nr.n_r AS BIGINT) AS n_r,
+       CAST(coalesce(nx.n_r, 0) AS BIGINT) AS n_r_plus_1,
+       round((nr.r + 1) * CAST(coalesce(nx.n_r, 0) AS DOUBLE) / nr.n_r, 4)
+         AS r_star,
+       round(CAST(tot.n1 AS DOUBLE) / tot.ntok, 4) AS unseen_mass
+FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1 CROSS JOIN tot
+WHERE nr.r BETWEEN 1 AND {_GT_MAX_R}
+ORDER BY r"""
+
+
+def q_stopword_induction(spark, sf_dir):
+    """Corpus-driven stopword induction — rank terms by document-ratio
+    df/N (Luhn's high-frequency cut; the list Lucene ships per language
+    is exactly this computed offline): the top {_STOP_TOPN} terms by how
+    universally they appear, with their (vanishing) BM25 idf attached —
+    the evidence for dropping them from the index or flagging them
+    stop-eligible at query time.
+
+    Scale shape: df is one map-side distinct-count aggregate over the
+    token scan; N is a 1-row broadcast; the cut is a distributed
+    TakeOrdered over |vocabulary| rows — never a global window.
+    """
+    df = (
+        _tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    n = _docs(spark, sf_dir).agg(F.count("*").alias("_n"))
+    return (
+        df.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            _r4(F.col("df") / F.col("_n")).alias("df_ratio"),
+            _r4(
+                F.log(
+                    (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                )
+            ).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(_STOP_TOPN)
+    )
+
+
+SQL_STOPWORD_INDUCTION = f"""WITH {_TOKS_SQL},
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT term, CAST(df AS BIGINT) AS df,
+       round(CAST(df AS DOUBLE) / n.n, 4) AS df_ratio,
+       round(ln((n.n - df + 0.5) / (df + 0.5) + 1.0), 4) AS idf
+FROM df CROSS JOIN n
+ORDER BY df DESC, term ASC LIMIT {_STOP_TOPN}"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -11008,4 +11204,7 @@ QUERIES = {
     "coclick_similarity": (q_coclick_similarity, SQL_COCLICK_SIMILARITY),
     "cache_selection": (q_cache_selection, SQL_CACHE_SELECTION),
     "query_abandonment": (q_query_abandonment, SQL_QUERY_ABANDONMENT),
+    "kneser_ney": (q_kneser_ney, SQL_KNESER_NEY),
+    "good_turing": (q_good_turing, SQL_GOOD_TURING),
+    "stopword_induction": (q_stopword_induction, SQL_STOPWORD_INDUCTION),
 }
