@@ -11062,6 +11062,188 @@ FROM df CROSS JOIN n
 ORDER BY df DESC, term ASC LIMIT {_STOP_TOPN}"""
 
 
+# ---------------------------------------------------------------------------
+# SALSA link analysis and crawl-budget apportionment
+# ---------------------------------------------------------------------------
+
+_SALSA_ITERS = 3
+_CB_BUDGET = 1000
+_CB_HOSTS = 10
+
+
+def q_salsa(spark, sf_dir):
+    """SALSA authority scores (Lempel & Moran, WWW 2000) over the same
+    synthetic link graph as q_pagerank/q_hits — the degree-normalized
+    cousin of HITS that powered web search's related-pages features: a
+    random walk alternating authority -> hub (uniform over in-links)
+    -> authority (uniform over out-links).  {_SALSA_ITERS} power
+    iterations from the uniform authority start:
+    h(u) = sum over u->v of a(v)/indeg(v);
+    a'(v) = sum over u->v of h(u)/outdeg(u).
+    The walk conserves probability mass, so sum(a) == 1 at every step —
+    the correctness invariant the test pins.  Top-10 authorities.
+
+    Scale shape per iteration: identical to q_pagerank — one join of
+    the score vector against the degree-annotated edge list + one hash
+    aggregation on the other endpoint (Pregel message passing); degrees
+    are computed once before the loop; lineage references each
+    intermediate exactly once so plan depth is linear in iterations.
+    """
+    _with_n, edges = _link_edges(spark, sf_dir)
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("ind"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outd"))
+    e = edges.join(indeg, "dst").join(outdeg, "src")
+    n_auth = indeg.agg(F.count("*").alias("_na"))
+    a = indeg.crossJoin(F.broadcast(n_auth)).select(
+        F.col("dst").alias("id"), (F.lit(1.0) / F.col("_na")).alias("a")
+    )
+    for _ in range(_SALSA_ITERS):
+        h = (
+            a.join(e, a["id"] == e["dst"])
+            .groupBy("src")
+            .agg(F.sum(F.col("a") / F.col("ind")).alias("h"))
+        )
+        a = (
+            h.join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("h") / F.col("outd")).alias("a"))
+            .select(F.col("dst").alias("id"), "a")
+        )
+    return (
+        a.select(
+            F.col("id").alias("doc_id"), F.round("a", 8).alias("salsa_auth")
+        )
+        .orderBy(F.col("salsa_auth").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _salsa_sql() -> str:
+    rules = ", ".join(f"({m}, {b})" for m, b in _PR_RULES)
+    parts = [
+        f"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id AS src, (rules.m * id + rules.b) % nn.n AS dst
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (VALUES {rules}) AS rules(m, b)
+  ) WHERE src <> dst
+),
+ind AS (SELECT dst, count(*) AS ind FROM edges GROUP BY dst),
+outd AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, ind.ind, outd.outd
+      FROM edges JOIN ind USING (dst) JOIN outd USING (src)),
+na AS (SELECT count(*) AS na FROM ind),
+a0 AS (SELECT dst AS id, CAST(1 AS DOUBLE) / na.na AS a
+       FROM ind CROSS JOIN na)"""
+    ]
+    for t in range(1, _SALSA_ITERS + 1):
+        parts.append(
+            f""",
+h{t} AS (SELECT e.src, sum(a.a / e.ind) AS h
+         FROM a{t - 1} a JOIN e ON a.id = e.dst GROUP BY e.src),
+a{t} AS (SELECT e.dst AS id, sum(h.h / e.outd) AS a
+         FROM h{t} h JOIN e ON h.src = e.src GROUP BY e.dst)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS doc_id, round(a, 8) AS salsa_auth FROM a{_SALSA_ITERS}
+ORDER BY salsa_auth DESC, doc_id ASC LIMIT 10"""
+    )
+    return "".join(parts)
+
+
+SQL_SALSA = _salsa_sql()
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Per-host crawl-budget apportionment by the largest-remainder
+    (Hamilton) method — the deterministic integer allocation a crawl
+    scheduler needs: given demand weights per host (click + view event
+    mass; host = item % {_CB_HOSTS}), split a fixed budget of
+    {_CB_BUDGET} fetch slots so that every host gets floor(B * w/W) and
+    the leftover slots go to the largest fractional remainders
+    (host-id tie-break).  Guarantees sum(budget) == B exactly and each
+    host within 1 slot of its exact quota — the property proportional
+    rounding alone cannot give.
+
+    Scale shape: the host rollup is a map-side-combinable aggregate to
+    {_CB_HOSTS} rows; W is a 1-row broadcast; the remainder ranking is
+    a window over the {_CB_HOSTS}-row table.  At 10^12 events the only
+    corpus-scale work is the first aggregate.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            (
+                F.get_json_object("props", "$.k").cast("long")
+                % _CB_HOSTS
+            ).alias("host")
+        )
+        .filter(F.col("host").isNotNull())
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+    tot = w.agg(F.sum("weight").alias("_w"))
+    quota = w.crossJoin(F.broadcast(tot)).withColumn(
+        "quota", F.lit(float(_CB_BUDGET)) * F.col("weight") / F.col("_w")
+    )
+    base = quota.withColumn("floor_q", F.floor("quota").cast("long"))
+    short = base.agg(
+        (F.lit(_CB_BUDGET) - F.sum("floor_q")).cast("long").alias("_r")
+    )
+    wrem = Window.orderBy(
+        (F.col("quota") - F.col("floor_q")).desc(), F.col("host").asc()
+    )
+    return (
+        base.crossJoin(F.broadcast(short))
+        .withColumn("rem_rank", F.row_number().over(wrem))
+        .select(
+            "host",
+            "weight",
+            _r4("quota").alias("quota"),
+            (
+                F.col("floor_q")
+                + F.when(F.col("rem_rank") <= F.col("_r"), 1).otherwise(0)
+            ).cast("long").alias("budget"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_CRAWL_BUDGET = f"""WITH w AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+           % {_CB_HOSTS} AS host,
+         count(*) AS weight
+  FROM events
+  WHERE event_type IN ('click', 'view')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+  GROUP BY 1
+),
+tot AS (SELECT sum(weight) AS w FROM w),
+quota AS (
+  SELECT host, weight,
+         {_CB_BUDGET}.0 * weight / tot.w AS quota,
+         CAST(floor({_CB_BUDGET}.0 * weight / tot.w) AS BIGINT) AS floor_q
+  FROM w CROSS JOIN tot
+),
+short AS (SELECT {_CB_BUDGET} - sum(floor_q) AS r FROM quota),
+ranked AS (
+  SELECT *, row_number() OVER (
+    ORDER BY quota - floor_q DESC, host ASC) AS rem_rank
+  FROM quota
+)
+SELECT host, CAST(weight AS BIGINT) AS weight, round(quota, 4) AS quota,
+       CAST(floor_q + CASE WHEN rem_rank <= short.r THEN 1 ELSE 0 END
+            AS BIGINT) AS budget
+FROM ranked CROSS JOIN short
+ORDER BY host"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -11207,4 +11389,6 @@ QUERIES = {
     "kneser_ney": (q_kneser_ney, SQL_KNESER_NEY),
     "good_turing": (q_good_turing, SQL_GOOD_TURING),
     "stopword_induction": (q_stopword_induction, SQL_STOPWORD_INDUCTION),
+    "salsa": (q_salsa, SQL_SALSA),
+    "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
 }
