@@ -11244,6 +11244,319 @@ FROM ranked CROSS JOIN short
 ORDER BY host"""
 
 
+# ---------------------------------------------------------------------------
+# query segmentation, nextword index stats, anchor-expanded retrieval
+# ---------------------------------------------------------------------------
+
+_SEG_QUERY = ["stream", "column", "window", "join"]
+
+
+def _segmentations():
+    """All 2^(n-1) segmentations of _SEG_QUERY: (label, [(gram, len), ...])
+    where the gram list holds only the multi-word segments (singletons
+    score 0 under the naive function)."""
+    words = _SEG_QUERY
+    out = []
+    for bits in range(2 ** (len(words) - 1)):
+        segs, cur = [], [words[0]]
+        for i in range(1, len(words)):
+            if bits & (1 << (i - 1)):
+                segs.append(cur)
+                cur = [words[i]]
+            else:
+                cur.append(words[i])
+        segs.append(cur)
+        label = "|".join(" ".join(s) for s in segs)
+        grams = [(" ".join(s), len(s)) for s in segs if len(s) >= 2]
+        out.append((label, grams))
+    return out
+
+
+def q_query_segmentation(spark, sf_dir):
+    """Query segmentation by the naive frequency scoring of Hagen,
+    Potthast, Stein & Braeutigam (WWW 2011): enumerate every
+    segmentation S of the query "{' '.join(_SEG_QUERY)}" and score
+    score(S) = sum over multi-word segments s of |s| * freq(s), where
+    freq is the segment's exact-phrase count in the corpus — the
+    preprocessing step that turns free-text queries into the phrase
+    units the ISRPhrase operator (X7) then executes.  All 2^(n-1)=8
+    segmentations reported, best first (label tie-break).
+
+    Scale shape: the corpus-scale work is ONE narrow gram construction
+    per needed width (the _word_grams array transform — no token
+    explode), filtered to the <= n(n-1)/2 candidate sub-spans of the
+    query BEFORE aggregating, so the freq table is <= 6 rows; the
+    segmentation scoring is a literal-table join over <= 8 x 3 rows.
+    """
+    segs = _segmentations()
+    needed = sorted({(g, l) for _lbl, gs in segs for (g, l) in gs})
+    widths = sorted({l for _g, l in needed})
+    freq = None
+    for w in widths:
+        grams_w = [g for g, l in needed if l == w]
+        f = (
+            _word_grams(spark, sf_dir, w)
+            .filter(F.col("g").isin(grams_w))
+            .groupBy("g")
+            .agg(F.count("*").alias("freq"))
+        )
+        freq = f if freq is None else freq.unionByName(f)
+    mapping = spark.createDataFrame(
+        [(lbl, g, l) for lbl, gs in segs for (g, l) in gs],
+        ["label", "g", "len"],
+    )
+    labels = spark.createDataFrame(
+        [(lbl,) for lbl, _gs in segs], ["label"]
+    )
+    scores = (
+        mapping.join(F.broadcast(freq), "g", "left")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("len") * F.coalesce("freq", F.lit(0)))
+            .cast("long").alias("score")
+        )
+    )
+    return (
+        labels.join(scores, "label", "left")
+        .select(
+            "label",
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("label").asc())
+    )
+
+
+def _segmentation_sql() -> str:
+    segs = _segmentations()
+    needed = sorted({(g, l) for _lbl, gs in segs for (g, l) in gs})
+    gram_selects = []
+    for g, l in needed:
+        words = g.split(" ")
+        joins, conds = ["toks t1"], []
+        for i in range(2, l + 1):
+            joins.append(f"toks t{i}")
+            conds.append(
+                f"t{i}.doc_id = t1.doc_id AND t{i}.pos = t1.pos + {i - 1}"
+            )
+        conds += [f"t{i + 1}.term = '{w}'" for i, w in enumerate(words)]
+        gram_selects.append(
+            f"SELECT '{g}' AS g, count(*) AS freq "
+            f"FROM {', '.join(joins)} WHERE {' AND '.join(conds)}"
+        )
+    freq_sql = " UNION ALL ".join(gram_selects)
+    mapping_vals = ", ".join(
+        f"('{lbl}', '{g}', {l})"
+        for lbl, gs in segs
+        for (g, l) in gs
+    )
+    label_vals = ", ".join(f"('{lbl}')" for lbl, _gs in segs)
+    return f"""WITH {_TOKS_SQL},
+freq AS ({freq_sql}),
+mapping(label, g, len) AS (VALUES {mapping_vals}),
+labels(label) AS (VALUES {label_vals}),
+scores AS (
+  SELECT m.label, sum(m.len * coalesce(f.freq, 0)) AS score
+  FROM mapping m LEFT JOIN freq f ON m.g = f.g GROUP BY m.label
+)
+SELECT l.label, CAST(coalesce(s.score, 0) AS BIGINT) AS score
+FROM labels l LEFT JOIN scores s ON l.label = s.label
+ORDER BY score DESC, l.label ASC"""
+
+
+SQL_QUERY_SEGMENTATION = _segmentation_sql()
+
+
+def q_nextword_index(spark, sf_dir):
+    """Nextword-index statistics (Williams, Zobel & Bahle, "Fast phrase
+    querying with combined indexes", TOIS 2004) for the seed head
+    words: the nextword index stores, per frequent FIRST word, the
+    sorted list of words that follow it — turning a two-term phrase
+    query into one lookup instead of a positional intersection.  Per
+    head word: how many distinct nextwords (the fan-out that sizes the
+    sub-index), total continuation instances, and the most frequent
+    nextword (lexicographic tie-break).
+
+    Scale shape: bigram instances are built narrowly from the split
+    array; the head-word filter is pushed below the (w1, w2) count
+    aggregate so only the seeds' continuations shuffle; the top-1 cut
+    is a per-head rank window over that head's distinct nextwords —
+    exactly how the nextword sub-indexes partition on disk.
+    """
+    from pyspark.sql import Window
+
+    sp = F.split("g", " ")
+    bi = (
+        _word_grams(spark, sf_dir, 2)
+        .select(sp[0].alias("w1"), sp[1].alias("w2"))
+        .filter(F.col("w1").isin(_IL_SEEDS))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("w1").orderBy(F.col("c").desc(), F.col("w2").asc())
+    return (
+        bi.withColumn("rn", F.row_number().over(w))
+        .groupBy("w1")
+        .agg(
+            F.count("*").cast("long").alias("n_nextwords"),
+            F.sum("c").cast("long").alias("n_instances"),
+            F.max(F.when(F.col("rn") == 1, F.col("w2"))).alias("top_nextword"),
+            F.max(F.when(F.col("rn") == 1, F.col("c")))
+            .cast("long").alias("top_count"),
+        )
+        .select(
+            F.col("w1").alias("head"), "n_nextwords", "n_instances",
+            "top_nextword", "top_count",
+        )
+        .orderBy("head")
+    )
+
+
+SQL_NEXTWORD_INDEX = f"""WITH {_TOKS_SQL},
+bi AS (
+  SELECT a.term AS w1, b.term AS w2, count(*) AS c
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term IN ({", ".join(f"'{s}'" for s in sorted(_IL_SEEDS))})
+  GROUP BY a.term, b.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY w1
+            ORDER BY c DESC, w2 ASC) AS rn
+  FROM bi
+)
+SELECT w1 AS head, CAST(count(*) AS BIGINT) AS n_nextwords,
+       CAST(sum(c) AS BIGINT) AS n_instances,
+       max(CASE WHEN rn = 1 THEN w2 END) AS top_nextword,
+       CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top_count
+FROM ranked GROUP BY w1 ORDER BY head"""
+
+
+_ANCH_TERM = "merge"
+
+
+def q_anchor_expand(spark, sf_dir):
+    """Anchor-text document expansion for retrieval (Craswell, Hawking
+    & Robertson, SIGIR 2001 — "Effective site finding using link anchor
+    information"): a page is also ABOUT the anchors of its in-links, so
+    the expanded tf of term t in doc d is tf_text + tf_anchor (one per
+    in-link whose anchor mentions t), and df is recomputed over the
+    expanded membership.  Docs never mentioning '{_ANCH_TERM}' in their
+    text but linked TO with that anchor become retrievable — the effect
+    that made site-finding work.  BM25 over the expanded counts
+    (doc length kept at the text length, the standard approximation),
+    top-10.
+
+    Scale shape: anchors are the same narrow per-source projection as
+    anchor_text joined to the edge list by src; the per-dst anchor-hit
+    count, the text tf (term filter below the agg), and the expanded df
+    are all map-side-combinable aggregates; corpus stats ride the usual
+    1-row broadcast; full-outer of the two tf tables is per-term-sized.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    _, edges = _link_edges(spark, sf_dir)
+    anch = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("src"),
+        F.slice(toks, 1, 2).alias("_aterms"),
+    )
+    atf = (
+        edges.join(anch, "src")
+        .filter(F.array_contains("_aterms", _ANCH_TERM))
+        .groupBy("dst")
+        .agg(F.count("*").alias("tf_anchor"))
+        .select(F.col("dst").alias("doc_id"), "tf_anchor")
+    )
+    ttf = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("term") == _ANCH_TERM)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf_text"))
+    )
+    exp = (
+        ttf.join(atf, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("tf_text", F.lit(0)).cast("long").alias("tf_text"),
+            F.coalesce("tf_anchor", F.lit(0)).cast("long").alias("tf_anchor"),
+        )
+        .withColumn("tfx", F.col("tf_text") + F.col("tf_anchor"))
+    )
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
+    dfx = exp.agg(F.count("*").alias("_dfx"))
+    return (
+        exp.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfx))
+        .select(
+            "doc_id", "tf_text", "tf_anchor",
+            _r4(
+                F.log(
+                    (F.col("_n") - F.col("_dfx") + 0.5)
+                    / (F.col("_dfx") + 0.5) + 1.0
+                )
+                * (F.col("tfx") * (K1 + 1.0))
+                / (
+                    F.col("tfx")
+                    + K1 * (1.0 - B + B * F.col("dl") / F.col("_avgdl"))
+                )
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _anchor_expand_sql() -> str:
+    rules = ", ".join(f"({m}, {b})" for m, b in _PR_RULES)
+    return f"""WITH {_TOKS_SQL},
+nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id AS src, (rules.m * id + rules.b) % nn.n AS dst
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (VALUES {rules}) AS rules(m, b)
+  ) WHERE src <> dst
+),
+anch AS (
+  SELECT doc_id AS src,
+         list_slice(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), x -> x <> ''), 1, 2) AS aterms
+  FROM documents
+),
+atf AS (
+  SELECT e.dst AS doc_id, count(*) AS tf_anchor
+  FROM edges e JOIN anch a ON e.src = a.src
+  WHERE list_contains(a.aterms, '{_ANCH_TERM}')
+  GROUP BY e.dst
+),
+ttf AS (SELECT doc_id, count(*) AS tf_text FROM toks
+        WHERE term = '{_ANCH_TERM}' GROUP BY doc_id),
+exp AS (
+  SELECT coalesce(ttf.doc_id, atf.doc_id) AS doc_id,
+         coalesce(ttf.tf_text, 0) AS tf_text,
+         coalesce(atf.tf_anchor, 0) AS tf_anchor
+  FROM ttf FULL OUTER JOIN atf ON ttf.doc_id = atf.doc_id
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfx AS (SELECT count(*) AS dfx FROM exp)
+SELECT e.doc_id, CAST(e.tf_text AS BIGINT) AS tf_text,
+       CAST(e.tf_anchor AS BIGINT) AS tf_anchor,
+       round(ln((stats.n - dfx.dfx + 0.5) / (dfx.dfx + 0.5) + 1.0)
+             * ((e.tf_text + e.tf_anchor) * ({K1} + 1.0))
+             / ((e.tf_text + e.tf_anchor)
+                + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)), 4)
+         AS score
+FROM exp e JOIN dl ON e.doc_id = dl.doc_id
+CROSS JOIN stats CROSS JOIN dfx
+ORDER BY score DESC, e.doc_id ASC LIMIT 10"""
+
+
+SQL_ANCHOR_EXPAND = _anchor_expand_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -11391,4 +11704,7 @@ QUERIES = {
     "stopword_induction": (q_stopword_induction, SQL_STOPWORD_INDUCTION),
     "salsa": (q_salsa, SQL_SALSA),
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
+    "query_segmentation": (q_query_segmentation, SQL_QUERY_SEGMENTATION),
+    "nextword_index": (q_nextword_index, SQL_NEXTWORD_INDEX),
+    "anchor_expand": (q_anchor_expand, SQL_ANCHOR_EXPAND),
 }
