@@ -48,7 +48,9 @@ def run_build(
     if force:
         for t in ("docs_raw", "docs_sorted", "docs", "docmeta", "postings",
                   "index_stats", "postings_partial", "doclens",
-                  "postings_packed", "postings_packed_next"):
+                  "postings_packed", "postings_packed_next",
+                  "tombstones", "df_patch_deletes", "index_stats_next",
+                  "docmeta_next", "postings_next"):
             cat.drop(t)
         # properties describe the dropped tables (layout params, append
         # idempotence flags) — stale ones must not outlive a force rebuild
@@ -270,13 +272,22 @@ def run_append(
 
     if not cat.exists(raw_t):
         def p1() -> str:
+            from pyspark.sql import functions as F
+
             raw = extract.extract_docs(pages)
             raw = extract.drop_overlong_titles(raw)
             # urls the base build (or an earlier append) already indexed
-            # lose first-wins against the existing corpus
-            raw = raw.join(
-                cat.read("docmeta").select("url"), "url", "left_anti"
-            )
+            # lose first-wins against the existing corpus — but a DELETED
+            # url is re-indexable: the first-wins reference set is the
+            # ALIVE docmeta (tombstoned docs excluded), so a recrawl of a
+            # deleted page re-enters with a fresh doc id
+            indexed = cat.read("docmeta")
+            if cat.exists("tombstones"):
+                indexed = indexed.join(
+                    F.broadcast(cat.read("tombstones").select("doc_id")),
+                    "doc_id", "left_anti",
+                )
+            raw = raw.join(indexed.select("url"), "url", "left_anti")
             cat.write(raw_t, raw)
             return raw_t
 
@@ -371,10 +382,15 @@ def apply_delta(
 
     once("postings", _append_postings)
 
-    cat.write(
-        "index_stats",
-        B.build_index_stats(cat.read("docmeta"), cat.read("postings")),
-    )
+    meta_all, posts_all = cat.read("docmeta"), cat.read("postings")
+    if cat.exists("tombstones"):
+        # deleted docs must stay out of the refreshed corpus stats — an
+        # append after a delete would otherwise resurrect them in n_docs
+        # and avgdl (their postings stay masked at read until compaction)
+        tombs = F.broadcast(cat.read("tombstones").select("doc_id"))
+        meta_all = meta_all.join(tombs, "doc_id", "left_anti")
+        posts_all = posts_all.join(tombs, "doc_id", "left_anti")
+    cat.write("index_stats", B.build_index_stats(meta_all, posts_all))
     stats = cat.read("index_stats").collect()[0]
     avgdl = float(stats["avgdl"])
 
@@ -485,3 +501,212 @@ def apply_delta(
     )
     cat.set_prop(applied_key, 1)
     cat.write_metrics_tables()
+
+
+def run_delete(
+    spark: SparkSession,
+    urls: DataFrame,
+    warehouse: str,
+    label: str = "del1",
+) -> IndexCatalog:
+    """Delete pages BY URL from an existing warehouse — the other half of
+    the crawl-refresh story next to ``run_append`` (pages get taken down,
+    de-listed, or re-crawled as gone at 10^12-doc scale daily).
+
+    Deletes are LOGICAL until the next compaction, the LSM/Lucene
+    live-docs shape: nothing in the packed index is rewritten.  Three
+    delta-proportional side effects make every query engine behave as if
+    the docs were never indexed:
+
+    * ``tombstones`` (doc_id, label) — the kernels mask decoded postings
+      and bucket complements against the per-bucket tombstone arrays
+      (plans/wand.py ``_mask_tombs``, plans/packed_exec.py), and the
+      logical executor anti-joins them up front;
+    * ``df_patch_deletes`` (term, df_sub, label) — per-term df
+      decrements; the packed reader subtracts them so idf matches a
+      survivor-only corpus exactly;
+    * ``index_stats`` recomputed over survivors (n_docs, avgdl), written
+      aside and snapshot-swapped.
+
+    Scoring equivalence is EXACT: BM25 inputs (tf, dl, df, n_docs,
+    avgdl) all equal a from-scratch build of the surviving corpus, so
+    results are rank-identical by url (doc ids differ from a re-stamped
+    scratch build — same contract as run_append).  WAND pruning stays
+    lossless: stored block_maxw values remain upper bounds when docs are
+    removed.
+
+    Crash safety mirrors run_append: each sub-step commits its own
+    catalog marker keyed by ``label`` and recomputes its inputs from the
+    durable tombstone rows, so a retry after a mid-delete crash never
+    double-applies; ``delete_<label>_applied`` marks completion.  Urls
+    not indexed (or already deleted) are dropped; an all-empty delete is
+    a marked no-op.  A deleted url can be re-indexed by a later
+    ``run_append`` (it leaves the first-wins reference set).
+    """
+    from pyspark.sql import functions as F
+
+    cat = IndexCatalog(spark, warehouse)
+    for t in ("docmeta", "postings", "index_stats"):
+        if not cat.exists(t):
+            raise ValueError(f"run_delete needs an existing warehouse ({t} missing)")
+    applied_key = f"delete_{label}_applied"
+    if cat.get_prop(applied_key):
+        return cat
+
+    def once(step: str, fn) -> None:
+        step_key = f"delete_{label}_{step}_done"
+        if cat.get_prop(step_key):
+            return
+        fn()
+        cat.set_prop(step_key, 1)
+
+    # -- victims: indexed docs matching the urls, not already tombstoned --
+    def _tombstone() -> None:
+        victims = (
+            cat.read("docmeta")
+            .join(urls.select("url").distinct(), "url", "left_semi")
+            .select("doc_id")
+        )
+        if cat.exists("tombstones"):
+            victims = victims.join(
+                cat.read("tombstones").select("doc_id"), "doc_id",
+                "left_anti",
+            )
+        cat.write(
+            "tombstones",
+            victims.withColumn("label", F.lit(label)),
+            mode="append",
+        )
+
+    once("tombs", _tombstone)
+
+    victims = (
+        cat.read("tombstones")
+        .filter(F.col("label") == label)
+        .select("doc_id")
+        if cat.exists("tombstones") else None
+    )
+    if victims is None or victims.isEmpty():
+        cat.set_prop(applied_key, 1)
+        return cat
+
+    # -- df decrements: every (term, @term) posting the victims carried --
+    def _df_patch() -> None:
+        patch = (
+            cat.read("postings")
+            .join(F.broadcast(victims), "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df_sub"))
+            .withColumn("label", F.lit(label))
+        )
+        cat.write("df_patch_deletes", patch, mode="append")
+
+    once("dfpatch", _df_patch)
+
+    # -- survivor corpus stats (idempotent recomputation; aside + swap) --
+    tombs_all = F.broadcast(cat.read("tombstones").select("doc_id"))
+    cat.write(
+        "index_stats_next",
+        B.build_index_stats(
+            cat.read("docmeta").join(tombs_all, "doc_id", "left_anti"),
+            cat.read("postings").join(tombs_all, "doc_id", "left_anti"),
+        ),
+    )
+    cat.swap("index_stats_next", "index_stats")
+
+    cat.log_phase(
+        f"d1_delete_{label}", "tombstones",
+        {"delete": label},
+    )
+    cat.set_prop(applied_key, 1)
+    cat.write_metrics_tables()
+    return cat
+
+
+def compact_deletes(spark: SparkSession, warehouse: str) -> IndexCatalog:
+    """Physically drop every tombstoned doc and retire the tombstones —
+    the delete-debt twin of the tiered-append full compaction: rewrite
+    the logical tables without the victims, re-pack, and delete the
+    tombstone/df-patch side tables.  Queries before and after are
+    EXACTLY equal (the masked view already behaved as survivor-only);
+    what compaction buys back is the kernels' masking work, the
+    broadcast side tables, and the dead bytes on disk.
+
+    Surviving doc ids are RE-STAMPED densely: ids were url-rank assigned,
+    survivors keep their relative order, so new_id = old_id − |victims
+    below| — which closes the id holes the masked view tolerated (the
+    dense-id invariant ``dls[doc_id - start]`` is load-bearing in the
+    kernels) and makes the compacted warehouse BIT-identical to a
+    from-scratch build of the surviving corpus, not merely
+    rank-identical.  Externally held doc ids are invalidated by
+    compaction (the Lucene-segment-renumbering contract); urls are the
+    stable key.  The per-row shift scans the victim array (delta-sized,
+    bounded between compactions by the same debt policy that bounds
+    tiered generations); a range join replaces it at extreme volumes.
+
+    O(corpus) by design — this is the scheduled debt-retirement pass, as
+    in any LSM.  Crash-safe: the filtered tables are written ASIDE and
+    snapshot-swapped (the live warehouse stays queryable until each
+    swap), the packed rebuild reuses pack_and_merge's checkpointing, and
+    the tombstones are dropped LAST — a crash anywhere leaves a
+    consistent masked warehouse that a re-run finishes compacting.
+    """
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.merge import pack_and_merge
+
+    cat = IndexCatalog(spark, warehouse)
+    if not cat.exists("tombstones"):
+        return cat
+    victim_ids = sorted(
+        r["doc_id"] for r in cat.read("tombstones").collect()
+    )
+    if not victim_ids:  # every delete label was empty — nothing to compact
+        cat.drop("tombstones")
+        cat.drop("df_patch_deletes")
+        return cat
+    tombs = F.broadcast(cat.read("tombstones").select("doc_id"))
+
+    num_shards = int(cat.get_prop("p6a_num_shards"))
+    salt_buckets = int(cat.get_prop("p6a_salt_buckets"))
+    bucket_width = int(cat.get_prop("p6a_bucket_width"))
+    merge_factor = int(cat.get_prop("p6a_merge_factor"))
+
+    vlit = F.lit(victim_ids)
+    new_id = (
+        F.col("doc_id")
+        - F.size(F.filter(vlit, lambda v: v < F.col("doc_id")))
+    ).cast("long")
+    for t in ("docmeta", "postings"):
+        nxt = (
+            cat.read(t)
+            .join(tombs, "doc_id", "left_anti")
+            .withColumn("doc_id", new_id)
+        )
+        if t == "postings":  # keep p4's row-group term clustering
+            nxt = nxt.sortWithinPartitions("shard", "term")
+        cat.write(
+            f"{t}_next", nxt,
+            partition_by=(["shard"] if t == "postings" else None),
+        )
+        cat.swap(f"{t}_next", t)
+
+    # survivor-only rebuild of everything derived: stats, doclens,
+    # partials, packed (pack_and_merge recomputes stats first because the
+    # table was dropped; its layout props keep the original grid)
+    cat.drop_manifest("postings_packed")
+    for t in ("index_stats", "doclens", "postings_partial",
+              "postings_packed"):
+        cat.drop(t)
+    pack_and_merge(
+        cat, num_shards=num_shards, salt_buckets=salt_buckets,
+        merge_factor=merge_factor, bucket_width=bucket_width,
+    )
+
+    # retire the delete debt LAST: markers stay (labels are applied —
+    # their effect is now physical), side tables go
+    cat.drop("tombstones")
+    cat.drop("df_patch_deletes")
+    cat.log_phase("d2_compact_deletes", "postings_packed", {})
+    cat.write_metrics_tables()
+    return cat

@@ -103,10 +103,20 @@ class QueryEngine:
     def from_catalog(cls, cat) -> "QueryEngine":
         stats = cat.read("index_stats").collect()[0]
         ns = cat.get_prop("postings_num_shards")
+        postings, docmeta = cat.read("postings"), cat.read("docmeta")
+        if cat.exists("tombstones"):
+            # delete support (operators/pipeline.run_delete): the logical
+            # engine filters tombstoned docs out of both tables up front —
+            # the tombstone set is delta-proportional between compactions,
+            # so the anti-join broadcasts (index_stats was already
+            # recomputed over survivors at delete time)
+            tombs = F.broadcast(cat.read("tombstones").select("doc_id"))
+            postings = postings.join(tombs, "doc_id", "left_anti")
+            docmeta = docmeta.join(tombs, "doc_id", "left_anti")
         return cls(
             cat.spark,
-            cat.read("postings"),
-            cat.read("docmeta"),
+            postings,
+            docmeta,
             stats["n_docs"],
             stats["avgdl"],
             num_shards=int(ns) if ns is not None else None,

@@ -131,10 +131,11 @@ class _BucketEval:
 
     def __init__(self, decoded: dict[str, dict], start: int, width: int,
                  dls: np.ndarray, n_docs: int, avgdl: float,
-                 k1: float, b: float):
+                 k1: float, b: float, tombs: np.ndarray | None = None):
         self.d = decoded
         self.start, self.width, self.dls = start, width, dls
         self.n_docs, self.avgdl, self.k1, self.b = n_docs, avgdl, k1, b
+        self.tombs = tombs  # deleted doc ids; excluded from complements
         self._score_cache: dict[str, tuple] = {}
         self._phrase_cache: dict[tuple, tuple] = {}
 
@@ -204,6 +205,10 @@ class _BucketEval:
 
     def _complement(self, ids: np.ndarray) -> np.ndarray:
         alln = np.arange(self.start, self.start + self.width, dtype=np.int64)
+        if self.tombs is not None and self.tombs.size:
+            # the complement universe is the ALIVE docs of the bucket —
+            # a bare NOT must never resurrect a tombstoned doc
+            alln = alln[~np.isin(alln, self.tombs)]
         return np.setdiff1d(alln, ids, assume_unique=True)
 
     # -- membership (ids only; used for Not children) ------------------------
@@ -377,16 +382,37 @@ class _BucketEval:
 _OUT_SCHEMA = "doc_id long, dl long, w array<double>, p array<long>"
 
 
-def _decode_rows(trows, need_pos: bool) -> dict[str, dict]:
+def _row_tombs(brow) -> np.ndarray | None:
+    """Bucket row's tombstoned doc ids or None — shared contract with
+    plans.wand._bucket_tombs (doclens rows carry a ``tombs`` array column
+    when the warehouse has deletions; absent/NULL otherwise)."""
+    t = getattr(brow, "tombs", None)
+    if t is None or len(t) == 0:
+        return None
+    return np.asarray(t, dtype=np.int64)
+
+
+def _decode_rows(trows, need_pos: bool, tombs=None) -> dict[str, dict]:
     from search_engine_spark.operators import codec
 
     decoded: dict[str, dict] = {}
     for r in trows if trows is not None else []:
         ids = codec.decode_docids(bytes(r["doc_ids"]))
         tfs = codec.decode_tfs(bytes(r["tfs"]))
+        flatpos = (codec.decode_position_stream(bytes(r["pos"]), tfs)
+                   if need_pos else None)
+        if tombs is not None and ids.size:
+            # deleted docs are masked out of the decoded posting — for
+            # scoring, membership, AND positions (the run mask drops each
+            # tombstoned doc's position run from the flat stream)
+            keep = ~np.isin(ids, tombs)
+            if not keep.all():
+                if need_pos:
+                    flatpos = flatpos[np.repeat(keep, tfs)]
+                ids, tfs = ids[keep], tfs[keep]
         e = {"ids": ids, "tfs": tfs, "df": int(r["df"])}
         if need_pos:
-            e["flatpos"] = codec.decode_position_stream(bytes(r["pos"]), tfs)
+            e["flatpos"] = flatpos
             offs = np.zeros(tfs.size, dtype=np.int64)
             np.cumsum(tfs[:-1], out=offs[1:])
             e["offs"] = offs
@@ -438,11 +464,12 @@ def search_packed(engine, ast: Expr, k: int = 10) -> DataFrame:
             for brow in pdf.itertuples(index=False):
                 start = int(brow.start)
                 dls = np.asarray(brow.dls, dtype=np.float64)
-                decoded = _decode_rows(brow.trows, need_pos)
+                tombs = _row_tombs(brow)
+                decoded = _decode_rows(brow.trows, need_pos, tombs)
                 if not decoded and not zero_ok:
                     continue
                 ev = _BucketEval(decoded, start, dls.size, dls, n_docs,
-                                 avgdl, k1, b)
+                                 avgdl, k1, b, tombs)
                 ev.seval_slot = lambda i, _ev=ev: _ev.seval(wslots[i])
                 ids, wmat, pmat = ev.keval(root, n_w, n_p)
                 if n_p == 0 and ids.size > kk:
@@ -486,9 +513,10 @@ def search_packed(engine, ast: Expr, k: int = 10) -> DataFrame:
                 out = []
                 for brow in pdf.itertuples(index=False):
                     dls = np.asarray(brow.dls, dtype=np.float64)
-                    decoded = _decode_rows(brow.trows, True)
+                    tombs = _row_tombs(brow)
+                    decoded = _decode_rows(brow.trows, True, tombs)
                     ev = _BucketEval(decoded, int(brow.start), dls.size, dls,
-                                     n_docs, avgdl, k1, b)
+                                     n_docs, avgdl, k1, b, tombs)
                     out.append([int(ev.phrase_match(stems, deco, w)[0].size)
                                 for stems, deco, w in pslots_])
                 yield pd.DataFrame({"c": pd.Series(out, dtype="object")})
@@ -565,9 +593,10 @@ def batch_general_candidates(engine, items: list[tuple[str, "Expr"]],
             for brow in pdf.itertuples(index=False):
                 start = int(brow.start)
                 dls = np.asarray(brow.dls, dtype=np.float64)
-                decoded = _decode_rows(brow.trows, need_pos)
+                tombs = _row_tombs(brow)
+                decoded = _decode_rows(brow.trows, need_pos, tombs)
                 ev = _BucketEval(decoded, start, dls.size, dls, n_docs,
-                                 avgdl, k1, b)
+                                 avgdl, k1, b, tombs)
                 for qi in range(nq):
                     if not decoded and not zm_l[qi]:
                         continue
@@ -630,9 +659,10 @@ def batch_general_candidates(engine, items: list[tuple[str, "Expr"]],
                 out = []
                 for brow in pdf.itertuples(index=False):
                     dls = np.asarray(brow.dls, dtype=np.float64)
-                    decoded = _decode_rows(brow.trows, True)
+                    tombs = _row_tombs(brow)
+                    decoded = _decode_rows(brow.trows, True, tombs)
                     ev = _BucketEval(decoded, int(brow.start), dls.size, dls,
-                                     n_docs, avgdl, k1, b)
+                                     n_docs, avgdl, k1, b, tombs)
                     out.append([int(ev.phrase_match(stems, deco, w)[0].size)
                                 for stems, deco, w in gs_list])
                 yield pd.DataFrame({"c": pd.Series(out, dtype="object")})

@@ -52,6 +52,31 @@ def _weights(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dls / avgdl))
 
 
+def _bucket_tombs(brow) -> np.ndarray | None:
+    """The bucket row's tombstoned doc ids (sorted int64), or None.  Rows
+    from engines without delete support have no ``tombs`` column; rows
+    from buckets with no deletions carry NULL from the left join."""
+    t = getattr(brow, "tombs", None)
+    if t is None or len(t) == 0:
+        return None
+    return np.asarray(t, dtype=np.int64)
+
+
+def _mask_tombs(ids: np.ndarray, tfs: np.ndarray, tombs: np.ndarray | None):
+    """Drop tombstoned docs from one decoded posting.  Masking decoded
+    arrays is exactly 'the doc was never indexed' for scoring: block_last
+    boundaries are doc-id VALUES consumed via searchsorted (still aligned
+    after removal) and block_maxw stays a valid upper bound when docs are
+    removed — WAND pruning remains lossless, merely a little looser until
+    the next compaction physically drops the postings."""
+    if tombs is None or ids.size == 0:
+        return ids, tfs
+    keep = ~np.isin(ids, tombs)
+    if keep.all():
+        return ids, tfs
+    return ids[keep], tfs[keep]
+
+
 def _topk_select(ids: np.ndarray, scores: np.ndarray, k: int):
     """Deterministic (score DESC, doc_id ASC) top-k."""
     if ids.size <= k:
@@ -138,6 +163,8 @@ def topk_and(stems: list[str], by_key: dict[str, dict], dls: np.ndarray,
     scores = np.zeros(cand.size)
     for key in sorted(by_key):  # deterministic accumulation order
         t = by_key[key]
+        if t["ids"].size == 0:  # posting fully tombstoned after masking
+            continue
         pos = np.searchsorted(t["ids"], cand)
         pos_c = np.minimum(pos, t["ids"].size - 1)
         present = t["ids"][pos_c] == cand
@@ -255,10 +282,48 @@ class PackedQueryEngine:
         from search_engine_spark.plans.executor import QueryEngine
 
         stats = cat.read("index_stats").collect()[0]
+        packed = cat.read("postings_packed")
+        doclens = cat.read("doclens")
+        if cat.exists("tombstones"):
+            # delete support (operators/pipeline.run_delete): postings of
+            # tombstoned docs are masked inside the kernels, df is patched
+            # down per term, and index_stats was already recomputed over
+            # survivors at delete time.  Both side tables are
+            # delta-proportional between compactions, hence broadcastable.
+            if cat.exists("df_patch_deletes"):
+                patch = (
+                    cat.read("df_patch_deletes")
+                    .groupBy("term")
+                    .agg(F.sum("df_sub").alias("_dfsub"))
+                )
+                packed = (
+                    packed.join(F.broadcast(patch), "term", "left")
+                    .withColumn(
+                        "df",
+                        (F.col("df")
+                         - F.coalesce(F.col("_dfsub"), F.lit(0)))
+                        .cast("long"),
+                    )
+                    .drop("_dfsub")
+                )
+            # per-bucket sorted tombstone arrays ride the doclens rows the
+            # kernels already join — the "bucket_width" prop IS the merged
+            # width build_doclens bucketed by (pack_and_merge persists it)
+            mwidth = int(cat.get_prop("bucket_width"))
+            tombs_b = (
+                cat.read("tombstones")
+                .withColumn(
+                    "bucket",
+                    (F.col("doc_id") / F.lit(mwidth)).cast("int"),
+                )
+                .groupBy("bucket")
+                .agg(F.sort_array(F.collect_list("doc_id")).alias("tombs"))
+            )
+            doclens = doclens.join(F.broadcast(tombs_b), "bucket", "left")
         return cls(
             cat.spark,
-            cat.read("postings_packed"),
-            cat.read("doclens"),
+            packed,
+            doclens,
             cat.read("docmeta"),
             stats["n_docs"],
             stats["avgdl"],
@@ -371,10 +436,12 @@ class PackedQueryEngine:
                     start = int(brow.start)
                     dls = np.asarray(brow.dls, dtype=np.float64)
                     width = dls.size
+                    tombs = _bucket_tombs(brow)
                     decoded: dict[str, dict] = {}
                     for r in brow.trows:
                         ids = codec.decode_docids(bytes(r["doc_ids"]))
                         tfs = codec.decode_tfs(bytes(r["tfs"]))
+                        ids, tfs = _mask_tombs(ids, tfs, tombs)
                         decoded[r["term"]] = {
                             "ids": ids,
                             # idf-free weights computed ONCE per (term,
@@ -548,11 +615,15 @@ class PackedQueryEngine:
                 for brow in pdf.itertuples(index=False):
                     start = int(brow.start)
                     dls = np.asarray(brow.dls, dtype=np.float64)
+                    tombs = _bucket_tombs(brow)
                     by_key: dict[str, dict] = {}
                     for r in brow.trows:
+                        ids = codec.decode_docids(bytes(r["doc_ids"]))
+                        tfs = codec.decode_tfs(bytes(r["tfs"]))
+                        ids, tfs = _mask_tombs(ids, tfs, tombs)
                         by_key[r["term"]] = {
-                            "ids": codec.decode_docids(bytes(r["doc_ids"])),
-                            "tfs": codec.decode_tfs(bytes(r["tfs"])),
+                            "ids": ids,
+                            "tfs": tfs,
                             "block_last": np.asarray(r["block_last"], dtype=np.int64),
                             "block_maxw": np.asarray(r["block_maxw"], dtype=np.float64),
                             "idf": bm25.idf(int(r["df"]), n_docs)
