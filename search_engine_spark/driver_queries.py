@@ -11557,6 +11557,258 @@ ORDER BY score DESC, e.doc_id ASC LIMIT 10"""
 SQL_ANCHOR_EXPAND = _anchor_expand_sql()
 
 
+# ---------------------------------------------------------------------------
+# event analytics: retention cohorts, last-touch attribution, RFM scoring
+# ---------------------------------------------------------------------------
+
+_RET_WEEK = 604800          # seconds per cohort bucket (7 days)
+_RET_MAX_OFFSET = 3
+_RFM_TOPN = 20
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention-cohort matrix — THE product-analytics table: users
+    are cohorted by the week of their first signup event, and for each
+    week offset k we report how many were active (ANY event) k weeks
+    later.  Weeks are pure epoch arithmetic (floor(epoch/604800)), not
+    calendar truncation, so both engines bucket identically.
+
+    Scale shape: the cohort assignment is one map-side min-aggregate per
+    user; activity weeks are a narrow projection deduplicated per
+    (user, week); the cohort join keys on user_id (the natural
+    partitioning of an event log) and the final matrix is
+    |cohorts| x {_RET_MAX_OFFSET + 1} rows.  No window touches raw events.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type",
+        F.floor(F.unix_timestamp("ts") / _RET_WEEK).cast("long").alias("wk"),
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_wk"))
+    )
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    active = (
+        ev.select("user_id", "wk").distinct()
+        .join(cohort, "user_id")
+        .select(
+            "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset")
+        )
+        .filter(
+            (F.col("offset") >= 0) & (F.col("offset") <= _RET_MAX_OFFSET)
+        )
+        .groupBy("cohort_wk", "offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            F.col("offset").cast("long").alias("week_offset"),
+            "n_users", "n_active",
+            _r4(F.col("n_active") / F.col("n_users")).alias("retention"),
+        )
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+SQL_RETENTION_COHORTS = f"""WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts) / {_RET_WEEK}) AS BIGINT) AS wk
+  FROM events
+),
+cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM ev
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+sizes AS (SELECT cohort_wk, count(*) AS n_users FROM cohort
+          GROUP BY cohort_wk),
+active AS (
+  SELECT c.cohort_wk, a.wk - c.cohort_wk AS offset_w,
+         count(*) AS n_active
+  FROM (SELECT DISTINCT user_id, wk FROM ev) a
+  JOIN cohort c ON a.user_id = c.user_id
+  WHERE a.wk - c.cohort_wk BETWEEN 0 AND {_RET_MAX_OFFSET}
+  GROUP BY c.cohort_wk, a.wk - c.cohort_wk
+)
+SELECT a.cohort_wk, CAST(a.offset_w AS BIGINT) AS week_offset,
+       CAST(s.n_users AS BIGINT) AS n_users,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       round(CAST(a.n_active AS DOUBLE) / s.n_users, 4) AS retention
+FROM active a JOIN sizes s ON a.cohort_wk = s.cohort_wk
+ORDER BY a.cohort_wk, week_offset"""
+
+
+def q_last_touch(spark, sf_dir):
+    """Last-touch attribution: every purchase is credited to the SAME
+    user's most recent click or view strictly before it (the touch), and
+    revenue rolls up per touched item — the e-commerce twin of the
+    engine's click-credit assignment, and an as-of join at heart.
+
+    Scale shape: the same single-shuffle union+window merge as
+    asof_join — touches and purchases are unioned, ONE window per user
+    ordered by (ts, event_id) carries the last touch item forward, and
+    the rollup is a map-side-combinable aggregate per item.  No join
+    operator appears in the plan; the one shuffle keys on user_id.
+    Purchases with no prior touch are unattributed and counted
+    separately (item -1).
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .select(
+            "user_id", "event_id", "ts", "event_type", "value",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = ev.withColumn(
+        "touch_item",
+        F.last(
+            F.when(F.col("event_type").isin("click", "view"),
+                   F.col("item")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("touch_item", F.lit(-1)).cast("long").alias("item")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            _r4(F.sum("value")).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("item").asc())
+        .limit(_RFM_TOPN)
+    )
+
+
+SQL_LAST_TOUCH = f"""WITH ev AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+touched AS (
+  SELECT *,
+         last_value(CASE WHEN event_type IN ('click', 'view') THEN item END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_item
+  FROM ev
+)
+SELECT CAST(coalesce(touch_item, -1) AS BIGINT) AS item,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 4) AS revenue
+FROM touched WHERE event_type = 'purchase'
+GROUP BY coalesce(touch_item, -1)
+ORDER BY revenue DESC, item ASC LIMIT {_RFM_TOPN}"""
+
+
+def q_rfm_scores(spark, sf_dir):
+    """RFM customer scoring (recency / frequency / monetary, the classic
+    segmentation): per user over purchase events — days since last
+    purchase (vs the log's max ts), purchase count, total spend — each
+    scored 1..5 by rank quintile (rank-based, user-id tie-break, so both
+    engines bin identically), rfm = 100r + 10f + m.  Top {_RFM_TOPN} by
+    rfm.
+
+    Scale shape: the per-user rollup is one map-side-combinable
+    aggregate (the only pass over raw events); the quintile windows run
+    over the |users| ROLLUP, not the log — at 10^12 events with 10^9
+    users the rank windows become broadcast quantile breakpoints
+    (percentile_approx 1-row side plan), same results to quantization.
+    """
+    from pyspark.sql import Window
+
+    p = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+    )
+    mx = p.agg(F.max(F.unix_timestamp("ts")).alias("_mx"))
+    per_user = (
+        p.groupBy("user_id")
+        .agg(
+            F.max(F.unix_timestamp("ts")).alias("_last"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum("value").alias("_mon"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.floor((F.col("_mx") - F.col("_last")) / 86400)
+            .cast("long").alias("recency_days"),
+            "frequency",
+            _r4("_mon").alias("monetary"),
+        )
+    )
+    n = per_user.agg(F.count("*").alias("_n"))
+    rank5 = lambda c: (  # noqa: E731
+        1 + F.floor(5 * (c - 1) / F.col("_n"))
+    ).cast("long")
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    return (
+        per_user.crossJoin(F.broadcast(n))
+        .withColumn("r_score", 6 - rank5(F.row_number().over(wr)))
+        .withColumn("f_score", 6 - rank5(F.row_number().over(wf)))
+        .withColumn("m_score", 6 - rank5(F.row_number().over(wm)))
+        .select(
+            "user_id", "recency_days", "frequency", "monetary",
+            "r_score", "f_score", "m_score",
+            (F.col("r_score") * 100 + F.col("f_score") * 10
+             + F.col("m_score")).cast("long").alias("rfm"),
+        )
+        .orderBy(F.col("rfm").desc(), F.col("user_id").asc())
+        .limit(_RFM_TOPN)
+    )
+
+
+SQL_RFM_SCORES = f"""WITH p AS (
+  SELECT user_id, epoch(ts) AS es, value FROM events
+  WHERE event_type = 'purchase'
+),
+mx AS (SELECT max(es) AS mx FROM p),
+per_user AS (
+  SELECT user_id,
+         CAST(floor((mx.mx - max(p.es)) / 86400) AS BIGINT)
+           AS recency_days,
+         count(*) AS frequency,
+         round(sum(value), 4) AS monetary
+  FROM p CROSS JOIN mx
+  GROUP BY user_id, mx.mx
+),
+n AS (SELECT count(*) AS n FROM per_user),
+ranked AS (
+  SELECT u.*,
+         row_number() OVER (ORDER BY recency_days ASC, user_id ASC) AS rr,
+         row_number() OVER (ORDER BY frequency DESC, user_id ASC) AS rf,
+         row_number() OVER (ORDER BY monetary DESC, user_id ASC) AS rm,
+         n.n AS n
+  FROM per_user u CROSS JOIN n
+),
+scored AS (
+  SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+         monetary,
+         CAST(6 - (1 + floor(5 * (rr - 1) / n)) AS BIGINT) AS r_score,
+         CAST(6 - (1 + floor(5 * (rf - 1) / n)) AS BIGINT) AS f_score,
+         CAST(6 - (1 + floor(5 * (rm - 1) / n)) AS BIGINT) AS m_score
+  FROM ranked
+)
+SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+FROM scored ORDER BY rfm DESC, user_id ASC LIMIT {_RFM_TOPN}"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -11707,4 +11959,7 @@ QUERIES = {
     "query_segmentation": (q_query_segmentation, SQL_QUERY_SEGMENTATION),
     "nextword_index": (q_nextword_index, SQL_NEXTWORD_INDEX),
     "anchor_expand": (q_anchor_expand, SQL_ANCHOR_EXPAND),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "last_touch": (q_last_touch, SQL_LAST_TOUCH),
+    "rfm_scores": (q_rfm_scores, SQL_RFM_SCORES),
 }
