@@ -11809,6 +11809,259 @@ SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
 FROM scored ORDER BY rfm DESC, user_id ASC LIMIT {_RFM_TOPN}"""
 
 
+# ---------------------------------------------------------------------------
+# alpha-DCG diversity eval, LLR collocations, dictionary front-coding
+# ---------------------------------------------------------------------------
+
+_ADCG_ALPHA = 0.5
+_LLR_TOPN = 20
+
+
+def q_alpha_dcg(spark, sf_dir):
+    """alpha-DCG@10 (Clarke et al., SIGIR 2008 "Novelty and diversity in
+    information retrieval evaluation"): the diversity-aware DCG where a
+    document's gain is discounted by (1-alpha)^(docs of the SAME subtopic
+    already seen above it) — rewarding result lists that cover many
+    subtopics instead of piling onto one.  Subtopic = documents.source;
+    the run is the BM25 top-10 for the standard probe query; alpha =
+    {_ADCG_ALPHA}.  Per-rank rows with the novelty-discounted gain and
+    the running alpha-DCG.
+
+    Scale shape: corpus work is confined to the retrieval plan; the
+    subtopic join is a 10-row broadcast lookup into docmeta-scale data
+    keyed by doc_id, and all three windows (seen-count, rank, running
+    sum) order <= 10 rows post-limit.
+    """
+    from pyspark.sql import Window
+
+    top = (
+        _scored(spark, sf_dir, _QL_TERMS)
+        .groupBy("doc_id")
+        .agg(_r4(F.sum(_r4("score"))).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    wr = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    ranked = (
+        top.join(src, "doc_id")
+        .withColumn("rank", F.row_number().over(wr))
+    )
+    wseen = (
+        Window.partitionBy("source")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gain = (
+        F.pow(F.lit(1.0 - _ADCG_ALPHA),
+              F.coalesce(F.count("*").over(wseen), F.lit(0)))
+        / (F.log(F.col("rank") + 1.0) / F.lit(0.6931471805599453))
+    )
+    return (
+        ranked.withColumn("seen_before",
+                          F.count("*").over(wseen).cast("long"))
+        .withColumn("_g", gain)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id", "source", "seen_before",
+            _r4("_g").alias("gain"),
+            _r4(F.sum("_g").over(wcum)).alias("alpha_dcg"),
+        )
+        .orderBy("rank")
+    )
+
+
+SQL_ALPHA_DCG = f"""WITH {_BM25_CORE_SQL},
+top AS (
+  SELECT doc_id, round(sum(round(score, 4)), 4) AS s
+  FROM scored WHERE term IN ('merge', 'join')
+  GROUP BY doc_id ORDER BY s DESC, doc_id ASC LIMIT 10
+),
+ranked AS (
+  SELECT t.doc_id, d.source, t.s,
+         row_number() OVER (ORDER BY t.s DESC, t.doc_id ASC) AS rank
+  FROM top t JOIN documents d ON t.doc_id = d.doc_id
+),
+gains AS (
+  SELECT rank, doc_id, source,
+         count(*) OVER (PARTITION BY source ORDER BY rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS seen_before,
+         power(1.0 - {_ADCG_ALPHA},
+               count(*) OVER (PARTITION BY source ORDER BY rank
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING))
+           / (ln(rank + 1.0) / ln(2.0)) AS g
+  FROM ranked
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, source,
+       CAST(seen_before AS BIGINT) AS seen_before,
+       round(g, 4) AS gain,
+       round(sum(g) OVER (ORDER BY rank
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW), 4) AS alpha_dcg
+FROM gains ORDER BY rank"""
+
+
+def q_llr_collocations(spark, sf_dir):
+    """Collocation extraction by Dunning's log-likelihood ratio (Dunning,
+    CL 1993) — the statistically sound alternative to pmi_bigrams (PMI
+    over-rewards rare pairs; LLR weighs evidence): for each bigram the
+    2x2 contingency table over all bigram instances, LLR = 2 * sum of
+    k * ln(k * N / (row * col)) over the four cells.  Top {_LLR_TOPN}
+    collocations.
+
+    Scale shape: bigram counts and the two marginal tables are map-side
+    aggregates; marginals join back by term key (each side bounded by
+    the vocabulary, NOT force-broadcast — the planner sizes them); N is
+    a 1-row broadcast; the cut is a distributed TakeOrdered.
+    """
+    inst = _word_grams(spark, sf_dir, 2)
+    sp = F.split("g", " ")
+    bi = (
+        inst.select(sp[0].alias("w1"), sp[1].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("k11"))
+    )
+    row = bi.groupBy("w1").agg(F.sum("k11").alias("c1"))
+    col = bi.groupBy("w2").agg(F.sum("k11").alias("c2"))
+    tot = bi.agg(F.sum("k11").alias("_n"))
+    k11 = F.col("k11").cast("double")
+    k12 = (F.col("c1") - F.col("k11")).cast("double")
+    k21 = (F.col("c2") - F.col("k11")).cast("double")
+    k22 = (F.col("_n") - F.col("c1") - F.col("c2")
+           + F.col("k11")).cast("double")
+    n = F.col("_n").cast("double")
+    cell = lambda k, r, c: F.when(  # noqa: E731
+        k > 0, k * F.log(k * n / (r * c))
+    ).otherwise(F.lit(0.0))
+    llr = 2.0 * (
+        cell(k11, F.col("c1").cast("double"), F.col("c2").cast("double"))
+        + cell(k12, F.col("c1").cast("double"), n - F.col("c2"))
+        + cell(k21, n - F.col("c1"), F.col("c2").cast("double"))
+        + cell(k22, n - F.col("c1"), n - F.col("c2"))
+    )
+    return (
+        bi.join(row, "w1")
+        .join(col, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.col("k11").cast("long").alias("c12"),
+            _r4(llr).alias("llr"),
+        )
+        .orderBy(F.col("llr").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(_LLR_TOPN)
+    )
+
+
+SQL_LLR_COLLOCATIONS = f"""WITH {_TOKS_SQL},
+bi AS (
+  SELECT a.term AS w1, b.term AS w2, count(*) AS k11
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+r AS (SELECT w1, sum(k11) AS c1 FROM bi GROUP BY w1),
+c AS (SELECT w2, sum(k11) AS c2 FROM bi GROUP BY w2),
+tot AS (SELECT sum(k11) AS n FROM bi),
+cells AS (
+  SELECT bi.w1, bi.w2, bi.k11,
+         CAST(bi.k11 AS DOUBLE) AS a11,
+         CAST(r.c1 - bi.k11 AS DOUBLE) AS a12,
+         CAST(c.c2 - bi.k11 AS DOUBLE) AS a21,
+         CAST(tot.n - r.c1 - c.c2 + bi.k11 AS DOUBLE) AS a22,
+         CAST(r.c1 AS DOUBLE) AS c1, CAST(c.c2 AS DOUBLE) AS c2,
+         CAST(tot.n AS DOUBLE) AS n
+  FROM bi JOIN r ON bi.w1 = r.w1 JOIN c ON bi.w2 = c.w2 CROSS JOIN tot
+)
+SELECT w1, w2, CAST(k11 AS BIGINT) AS c12,
+       round(2.0 * (
+         (CASE WHEN a11 > 0 THEN a11 * ln(a11 * n / (c1 * c2))
+               ELSE 0 END)
+         + (CASE WHEN a12 > 0 THEN a12 * ln(a12 * n / (c1 * (n - c2)))
+                 ELSE 0 END)
+         + (CASE WHEN a21 > 0 THEN a21 * ln(a21 * n / ((n - c1) * c2))
+                 ELSE 0 END)
+         + (CASE WHEN a22 > 0 THEN a22 * ln(a22 * n
+                                            / ((n - c1) * (n - c2)))
+                 ELSE 0 END)), 4) AS llr
+FROM cells
+ORDER BY llr DESC, w1 ASC, w2 ASC LIMIT {_LLR_TOPN}"""
+
+
+def q_dict_frontcoding(spark, sf_dir):
+    """Front-coding cost model for the A4 term dictionary (Witten, Moffat
+    & Bell, "Managing Gigabytes" §4): in the SORTED vocabulary each term
+    shares a prefix with its predecessor, so storing (lcp, suffix) costs
+    len - lcp + 2 bytes (1-byte lcp + 1-byte suffix length) instead of
+    len + 1.  Reports raw vs front-coded bytes and the mean LCP — the
+    measurement that justifies (or kills) dictionary front-coding for a
+    given corpus.  LCP is computed as the COUNT of matching prefixes
+    over k = 1..min(len) — valid because prefix equality is monotone.
+
+    Scale shape: the vocabulary rollup is one map-side distinct; the lag
+    window orders the vocabulary — the same |vocab|-sized sort the
+    dictionary writer itself needs (front-coding is definitionally a
+    sorted-order encoding); everything after is a 1-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    vocab = _tokens(spark, sf_dir).select("term").distinct()
+    w = Window.orderBy("term")
+    return (
+        vocab.withColumn("prev", F.lag("term").over(w))
+        .withColumn(
+            "lcp",
+            F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+                F.size(
+                    F.expr(
+                        "filter(sequence(1, least(length(term), "
+                        "length(prev))), "
+                        "k -> substr(term, 1, k) = substr(prev, 1, k))"
+                    )
+                )
+            ),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(F.length("term") + 1).cast("long").alias("raw_bytes"),
+            F.sum(F.length("term") - F.col("lcp") + 2)
+            .cast("long").alias("front_bytes"),
+            _r4(F.avg("lcp")).alias("avg_lcp"),
+            _r4(
+                F.sum(F.length("term") - F.col("lcp") + 2)
+                / F.sum(F.length("term") + 1)
+            ).alias("ratio"),
+        )
+    )
+
+
+SQL_DICT_FRONTCODING = f"""WITH {_TOKS_SQL},
+vocab AS (SELECT DISTINCT term FROM toks),
+lagged AS (
+  SELECT term, lag(term) OVER (ORDER BY term) AS prev FROM vocab
+),
+lcps AS (
+  SELECT term,
+         CASE WHEN prev IS NULL THEN 0
+              ELSE length(list_filter(range(1, least(length(term),
+                          length(prev)) + 1),
+                          k -> substr(term, 1, k) = substr(prev, 1, k)))
+         END AS lcp
+  FROM lagged
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(length(term) + 1) AS BIGINT) AS raw_bytes,
+       CAST(sum(length(term) - lcp + 2) AS BIGINT) AS front_bytes,
+       round(avg(lcp), 4) AS avg_lcp,
+       round(sum(length(term) - lcp + 2)
+             / CAST(sum(length(term) + 1) AS DOUBLE), 4) AS ratio
+FROM lcps"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -11962,4 +12215,7 @@ QUERIES = {
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "last_touch": (q_last_touch, SQL_LAST_TOUCH),
     "rfm_scores": (q_rfm_scores, SQL_RFM_SCORES),
+    "alpha_dcg": (q_alpha_dcg, SQL_ALPHA_DCG),
+    "llr_collocations": (q_llr_collocations, SQL_LLR_COLLOCATIONS),
+    "dict_frontcoding": (q_dict_frontcoding, SQL_DICT_FRONTCODING),
 }
