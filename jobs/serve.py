@@ -169,6 +169,11 @@ def make_handler(engine, n_docs: int):
                 elif mode != "bm25":
                     self._send(400, {"error": f"unknown mode {mode!r}"})
                     return
+                site = qs.get("site", [""])[0]
+                if site:
+                    # site-scoped search (Lucene-filter semantics; see
+                    # plans/wand.py _site_scoped)
+                    kwargs["site"] = site
                 rows = engine.search(query, k=k, synonyms=synonyms,
                                      **kwargs).collect()
                 results = [

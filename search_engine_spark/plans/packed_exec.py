@@ -131,11 +131,13 @@ class _BucketEval:
 
     def __init__(self, decoded: dict[str, dict], start: int, width: int,
                  dls: np.ndarray, n_docs: int, avgdl: float,
-                 k1: float, b: float, tombs: np.ndarray | None = None):
+                 k1: float, b: float, tombs: np.ndarray | None = None,
+                 allow: np.ndarray | None = None):
         self.d = decoded
         self.start, self.width, self.dls = start, width, dls
         self.n_docs, self.avgdl, self.k1, self.b = n_docs, avgdl, k1, b
         self.tombs = tombs  # deleted doc ids; excluded from complements
+        self.allow = allow  # site-scoped allow-list; bounds complements
         self._score_cache: dict[str, tuple] = {}
         self._phrase_cache: dict[tuple, tuple] = {}
 
@@ -204,7 +206,12 @@ class _BucketEval:
         return ids[keep], sc[keep]
 
     def _complement(self, ids: np.ndarray) -> np.ndarray:
-        alln = np.arange(self.start, self.start + self.width, dtype=np.int64)
+        if self.allow is not None:
+            # site-scoped: the universe is the bucket's allowed docs
+            alln = self.allow
+        else:
+            alln = np.arange(self.start, self.start + self.width,
+                             dtype=np.int64)
         if self.tombs is not None and self.tombs.size:
             # the complement universe is the ALIVE docs of the bucket —
             # a bare NOT must never resurrect a tombstoned doc
@@ -392,7 +399,17 @@ def _row_tombs(brow) -> np.ndarray | None:
     return np.asarray(t, dtype=np.int64)
 
 
-def _decode_rows(trows, need_pos: bool, tombs=None) -> dict[str, dict]:
+def _row_allow(brow) -> np.ndarray | None:
+    """Bucket row's ALLOWED doc ids (site-scoped search) or None — the
+    allow-list twin of _row_tombs (plans.wand._site_scoped)."""
+    a = getattr(brow, "allow", None)
+    if a is None:
+        return None
+    return np.asarray(a, dtype=np.int64)
+
+
+def _decode_rows(trows, need_pos: bool, tombs=None,
+                 allow=None) -> dict[str, dict]:
     from search_engine_spark.operators import codec
 
     decoded: dict[str, dict] = {}
@@ -401,11 +418,15 @@ def _decode_rows(trows, need_pos: bool, tombs=None) -> dict[str, dict]:
         tfs = codec.decode_tfs(bytes(r["tfs"]))
         flatpos = (codec.decode_position_stream(bytes(r["pos"]), tfs)
                    if need_pos else None)
-        if tombs is not None and ids.size:
-            # deleted docs are masked out of the decoded posting — for
-            # scoring, membership, AND positions (the run mask drops each
-            # tombstoned doc's position run from the flat stream)
-            keep = ~np.isin(ids, tombs)
+        if (tombs is not None or allow is not None) and ids.size:
+            # deleted (and, when site-scoped, disallowed) docs are masked
+            # out of the decoded posting — for scoring, membership, AND
+            # positions (the run mask drops each masked doc's position
+            # run from the flat stream)
+            keep = (~np.isin(ids, tombs) if tombs is not None
+                    else np.ones(ids.size, dtype=bool))
+            if allow is not None:
+                keep &= np.isin(ids, allow)
             if not keep.all():
                 if need_pos:
                     flatpos = flatpos[np.repeat(keep, tfs)]
@@ -420,12 +441,19 @@ def _decode_rows(trows, need_pos: bool, tombs=None) -> dict[str, dict]:
     return decoded
 
 
-def _bucket_rows_for(engine, keys: list[str], cols: list[str], outer: bool):
+def _bucket_rows_for(engine, keys: list[str], cols: list[str], outer: bool,
+                     unscoped: bool = False):
     """Shard-pruned packed rows for ``keys``, one self-contained row per doc
     bucket (same shape as the flat WAND path's _bucket_rows; outer keeps
-    term-less buckets for Not complements)."""
+    term-less buckets for Not complements).  ``unscoped=True`` reads the
+    UNfiltered doclens on a site-scoped engine clone — phrase dfs are
+    corpus-level statistics and must ignore the per-query allow-list
+    (Lucene-filter semantics: the filter restricts candidates, never
+    scores)."""
     from search_engine_spark.functions.hashing import term_shard
 
+    doclens = (getattr(engine, "doclens_unscoped", None) or engine.doclens
+               ) if unscoped else engine.doclens
     shards = sorted({term_shard(key, engine.num_shards) for key in keys})
     rows = engine.packed.filter(
         F.col("shard").isin(shards) & F.col("term").isin(keys)
@@ -433,8 +461,8 @@ def _bucket_rows_for(engine, keys: list[str], cols: list[str], outer: bool):
     grouped = rows.groupBy("bucket").agg(
         F.collect_list(F.struct(*cols)).alias("trows")
     )
-    joined = (engine.doclens.join(grouped, "bucket", "left") if outer
-              else grouped.join(engine.doclens, "bucket"))
+    joined = (doclens.join(grouped, "bucket", "left") if outer
+              else grouped.join(doclens, "bucket"))
     return joined.repartitionByRange(engine._n_buckets(), "bucket")
 
 
@@ -465,11 +493,12 @@ def search_packed(engine, ast: Expr, k: int = 10) -> DataFrame:
                 start = int(brow.start)
                 dls = np.asarray(brow.dls, dtype=np.float64)
                 tombs = _row_tombs(brow)
-                decoded = _decode_rows(brow.trows, need_pos, tombs)
+                allow = _row_allow(brow)
+                decoded = _decode_rows(brow.trows, need_pos, tombs, allow)
                 if not decoded and not zero_ok:
                     continue
                 ev = _BucketEval(decoded, start, dls.size, dls, n_docs,
-                                 avgdl, k1, b, tombs)
+                                 avgdl, k1, b, tombs, allow)
                 ev.seval_slot = lambda i, _ev=ev: _ev.seval(wslots[i])
                 ids, wmat, pmat = ev.keval(root, n_w, n_p)
                 if n_p == 0 and ids.size > kk:
@@ -505,7 +534,8 @@ def search_packed(engine, ast: Expr, k: int = 10) -> DataFrame:
         pkeys = sorted({("@" + s if deco else s)
                         for stems, deco, _w in pslots for s in stems})
         pcols = ["term", "df", "doc_ids", "tfs", "pos"]
-        prows = _bucket_rows_for(engine, pkeys, pcols, outer=False)
+        prows = _bucket_rows_for(engine, pkeys, pcols, outer=False,
+                                 unscoped=True)
         pslots_ = list(pslots)
 
         def count_kernel(batches):
@@ -594,9 +624,10 @@ def batch_general_candidates(engine, items: list[tuple[str, "Expr"]],
                 start = int(brow.start)
                 dls = np.asarray(brow.dls, dtype=np.float64)
                 tombs = _row_tombs(brow)
-                decoded = _decode_rows(brow.trows, need_pos, tombs)
+                allow = _row_allow(brow)
+                decoded = _decode_rows(brow.trows, need_pos, tombs, allow)
                 ev = _BucketEval(decoded, start, dls.size, dls, n_docs,
-                                 avgdl, k1, b, tombs)
+                                 avgdl, k1, b, tombs, allow)
                 for qi in range(nq):
                     if not decoded and not zm_l[qi]:
                         continue
@@ -652,7 +683,8 @@ def batch_general_candidates(engine, items: list[tuple[str, "Expr"]],
         pkeys = sorted({("@" + s if deco else s)
                         for stems, deco, _w in gs_list for s in stems})
         pcols = ["term", "df", "doc_ids", "tfs", "pos"]
-        prows = _bucket_rows_for(engine, pkeys, pcols, outer=False)
+        prows = _bucket_rows_for(engine, pkeys, pcols, outer=False,
+                                 unscoped=True)
 
         def count_kernel(batches):
             for pdf in batches:

@@ -62,19 +62,37 @@ def _bucket_tombs(brow) -> np.ndarray | None:
     return np.asarray(t, dtype=np.int64)
 
 
-def _mask_tombs(ids: np.ndarray, tfs: np.ndarray, tombs: np.ndarray | None):
-    """Drop tombstoned docs from one decoded posting.  Masking decoded
-    arrays is exactly 'the doc was never indexed' for scoring: block_last
-    boundaries are doc-id VALUES consumed via searchsorted (still aligned
-    after removal) and block_maxw stays a valid upper bound when docs are
-    removed — WAND pruning remains lossless, merely a little looser until
-    the next compaction physically drops the postings."""
-    if tombs is None or ids.size == 0:
+def _bucket_allow(brow) -> np.ndarray | None:
+    """The bucket row's ALLOWED doc ids (site-scoped search), or None for
+    unrestricted rows — the allow-list twin of the tombstone column."""
+    a = getattr(brow, "allow", None)
+    if a is None:
+        return None
+    return np.asarray(a, dtype=np.int64)
+
+
+def _mask_tombs(ids: np.ndarray, tfs: np.ndarray, tombs: np.ndarray | None,
+                allow: np.ndarray | None = None):
+    """Drop tombstoned (and, when site-scoped, disallowed) docs from one
+    decoded posting.  Masking decoded arrays is exactly 'the doc was never
+    indexed' for scoring: block_last boundaries are doc-id VALUES consumed
+    via searchsorted (still aligned after removal) and block_maxw stays a
+    valid upper bound when docs are removed — WAND pruning remains
+    lossless, merely a little looser until the next compaction physically
+    drops the postings.  Filtering INSIDE the kernel, before the
+    per-bucket top-k cut, is what keeps a filtered top-k exact (a
+    post-cut filter could starve a bucket whose winners were filtered)."""
+    if ids.size == 0:
         return ids, tfs
-    keep = ~np.isin(ids, tombs)
-    if keep.all():
-        return ids, tfs
-    return ids[keep], tfs[keep]
+    if tombs is not None:
+        keep = ~np.isin(ids, tombs)
+        if not keep.all():
+            ids, tfs = ids[keep], tfs[keep]
+    if allow is not None and ids.size:
+        keep = np.isin(ids, allow)
+        if not keep.all():
+            ids, tfs = ids[keep], tfs[keep]
+    return ids, tfs
 
 
 def _topk_select(ids: np.ndarray, scores: np.ndarray, k: int):
@@ -266,7 +284,8 @@ class PackedQueryEngine:
 
     def __init__(self, spark: SparkSession, packed: DataFrame, doclens: DataFrame,
                  docmeta: DataFrame, n_docs: int, avgdl: float, num_shards: int,
-                 fallback=None, k1: float = bm25.K1, b: float = bm25.B):
+                 fallback=None, k1: float = bm25.K1, b: float = bm25.B,
+                 mwidth: int | None = None):
         self.spark = spark
         self.packed = packed
         self.doclens = doclens
@@ -276,6 +295,7 @@ class PackedQueryEngine:
         self.num_shards = int(num_shards)
         self.k1, self.b = k1, b
         self.fallback = fallback
+        self.mwidth = mwidth  # merged bucket width; enables site scoping
 
     @classmethod
     def from_catalog(cls, cat) -> "PackedQueryEngine":
@@ -329,6 +349,8 @@ class PackedQueryEngine:
             stats["avgdl"],
             num_shards=int(cat.get_prop("num_shards", 32)),
             fallback=QueryEngine.from_catalog(cat),
+            mwidth=(int(cat.get_prop("bucket_width"))
+                    if cat.get_prop("bucket_width") is not None else None),
         )
 
     def _empty(self) -> DataFrame:
@@ -437,11 +459,12 @@ class PackedQueryEngine:
                     dls = np.asarray(brow.dls, dtype=np.float64)
                     width = dls.size
                     tombs = _bucket_tombs(brow)
+                    allow = _bucket_allow(brow)
                     decoded: dict[str, dict] = {}
                     for r in brow.trows:
                         ids = codec.decode_docids(bytes(r["doc_ids"]))
                         tfs = codec.decode_tfs(bytes(r["tfs"]))
-                        ids, tfs = _mask_tombs(ids, tfs, tombs)
+                        ids, tfs = _mask_tombs(ids, tfs, tombs, allow)
                         decoded[r["term"]] = {
                             "ids": ids,
                             # idf-free weights computed ONCE per (term,
@@ -546,9 +569,56 @@ class PackedQueryEngine:
 
         return packed_exec.search_packed(self, ast, k=k)
 
+    def _site_scoped(self, site: str) -> "PackedQueryEngine":
+        """A shallow clone whose doclens rows carry per-bucket ALLOW
+        arrays (doc ids whose url contains ``site``) — the Lucene-filter
+        semantics: scores stay the full-corpus BM25 (df/n_docs/avgdl
+        unchanged), candidates are restricted to the site BEFORE every
+        per-bucket top-k cut, so the filtered top-k is exact.
+
+        Scale shape: the allow table is one filtered docmeta projection
+        (at 10^12 docs a pruned scan of the url-indexed meta), grouped to
+        per-bucket arrays on the same merged grid as doclens; buckets
+        with no matching docs drop out of the INNER join entirely —
+        bucket pruning for free.  Composes with tombstones (a deleted
+        doc stays dead inside a site filter)."""
+        import copy
+
+        if self.mwidth is None:
+            raise ValueError(
+                "site-scoped search needs the bucket_width catalog "
+                "property (engine not built from_catalog?)"
+            )
+        allow = (
+            self.docmeta.filter(F.col("url").contains(site))
+            .select(
+                (F.col("doc_id") / F.lit(self.mwidth))
+                .cast("int").alias("bucket"),
+                "doc_id",
+            )
+            .groupBy("bucket")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("allow"))
+        )
+        clone = copy.copy(self)
+        clone.doclens_unscoped = self.doclens  # phrase dfs stay corpus-level
+        clone.doclens = self.doclens.join(allow, "bucket")
+        # the logical fallback would silently IGNORE the filter — better a
+        # loud error on the rare pre-pos-warehouse path than wrong results
+        clone.fallback = None
+        if hasattr(clone, "_n_buckets_cached"):
+            del clone._n_buckets_cached  # fewer buckets after pruning
+        return clone
+
     def search(self, query: str, k: int = 10, synonyms: bool = False,
                static_mode: bool = False,
-               dynamic_mode: bool = False) -> DataFrame:
+               dynamic_mode: bool = False,
+               site: str | None = None) -> DataFrame:
+        if site is not None:
+            if static_mode or dynamic_mode:
+                raise ValueError("site filter + parity modes unsupported")
+            return self._site_scoped(site).search(
+                query, k=k, synonyms=synonyms
+            )
         ast = compile_query(query, synonyms=synonyms)
         if static_mode or dynamic_mode:
             # heuristic-parity scoring invalidates the BM25-only WAND
@@ -616,11 +686,12 @@ class PackedQueryEngine:
                     start = int(brow.start)
                     dls = np.asarray(brow.dls, dtype=np.float64)
                     tombs = _bucket_tombs(brow)
+                    allow = _bucket_allow(brow)
                     by_key: dict[str, dict] = {}
                     for r in brow.trows:
                         ids = codec.decode_docids(bytes(r["doc_ids"]))
                         tfs = codec.decode_tfs(bytes(r["tfs"]))
-                        ids, tfs = _mask_tombs(ids, tfs, tombs)
+                        ids, tfs = _mask_tombs(ids, tfs, tombs, allow)
                         by_key[r["term"]] = {
                             "ids": ids,
                             "tfs": tfs,

@@ -54,6 +54,24 @@ def test_search_matches_engine(server):
     assert got == want
 
 
+def test_search_site_scoped(server):
+    """?site= restricts results to matching urls with unchanged scores
+    (plans/wand.py _site_scoped, Lucene-filter semantics)."""
+    base, engine = server
+    full = [(r["url"], round(r["score"], 9))
+            for r in engine.search("search engine",
+                                   k=engine.n_docs).collect()]
+    # pick the host of the top result as the site filter
+    import urllib.parse as up
+
+    host = up.urlparse(full[0][0]).netloc
+    code, body = _get(f"{base}/search?q=search+engine&k=5&site={host}")
+    assert code == 200
+    want = [x for x in full if host in x[0]][:5]
+    got = [(r["url"], round(r["score"], 9)) for r in body["results"]]
+    assert got == want and got
+
+
 def test_search_phrase_and_modes(server):
     base, engine = server
     code, body = _get(f"{base}/search?q=%22search+engine%22&k=3")
