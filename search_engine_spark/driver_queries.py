@@ -12062,6 +12062,152 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
 FROM lcps"""
 
 
+# ---------------------------------------------------------------------------
+# pre-retrieval QPP and BM25 parameter sweep
+# ---------------------------------------------------------------------------
+
+_BM25_GRID = [(0.9, 0.4), (1.2, 0.0), (1.2, 0.75), (2.0, 0.75)]
+
+
+def q_preret_qpp(spark, sf_dir):
+    """PRE-retrieval query-performance predictors (He & Ounis, SIGIR 2004;
+    Zhao, Scholer & Tsegay, ECIR 2008) — the difficulty estimates a
+    router computes BEFORE touching any posting list, the cheap
+    complement to the post-retrieval wig_qpp: per seed term its idf,
+    ICTF = ln(N_tokens / cf), and SCQ = (1 + ln(cf)) * idf (collection-
+    query similarity).  High-idf/high-SCQ terms predict easy queries;
+    flat ones predict ambiguity.
+
+    Scale shape: the term filter is pushed below BOTH aggregates (df
+    over tf, cf over the token scan), so only |seeds| rows survive each;
+    corpus totals are 1-row broadcasts; output is |seeds| rows.
+    """
+    toks = _tokens(spark, sf_dir)
+    seeds = toks.filter(F.col("term").isin(_IL_SEEDS))
+    df = seeds.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.count("*").alias("cf"),
+    )
+    nd = _docs(spark, sf_dir).agg(F.count("*").alias("_n"))
+    nt = toks.agg(F.count("*").alias("_t"))
+    idf = F.log(
+        (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    return (
+        df.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            _r4(idf).alias("idf"),
+            _r4(F.log(F.col("_t") / F.col("cf"))).alias("ictf"),
+            _r4((1.0 + F.log("cf")) * idf).alias("scq"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_PRERET_QPP = f"""WITH {_TOKS_SQL},
+seeds AS (SELECT * FROM toks
+          WHERE term IN ({", ".join(f"'{s}'" for s in sorted(_IL_SEEDS))})),
+df AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+       FROM seeds GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+nt AS (SELECT count(*) AS t FROM toks)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+       round(ln((nd.n - df + 0.5) / (df + 0.5) + 1.0), 4) AS idf,
+       round(ln(CAST(nt.t AS DOUBLE) / cf), 4) AS ictf,
+       round((1.0 + ln(cf)) * ln((nd.n - df + 0.5) / (df + 0.5) + 1.0), 4)
+         AS scq
+FROM df CROSS JOIN nd CROSS JOIN nt
+ORDER BY term"""
+
+
+def q_bm25_sweep(spark, sf_dir):
+    """BM25 (k1, b) parameter sweep — the tuning experiment every BM25
+    deployment runs (Robertson & Zaragoza 2009 §5 discuss exactly this
+    grid): the SAME tf/df/dl tables scored under {len(_BM25_GRID)}
+    parameter configurations in ONE plan (the config grid is a literal
+    cross join, so the expensive aggregates are computed once, not per
+    config), top-3 docs per configuration.
+
+    Scale shape: term filter below the tf agg; df/stats broadcast; the
+    grid cross-join multiplies only the |candidates| scored rows by
+    {len(_BM25_GRID)}; the cut is a per-config rank window over
+    candidate rows.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    tf = (
+        toks.filter(F.col("term").isin(_QL_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    grid = spark.createDataFrame(_BM25_GRID, ["k1", "b"])
+    idf = F.log(
+        (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    w = idf * (
+        F.col("tf") * (F.col("k1") + 1.0)
+        / (
+            F.col("tf")
+            + F.col("k1")
+            * (1.0 - F.col("b") + F.col("b") * F.col("dl") / F.col("_avgdl"))
+        )
+    )
+    win = Window.partitionBy("k1", "b").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("k1", "b", "doc_id")
+        .agg(_r4(F.sum(_r4(w))).alias("score"))
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("k1", "b", F.col("rank").cast("long").alias("rank"),
+                "doc_id", "score")
+        .orderBy("k1", "b", "rank")
+    )
+
+
+_BM25_GRID_VALUES = ", ".join(f"({k1}, {b})" for k1, b in _BM25_GRID)
+
+SQL_BM25_SWEEP = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks
+       WHERE term IN ('merge', 'join') GROUP BY term, doc_id),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+grid(k1, b) AS (VALUES {_BM25_GRID_VALUES}),
+scored AS (
+  SELECT g.k1, g.b, tf.doc_id,
+         round(sum(round(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * (g.k1 + 1.0))
+           / (tf.tf + g.k1 * (1.0 - g.b + g.b * dl.dl / stats.avgdl)),
+         4)), 4) AS score
+  FROM tf JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats CROSS JOIN grid g
+  GROUP BY g.k1, g.b, tf.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k1, b
+            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT k1, b, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM ranked WHERE rank <= 3 ORDER BY k1, b, rank"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -12218,4 +12364,6 @@ QUERIES = {
     "alpha_dcg": (q_alpha_dcg, SQL_ALPHA_DCG),
     "llr_collocations": (q_llr_collocations, SQL_LLR_COLLOCATIONS),
     "dict_frontcoding": (q_dict_frontcoding, SQL_DICT_FRONTCODING),
+    "preret_qpp": (q_preret_qpp, SQL_PRERET_QPP),
+    "bm25_sweep": (q_bm25_sweep, SQL_BM25_SWEEP),
 }
