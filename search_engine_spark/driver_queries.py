@@ -12208,6 +12208,488 @@ SELECT k1, b, CAST(rank AS BIGINT) AS rank, doc_id, score
 FROM ranked WHERE rank <= 3 ORDER BY k1, b, rank"""
 
 
+# ---------------------------------------------------------------------------
+# MaxScore pruning effectiveness (Turtle & Flood 1995)
+# ---------------------------------------------------------------------------
+
+_MS_QUERIES = [
+    ("data", "join", "merge"),
+    ("query", "spark", "hash"),
+    ("scan", "filter", "sort"),
+]
+_MS_K = 10
+
+
+def q_maxscore_prune_stats(spark, sf_dir):
+    """MaxScore pruning effectiveness (Turtle & Flood, IP&M 1995) — the
+    term-at-a-time dual of wand_prune_stats' document-at-a-time
+    block-max gate, and the other pruning family the engine's X1-X8 ISR
+    layer could adopt (reference `Indexer.hpp:165-306` scans posting
+    lists unpruned; SURVEY §2 X1/R3).  For each 3-term OR query: theta
+    = the k-th best exact rounded score; terms sort by their LIST max
+    score ascending; the NON-ESSENTIAL set is the longest prefix whose
+    cumulative max-score sum stays below theta, and any candidate doc
+    whose postings touch only non-essential lists is skipped without
+    scoring — lossless because its true score is bounded by that
+    cumulative sum (the pytest suite asserts every skipped doc scores
+    below theta).  One row per query: essential-term split, candidate
+    and skippable counts, skip fraction.
+
+    Scale shape: only the queries' posting lists are scanned (term
+    filter below the tf agg in `_scored`); list maxes aggregate
+    map-side to |terms| rows; theta is a K-row broadcast from a rank
+    window; the essential flag joins back to hits on (query, term) —
+    a |query·terms|-row broadcast; output is one row per query.
+    """
+    from pyspark.sql import Window
+
+    terms = sorted({t for q in _MS_QUERIES for t in q})
+    triples = spark.createDataFrame(
+        [(a, b, c, f"{a}+{b}+{c}") for a, b, c in _MS_QUERIES],
+        "t1 string, t2 string, t3 string, q string",
+    )
+    s = _scored(spark, sf_dir, terms).select(
+        "term", "doc_id", _r4("score").alias("s")
+    )
+    hits = s.join(
+        F.broadcast(triples),
+        (F.col("term") == F.col("t1"))
+        | (F.col("term") == F.col("t2"))
+        | (F.col("term") == F.col("t3")),
+    ).select("q", "term", "doc_id", "s")
+    doc_tot = hits.groupBy("q", "doc_id").agg(_r4(F.sum("s")).alias("tot"))
+    wk = Window.partitionBy("q").orderBy(
+        F.col("tot").desc(), F.col("doc_id").asc()
+    )
+    theta = (
+        doc_tot.withColumn("_r", F.row_number().over(wk))
+        .filter(F.col("_r") <= _MS_K)
+        .groupBy("q")
+        .agg(F.min("tot").alias("theta"))
+    )
+    tmax = hits.groupBy("q", "term").agg(F.max("s").alias("tmax"))
+    wt = (
+        Window.partitionBy("q")
+        .orderBy(F.col("tmax").asc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ess = (
+        tmax.join(F.broadcast(theta), "q")
+        .withColumn("cum", _r4(F.sum("tmax").over(wt)))
+        .withColumn("essential", F.col("cum") >= F.col("theta"))
+    )
+    n_ess = ess.groupBy("q").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum(F.when(F.col("essential"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_essential"),
+    )
+    doc_flag = (
+        hits.join(F.broadcast(ess.select("q", "term", "essential")),
+                  ["q", "term"])
+        .groupBy("q", "doc_id")
+        .agg(F.max(F.col("essential").cast("int")).alias("any_ess"))
+    )
+    agg = doc_flag.groupBy("q").agg(
+        F.count("*").cast("long").alias("n_candidates"),
+        F.sum(F.when(F.col("any_ess") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_skippable"),
+    )
+    return (
+        agg.join(F.broadcast(theta), "q")
+        .join(F.broadcast(n_ess), "q")
+        .select(
+            "q", "theta", "n_terms", "n_essential", "n_candidates",
+            "n_skippable",
+            _r4(F.col("n_skippable") / F.col("n_candidates"))
+            .alias("skip_pct"),
+        )
+        .orderBy("q")
+    )
+
+
+SQL_MAXSCORE_PRUNE_STATS = f"""WITH {_BM25_CORE_SQL},
+qs AS (
+  SELECT * FROM (VALUES ('data', 'join', 'merge', 'data+join+merge'),
+                        ('query', 'spark', 'hash', 'query+spark+hash'),
+                        ('scan', 'filter', 'sort', 'scan+filter+sort'))
+  AS t(t1, t2, t3, q)
+),
+hits AS (
+  SELECT qs.q, s.term, s.doc_id, round(s.score, 4) AS s
+  FROM scored s JOIN qs ON s.term IN (qs.t1, qs.t2, qs.t3)
+),
+doc_tot AS (
+  SELECT q, doc_id, round(sum(s), 4) AS tot FROM hits GROUP BY q, doc_id
+),
+theta AS (
+  SELECT q, min(tot) AS theta FROM (
+    SELECT q, tot, row_number() OVER (PARTITION BY q
+                   ORDER BY tot DESC, doc_id ASC) AS r
+    FROM doc_tot) WHERE r <= {_MS_K} GROUP BY q
+),
+tmax AS (SELECT q, term, max(s) AS tmax FROM hits GROUP BY q, term),
+ess AS (
+  SELECT t.q, t.term,
+         round(sum(t.tmax) OVER (PARTITION BY t.q
+               ORDER BY t.tmax ASC, t.term ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           >= th.theta AS essential
+  FROM tmax t JOIN theta th ON t.q = th.q
+),
+ness AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(CASE WHEN essential THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_essential
+  FROM ess GROUP BY q
+),
+docflag AS (
+  SELECT h.q, h.doc_id,
+         max(CASE WHEN e.essential THEN 1 ELSE 0 END) AS any_ess
+  FROM hits h JOIN ess e ON h.q = e.q AND h.term = e.term
+  GROUP BY h.q, h.doc_id
+),
+agg AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN any_ess = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_skippable
+  FROM docflag GROUP BY q
+)
+SELECT a.q, th.theta, n.n_terms, n.n_essential, a.n_candidates,
+       a.n_skippable,
+       round(CAST(a.n_skippable AS DOUBLE) / a.n_candidates, 4) AS skip_pct
+FROM agg a JOIN theta th ON a.q = th.q JOIN ness n ON a.q = n.q
+ORDER BY a.q"""
+
+
+# ---------------------------------------------------------------------------
+# click-graph random walk (Craswell & Szummer, SIGIR 2007)
+# ---------------------------------------------------------------------------
+
+_CW_Q = 20          # pseudo-query id: user_id % 20 (coclick's convention)
+_CW_SEEDS = [0, 1, 2, 3]
+_CW_TOPN = 3
+
+
+def q_click_walk(spark, sf_dir):
+    """Query→item relevance by a 3-step random walk on the click
+    bipartite graph (Craswell & Szummer, SIGIR 2007) — the
+    probabilistic generalisation of coclick_similarity's set Jaccard:
+    edges are click counts, transitions normalise per node
+    (P(q→i) = w/Σ_i w, P(i→q) = w/Σ_q w), and an item's score for a
+    seed query is the probability of arriving at it after
+    query→item→query→item.  The walk surfaces items never co-clicked
+    with the seed directly (two hops away through a shared neighbour
+    query), which is the point of the method.  Top-3 items per seed by
+    the rounded arrival probability with item-id tiebreak.
+
+    Determinism: every transition probability is the SAME int/int
+    division in both engines (exact identical doubles); only the final
+    per-(seed,item) path sum is order-dependent and it rounds to 4dp
+    before ranking.  Scale shape: degree tables are |Q|- and
+    |items|-row aggregates joined back on the edge key (broadcast here,
+    plain hash join at 10^12 edges); each step is one join keyed on the
+    shared node — the hot-node fan-out (an item clicked by q queries
+    multiplies paths by q) needs coclick's hot-key cap at web scale,
+    noted; the cut is a per-seed rank window.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.pmod(F.col("user_id"), F.lit(_CW_Q)).cast("long").alias("q"),
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    w = ev.groupBy("q", "item").agg(F.count("*").alias("w"))
+    qdeg = w.groupBy("q").agg(F.sum("w").alias("qd"))
+    ideg = w.groupBy("item").agg(F.sum("w").alias("idg"))
+    fwd = w.join(F.broadcast(qdeg), "q").select(
+        "q", "item", (F.col("w") / F.col("qd")).alias("p_qi")
+    )
+    bwd = w.join(F.broadcast(ideg), "item").select(
+        "q", "item", (F.col("w") / F.col("idg")).alias("p_iq")
+    )
+    s1 = fwd.filter(F.col("q").isin(_CW_SEEDS)).select(
+        F.col("q").alias("seed"), F.col("item").alias("i1"),
+        F.col("p_qi").alias("p1"),
+    )
+    s2 = (
+        s1.join(
+            bwd.select(F.col("item").alias("i1"), F.col("q").alias("q1"),
+                       "p_iq"),
+            "i1",
+        )
+        .groupBy("seed", "q1")
+        .agg(F.sum(F.col("p1") * F.col("p_iq")).alias("p2"))
+    )
+    s3 = (
+        s2.join(
+            fwd.select(F.col("q").alias("q1"), F.col("item").alias("i2"),
+                       "p_qi"),
+            "q1",
+        )
+        .groupBy("seed", F.col("i2").alias("item"))
+        .agg(_r4(F.sum(F.col("p2") * F.col("p_qi"))).alias("p3"))
+    )
+    wr = Window.partitionBy("seed").orderBy(
+        F.col("p3").desc(), F.col("item").asc()
+    )
+    return (
+        s3.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _CW_TOPN)
+        .select("seed", "item", "p3", "rank")
+        .orderBy("seed", "rank")
+    )
+
+
+SQL_CLICK_WALK = f"""WITH ev AS (
+  SELECT user_id % {_CW_Q} AS q,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE event_type = 'click'
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+w AS (SELECT q, item, count(*) AS w FROM ev GROUP BY q, item),
+qdeg AS (SELECT q, sum(w) AS qd FROM w GROUP BY q),
+ideg AS (SELECT item, sum(w) AS idg FROM w GROUP BY item),
+fwd AS (SELECT w.q, w.item, CAST(w.w AS DOUBLE) / qd.qd AS p_qi
+        FROM w JOIN qdeg qd ON w.q = qd.q),
+bwd AS (SELECT w.q, w.item, CAST(w.w AS DOUBLE) / idg.idg AS p_iq
+        FROM w JOIN ideg idg ON w.item = idg.item),
+s1 AS (SELECT q AS seed, item AS i1, p_qi AS p1 FROM fwd
+       WHERE q IN (0, 1, 2, 3)),
+s2 AS (
+  SELECT s1.seed, b.q AS q1, sum(s1.p1 * b.p_iq) AS p2
+  FROM s1 JOIN bwd b ON s1.i1 = b.item GROUP BY s1.seed, b.q
+),
+s3 AS (
+  SELECT s2.seed, f.item, round(sum(s2.p2 * f.p_qi), 4) AS p3
+  FROM s2 JOIN fwd f ON s2.q1 = f.q GROUP BY s2.seed, f.item
+),
+ranked AS (
+  SELECT seed, item, p3, row_number() OVER (PARTITION BY seed
+           ORDER BY p3 DESC, item ASC) AS rank
+  FROM s3
+)
+SELECT seed, item, p3, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_CW_TOPN} ORDER BY seed, rank"""
+
+
+# ---------------------------------------------------------------------------
+# exact paired sign-flip permutation test between two rankers
+# ---------------------------------------------------------------------------
+
+_SIG_SEEDS = ["data", "filter", "hash", "join", "merge", "query", "scan",
+              "spark"]
+_SIG_K = 10
+_SIG_MU = 200.0
+_SIG_ALPHA = 0.05
+
+
+def q_permutation_sigtest(spark, sf_dir):
+    """Exact paired sign-flip permutation test (Fisher; the standard
+    significance test for paired IR evaluation, Smucker et al., CIKM
+    2007) of ranker A (BM25) vs ranker B (Dirichlet query-likelihood,
+    mu=200) on 8 seed queries: per query the reciprocal rank of the
+    first relevant result (the mrr_map_eval label convention) under
+    each ranker, delta = RR_A - RR_B, and the p-value is the fraction
+    of all 2^8 = 256 sign assignments whose |mean signed delta| >= the
+    observed |mean delta| (two-sided, identity included, everything
+    compared on 4dp-rounded values so both engines count the same
+    patterns).  One row: per-ranker means, observed delta, exact
+    p-value, and the alpha=0.05 verdict.
+
+    Scale shape: the deltas table is |queries| rows built from two
+    term-pruned ranking plans (rank windows over the seeds' posting
+    lists only); the permutation grid is a literal 2^n-row range cross
+    joined against a broadcast of the deltas — 2^n·n rows, each sign
+    a pure bitmask test, aggregated map-side per pattern.  At
+    production query-set sizes (2^n infeasible) the same plan samples
+    B patterns via the Knuth multiplicative hash instead of
+    enumerating: a Monte-Carlo permutation test with identical
+    dataflow — the grid stays B·n rows, embarrassingly parallel.
+    """
+    from pyspark.sql import Window
+
+    seeds = sorted(_SIG_SEEDS)
+    n = len(seeds)
+
+    rel = (
+        F.pmod((F.col("doc_id") % _SPLIT_PRIME) * F.lit(2654435761), F.lit(4))
+        >= 2
+    ).cast("double")
+    wr = Window.partitionBy("seed").orderBy(
+        F.col("s").desc(), F.col("doc_id").asc()
+    )
+
+    def _rr(scored_df):
+        top = (
+            scored_df.withColumn("_r", F.row_number().over(wr))
+            .filter(F.col("_r") <= _SIG_K)
+            .withColumn("rel", rel)
+        )
+        return top.groupBy("seed").agg(
+            _r4(F.max(F.col("rel") / F.col("_r"))).alias("rr")
+        )
+
+    a = _scored(spark, sf_dir, seeds).select(
+        F.col("term").alias("seed"), "doc_id", _r4("score").alias("s")
+    )
+    rr_a = _rr(a).withColumnRenamed("rr", "rr_a")
+
+    toks = _tokens(spark, sf_dir).filter(F.col("term").isin(seeds))
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = _dl(spark, sf_dir)
+    tot = dl.agg(F.sum("dl").alias("_t"))
+    ctf = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    b = (
+        tf.join(F.broadcast(ctf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("term").alias("seed"),
+            "doc_id",
+            _r4(
+                F.log(
+                    (F.col("tf") + F.lit(_SIG_MU) * F.col("ctf") / F.col("_t"))
+                    / (F.col("dl") + F.lit(_SIG_MU))
+                )
+            ).alias("s"),
+        )
+    )
+    rr_b = _rr(b).withColumnRenamed("rr", "rr_b")
+
+    deltas = (
+        rr_a.join(rr_b, "seed")
+        .join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(s, i, 1 << i) for i, s in enumerate(seeds)],
+                    "seed string, idx int, mask long",
+                )
+            ),
+            "seed",
+        )
+        .select("seed", "rr_a", "rr_b",
+                (F.col("rr_a") - F.col("rr_b")).alias("delta"), "mask")
+    )
+    pats = spark.range(1 << n).select(F.col("id").alias("pat"))
+    signed = pats.crossJoin(F.broadcast(deltas)).select(
+        "pat",
+        F.when(F.col("pat").bitwiseAND(F.col("mask")) != 0,
+               -F.col("delta")).otherwise(F.col("delta")).alias("sd"),
+    )
+    means = signed.groupBy("pat").agg(
+        F.round(F.abs(F.avg("sd")), 4).alias("am")
+    )
+    obs = means.filter(F.col("pat") == 0).select(
+        F.col("am").alias("obs_am")
+    )
+    stats = deltas.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        _r4(F.avg("rr_a")).alias("mean_rr_a"),
+        _r4(F.avg("rr_b")).alias("mean_rr_b"),
+        _r4(F.avg("delta")).alias("mean_delta"),
+    )
+    p = (
+        means.crossJoin(F.broadcast(obs))
+        .agg(
+            _r4(
+                F.sum(F.when(F.col("am") >= F.col("obs_am"), 1).otherwise(0))
+                / F.count("*")
+            ).alias("p_value")
+        )
+    )
+    return (
+        stats.crossJoin(F.broadcast(p))
+        .select(
+            "n_queries", "mean_rr_a", "mean_rr_b", "mean_delta", "p_value",
+            F.when(F.col("p_value") < _SIG_ALPHA, 1).otherwise(0)
+            .cast("long").alias("significant"),
+        )
+    )
+
+
+SQL_PERMUTATION_SIGTEST = f"""WITH {_BM25_CORE_SQL},
+seeds AS (
+  SELECT seed, CAST(row_number() OVER (ORDER BY seed ASC) - 1 AS BIGINT)
+           AS idx
+  FROM (SELECT unnest(['data', 'filter', 'hash', 'join', 'merge', 'query',
+                       'scan', 'spark']) AS seed)
+),
+rel AS (
+  SELECT doc_id,
+         CASE WHEN ((doc_id % {_SPLIT_PRIME}) * 2654435761) % 4 >= 2
+              THEN 1.0 ELSE 0.0 END AS rel
+  FROM dl
+),
+rank_a AS (
+  SELECT s.term AS seed, s.doc_id,
+         row_number() OVER (PARTITION BY s.term
+           ORDER BY round(s.score, 4) DESC, s.doc_id ASC) AS r
+  FROM scored s JOIN seeds ON s.term = seeds.seed
+),
+rr_a AS (
+  SELECT a.seed, round(max(rel.rel / a.r), 4) AS rr_a
+  FROM rank_a a JOIN rel ON a.doc_id = rel.doc_id
+  WHERE a.r <= {_SIG_K} GROUP BY a.seed
+),
+tot AS (SELECT sum(dl) AS t FROM dl),
+ctf AS (SELECT tf.term, sum(tf.tf) AS ctf FROM tf
+        JOIN seeds ON tf.term = seeds.seed GROUP BY tf.term),
+rank_b AS (
+  SELECT tf.term AS seed, tf.doc_id,
+         row_number() OVER (PARTITION BY tf.term
+           ORDER BY round(ln((tf.tf + {_SIG_MU} * ctf.ctf / tot.t)
+                             / (dl.dl + {_SIG_MU})), 4) DESC,
+                    tf.doc_id ASC) AS r
+  FROM tf JOIN ctf ON tf.term = ctf.term
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot
+),
+rr_b AS (
+  SELECT b.seed, round(max(rel.rel / b.r), 4) AS rr_b
+  FROM rank_b b JOIN rel ON b.doc_id = rel.doc_id
+  WHERE b.r <= {_SIG_K} GROUP BY b.seed
+),
+deltas AS (
+  SELECT a.seed, a.rr_a, b.rr_b, a.rr_a - b.rr_b AS delta,
+         CAST(1 << s.idx AS BIGINT) AS mask
+  FROM rr_a a JOIN rr_b b ON a.seed = b.seed
+  JOIN seeds s ON a.seed = s.seed
+),
+pats AS (SELECT unnest(range(0, 1 << (SELECT count(*) FROM seeds)))
+           AS pat),
+means AS (
+  SELECT p.pat,
+         round(abs(avg(CASE WHEN (p.pat & d.mask) <> 0 THEN -d.delta
+                            ELSE d.delta END)), 4) AS am
+  FROM pats p CROSS JOIN deltas d GROUP BY p.pat
+),
+obs AS (SELECT am AS obs_am FROM means WHERE pat = 0),
+pv AS (
+  SELECT round(CAST(sum(CASE WHEN m.am >= o.obs_am THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 4) AS p_value
+  FROM means m CROSS JOIN obs o
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         round(avg(rr_a), 4) AS mean_rr_a,
+         round(avg(rr_b), 4) AS mean_rr_b,
+         round(avg(delta), 4) AS mean_delta
+  FROM deltas
+)
+SELECT st.n_queries, st.mean_rr_a, st.mean_rr_b, st.mean_delta,
+       pv.p_value,
+       CAST(CASE WHEN pv.p_value < {_SIG_ALPHA} THEN 1 ELSE 0 END AS BIGINT)
+         AS significant
+FROM st CROSS JOIN pv"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -12366,4 +12848,8 @@ QUERIES = {
     "dict_frontcoding": (q_dict_frontcoding, SQL_DICT_FRONTCODING),
     "preret_qpp": (q_preret_qpp, SQL_PRERET_QPP),
     "bm25_sweep": (q_bm25_sweep, SQL_BM25_SWEEP),
+    "maxscore_prune_stats": (q_maxscore_prune_stats,
+                             SQL_MAXSCORE_PRUNE_STATS),
+    "click_walk": (q_click_walk, SQL_CLICK_WALK),
+    "permutation_sigtest": (q_permutation_sigtest, SQL_PERMUTATION_SIGTEST),
 }
