@@ -12690,6 +12690,229 @@ SELECT st.n_queries, st.mean_rr_a, st.mean_rr_b, st.mean_delta,
 FROM st CROSS JOIN pv"""
 
 
+# ---------------------------------------------------------------------------
+# Rank-S shard selection (Kulkarni, Tigelaar, Hiemstra & Callan, CIKM 2012)
+# ---------------------------------------------------------------------------
+
+_RANKS_N = 40        # centralized-sample retrieval depth (redde's depth)
+_RANKS_B = 2.0       # vote decay base; 2 keeps every vote a dyadic rational
+
+
+def q_ranks_selection(spark, sf_dir):
+    """Rank-S resource selection (Kulkarni, Tigelaar, Hiemstra &
+    Callan, CIKM 2012) — the rank-based third of the shard-routing
+    trio: where cori_shards ranks shards by collection term statistics
+    and redde_selection by scaled sample-hit COUNTS, Rank-S weights
+    each centralized-sample hit by an exponentially DECAYING vote in
+    its sample rank, vote(r) = B^-r, so one hit at rank 1 outweighs
+    many hits deep in the ranking.  Same deterministic 1/8 sample and
+    BM25 sample retrieval as ReDDE (doc_id % 8 == 0, sample-scoped
+    stats); votes sum per shard (documents.source) and shards rank by
+    the vote total.
+
+    Determinism: B = 2 makes every vote 2^-r — a dyadic rational that
+    is EXACT in binary floating point, as are the per-shard sums (sums
+    of distinct powers of two at these depths), so no cross-engine
+    rounding enters before the final 4dp display rounding.  Scale
+    shape: identical to redde_selection — retrieval touches only the
+    sample index with the term filter below the tf agg; after the
+    top-40 cut everything is |shards|-sized.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    sample_ids = docs.filter(F.col("doc_id") % _REDDE_MOD == 0)
+    toks = _tokens(spark, sf_dir).join(sample_ids.select("doc_id"), "doc_id")
+    tf = (
+        toks.filter(F.col("term").isin(_QL_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("_n_docs"), F.avg("dl").alias("_avgdl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    wtop = Window.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    top = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "score",
+            bm25.idf_col(F.col("df"), F.col("_n_docs").cast("double"))
+            * bm25.weight_col(F.col("tf"), F.col("dl"), F.col("_avgdl")),
+        )
+        .groupBy("doc_id")
+        .agg(_r4(F.sum(_r4("score"))).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(_RANKS_N)
+        .withColumn("r", F.row_number().over(wtop))
+        .withColumn("vote", F.pow(F.lit(1.0 / _RANKS_B), F.col("r")))
+    )
+    w = Window.orderBy(F.col("ranks_score").desc(), F.col("shard").asc())
+    return (
+        top.join(docs, "doc_id")
+        .groupBy(F.col("source").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            _r4(F.sum("vote")).alias("ranks_score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .orderBy("rank")
+    )
+
+
+SQL_RANKS_SELECTION = f"""WITH
+docs AS (SELECT doc_id, source FROM documents),
+sample_ids AS (SELECT doc_id, source FROM docs
+               WHERE doc_id % {_REDDE_MOD} = 0),
+stoks AS (
+  SELECT t.doc_id, t.term FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text),
+                              '[^a-z0-9]+'), x -> x <> '')) AS term
+    FROM documents WHERE doc_id % {_REDDE_MOD} = 0) t
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM stoks
+       WHERE term IN ('merge', 'join') GROUP BY term, doc_id),
+dl AS (SELECT doc_id, count(*) AS dl FROM stoks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+top AS (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM (
+    SELECT doc_id, round(sum(round(score, 4)), 4) AS s FROM (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * (1.2 + 1.0))
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               AS score
+      FROM tf JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+    GROUP BY doc_id ORDER BY s DESC, doc_id ASC LIMIT {_RANKS_N})
+),
+votes AS (
+  SELECT d.source AS shard, count(*) AS n_hits,
+         round(sum(power(1.0 / {_RANKS_B}, t.r)), 4) AS ranks_score
+  FROM top t JOIN docs d ON t.doc_id = d.doc_id GROUP BY d.source
+)
+SELECT shard, CAST(n_hits AS BIGINT) AS n_hits, ranks_score,
+       CAST(row_number() OVER (ORDER BY ranks_score DESC, shard ASC)
+            AS BIGINT) AS rank
+FROM votes ORDER BY rank"""
+
+
+# ---------------------------------------------------------------------------
+# Joachims skip-above click preferences (KDD 2002)
+# ---------------------------------------------------------------------------
+
+_CP_SLOTS = 10       # SERP length: position = event_id % 10 + 1 (coec's rule)
+_CP_TOPN = 20
+
+
+def q_click_preferences(spark, sf_dir):
+    """Pairwise preference extraction from clicks — Joachims'
+    "Click > Skip Above" rule (KDD 2002), the training-data generator
+    for pairwise LTR that complements ltr_features' pointwise export:
+    within one user's impression list (position = the coec_model
+    event_id % 10 + 1 convention, an item's position = its earliest
+    viewed slot), a clicked item is preferred over every item the user
+    SAW at a better position but did not click.  Preferences aggregate
+    across users into (preferred, over, n_prefs) counts — exactly the
+    pair weights a RankNet/RankSVM trainer consumes — and the top
+    pairs are reported.
+
+    Scale shape: the pair generation is a per-user self-join bounded
+    by SERP length (≤ slots² pairs per impression — linear in the log,
+    never quadratic in the catalog); pair counts aggregate map-side
+    keyed on (preferred, over) with cardinality ≤ items²-observed; the
+    final cut is one rank window over that bounded aggregate.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "event_type",
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            (F.pmod(F.col("event_id"), F.lit(_CP_SLOTS)) + 1)
+            .cast("long").alias("pos"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("u", "item")
+        .agg(F.min("pos").alias("pos"))
+    )
+    clicked = (
+        ev.filter(F.col("event_type") == "click")
+        .select("u", "item")
+        .distinct()
+    )
+    v = views.join(
+        clicked.withColumn("_c", F.lit(1)), ["u", "item"], "left"
+    ).select("u", "item", "pos", F.coalesce("_c", F.lit(0)).alias("c"))
+    pref = v.filter(F.col("c") == 1).select(
+        "u", F.col("item").alias("preferred"), F.col("pos").alias("cpos")
+    )
+    skip = v.filter(F.col("c") == 0).select(
+        "u", F.col("item").alias("over"), F.col("pos").alias("spos")
+    )
+    pairs = (
+        pref.join(skip, "u")
+        .filter(F.col("spos") < F.col("cpos"))
+        .groupBy("preferred", "over")
+        .agg(F.count("*").cast("long").alias("n_prefs"))
+    )
+    w = Window.orderBy(
+        F.col("n_prefs").desc(), F.col("preferred").asc(),
+        F.col("over").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CP_TOPN)
+        .select("preferred", "over", "n_prefs", "rank")
+        .orderBy("rank")
+    )
+
+
+SQL_CLICK_PREFERENCES = f"""WITH ev AS (
+  SELECT event_type, user_id AS u,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         CAST(event_id % {_CP_SLOTS} + 1 AS BIGINT) AS pos
+  FROM events
+  WHERE event_type IN ('view', 'click')
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+views AS (
+  SELECT u, item, min(pos) AS pos FROM ev
+  WHERE event_type = 'view' GROUP BY u, item
+),
+clicked AS (SELECT DISTINCT u, item FROM ev WHERE event_type = 'click'),
+v AS (
+  SELECT views.u, views.item, views.pos,
+         CASE WHEN clicked.item IS NULL THEN 0 ELSE 1 END AS c
+  FROM views LEFT JOIN clicked
+    ON views.u = clicked.u AND views.item = clicked.item
+),
+pairs AS (
+  SELECT p.item AS preferred, s.item AS over, count(*) AS n_prefs
+  FROM v p JOIN v s ON p.u = s.u AND p.c = 1 AND s.c = 0
+   AND s.pos < p.pos
+  GROUP BY p.item, s.item
+),
+ranked AS (
+  SELECT preferred, over, CAST(n_prefs AS BIGINT) AS n_prefs,
+         row_number() OVER (ORDER BY n_prefs DESC, preferred ASC,
+                            over ASC) AS rank
+  FROM pairs
+)
+SELECT preferred, over, n_prefs, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_CP_TOPN} ORDER BY rank"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -12852,4 +13075,6 @@ QUERIES = {
                              SQL_MAXSCORE_PRUNE_STATS),
     "click_walk": (q_click_walk, SQL_CLICK_WALK),
     "permutation_sigtest": (q_permutation_sigtest, SQL_PERMUTATION_SIGTEST),
+    "ranks_selection": (q_ranks_selection, SQL_RANKS_SELECTION),
+    "click_preferences": (q_click_preferences, SQL_CLICK_PREFERENCES),
 }
