@@ -12913,6 +12913,243 @@ SELECT preferred, over, n_prefs, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {_CP_TOPN} ORDER BY rank"""
 
 
+# ---------------------------------------------------------------------------
+# query-flow graph next-query suggestion (Boldi et al., CIKM 2008)
+# ---------------------------------------------------------------------------
+
+_QF_MOD = 30         # pseudo-query id: props.k % 30
+_QF_GAP_S = 1800     # session gap, sessionize's 30 minutes
+_QF_TOPN = 2
+
+
+def q_query_flow(spark, sf_dir):
+    """Query-flow-graph suggestion mining (Boldi, Bonchi, Castillo,
+    Donato, Gionis & Vigna, CIKM 2008): the TEMPORAL reformulation
+    signal, complementary to coclick_similarity's click co-occurrence
+    and click_walk's graph diffusion — an edge q→q' counts how often a
+    user issued q' directly after q within one session (sessionize's
+    30-minute gap; the pseudo-query is props.k % 30).  Per source
+    query the top suggestions by edge weight, with the edge's relative
+    frequency w/out(q) — the transition probability a query-flow
+    random walk would use.
+
+    Determinism: session boundaries, adjacency, and counts are pure
+    integer/timestamp logic; the only division is count/count.  Scale
+    shape: one window over (user ORDER BY ts, event_id) builds session
+    ids and adjacency via lag/lead — exactly the sessionization
+    shuffle, nothing more; edges aggregate map-side keyed (q, q');
+    out-degrees are a |Q|-row broadcast; the cut is a per-source rank
+    window over the bounded edge table.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id", "ts", "event_id",
+            F.pmod(F.get_json_object("props", "$.k").cast("long"),
+                   F.lit(_QF_MOD)).alias("q"),
+        )
+        .filter(F.col("q").isNotNull())
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
+                > _QF_GAP_S
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sid = flagged.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    adj = (
+        sid.withColumn("next_q", F.lead("q").over(wu))
+        .withColumn("next_sid", F.lead("sid").over(wu))
+        .filter(
+            (F.col("next_sid") == F.col("sid"))
+            & (F.col("next_q") != F.col("q"))
+        )
+    )
+    edges = adj.groupBy("q", "next_q").agg(
+        F.count("*").cast("long").alias("w")
+    )
+    out = edges.groupBy("q").agg(F.sum("w").alias("out_total"))
+    wr = Window.partitionBy("q").orderBy(
+        F.col("w").desc(), F.col("next_q").asc()
+    )
+    return (
+        edges.join(F.broadcast(out), "q")
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _QF_TOPN)
+        .select(
+            "q",
+            F.col("next_q").alias("suggestion"),
+            "w",
+            F.col("out_total").cast("long").alias("out_total"),
+            _r4(F.col("w") / F.col("out_total")).alias("prob"),
+            "rank",
+        )
+        .orderBy("q", "rank")
+    )
+
+
+SQL_QUERY_FLOW = f"""WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % {_QF_MOD} AS q
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch(ts) - epoch(lag(ts) OVER w) > {_QF_GAP_S}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+adj AS (
+  SELECT q, lead(q) OVER w AS next_q, sid, lead(sid) OVER w AS next_sid
+  FROM sid WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+edges AS (
+  SELECT q, next_q, count(*) AS w FROM adj
+  WHERE next_sid = sid AND next_q <> q GROUP BY q, next_q
+),
+outd AS (SELECT q, sum(w) AS out_total FROM edges GROUP BY q),
+ranked AS (
+  SELECT e.q, e.next_q AS suggestion, CAST(e.w AS BIGINT) AS w,
+         CAST(o.out_total AS BIGINT) AS out_total,
+         round(CAST(e.w AS DOUBLE) / o.out_total, 4) AS prob,
+         row_number() OVER (PARTITION BY e.q
+           ORDER BY e.w DESC, e.next_q ASC) AS rank
+  FROM edges e JOIN outd o ON e.q = o.q
+)
+SELECT q, suggestion, w, out_total, prob, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_QF_TOPN} ORDER BY q, rank"""
+
+
+# ---------------------------------------------------------------------------
+# MinDist term-proximity ranking (Tao & Zhai, SIGIR 2007)
+# ---------------------------------------------------------------------------
+
+_TP_K = 10
+
+
+def q_term_proximity(spark, sf_dir):
+    """Proximity-boosted BM25 with the MinDist feature — Tao & Zhai
+    (SIGIR 2007) found the minimum pairwise distance between query-term
+    occurrences to be the single best proximity signal; the engine's
+    dynamic ranker computes the same spans natively (SURVEY §2 R4,
+    `Ranker.cpp` span features) and this is its oracle-checkable
+    relational twin.  For each 2-term query (wand_prune_stats' pairs)
+    and every doc matching BOTH terms: mindist = min |pos_a - pos_b|
+    over the two position lists, boost = 1/(1 + mindist) (a rational
+    kernel in place of the paper's log-exp pi so both engines compute
+    EXACT identical values — same monotone shape: 0.5 for adjacent
+    terms, → 0 as the pair drifts apart), final = bm25_a + bm25_b +
+    boost, top-10 per pair.
+
+    Scale shape: position lists reach the join only for the pairs'
+    terms (filter below the tf/position agg); the per-doc pairwise min
+    is tf_a·tf_b small-array work keyed by doc — the engine does it in
+    one merged positional pass, the relational twin as a doc-keyed
+    join; the cut is a per-pair rank window.
+    """
+    from pyspark.sql import Window
+
+    terms = sorted({t for p in _WAND_PAIRS for t in p})
+    pairs = spark.createDataFrame(
+        [(a, b, f"{a}+{b}") for a, b in _WAND_PAIRS],
+        "ta string, tb string, pair string",
+    )
+    toks = _tokens(spark, sf_dir).filter(F.col("term").isin(terms))
+    s = _scored(spark, sf_dir, terms).select(
+        "term", "doc_id", _r4("score").alias("s")
+    )
+    pa = toks.join(F.broadcast(pairs), F.col("term") == F.col("ta")).select(
+        "pair", "doc_id", F.col("pos").alias("pos_a")
+    )
+    pb = toks.join(F.broadcast(pairs), F.col("term") == F.col("tb")).select(
+        "pair", "doc_id", F.col("pos").alias("pos_b")
+    )
+    mind = (
+        pa.join(pb, ["pair", "doc_id"])
+        .groupBy("pair", "doc_id")
+        .agg(F.min(F.abs(F.col("pos_a") - F.col("pos_b")))
+             .cast("long").alias("mindist"))
+    )
+    sa = s.join(F.broadcast(pairs), F.col("term") == F.col("ta")).select(
+        "pair", "doc_id", F.col("s").alias("s_a")
+    )
+    sb = s.join(F.broadcast(pairs), F.col("term") == F.col("tb")).select(
+        "pair", "doc_id", F.col("s").alias("s_b")
+    )
+    w = Window.partitionBy("pair").orderBy(
+        F.col("final").desc(), F.col("doc_id").asc()
+    )
+    return (
+        mind.join(sa, ["pair", "doc_id"])
+        .join(sb, ["pair", "doc_id"])
+        .withColumn("boost", F.lit(1.0) / (F.lit(1.0) + F.col("mindist")))
+        .withColumn(
+            "final",
+            _r4(F.col("s_a") + F.col("s_b") + F.col("boost")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TP_K)
+        .select("pair", "doc_id", "mindist", _r4("boost").alias("boost"),
+                "final", "rank")
+        .orderBy("pair", "rank")
+    )
+
+
+SQL_TERM_PROXIMITY = f"""WITH {_BM25_CORE_SQL},
+pairs AS (
+  SELECT * FROM (VALUES ('data', 'join', 'data+join'),
+                        ('merge', 'query', 'merge+query'),
+                        ('spark', 'data', 'spark+data'))
+  AS t(ta, tb, pair)
+),
+pa AS (SELECT p.pair, t.doc_id, t.pos AS pos_a
+       FROM toks t JOIN pairs p ON t.term = p.ta),
+pb AS (SELECT p.pair, t.doc_id, t.pos AS pos_b
+       FROM toks t JOIN pairs p ON t.term = p.tb),
+mind AS (
+  SELECT pa.pair, pa.doc_id,
+         CAST(min(abs(pa.pos_a - pb.pos_b)) AS BIGINT) AS mindist
+  FROM pa JOIN pb ON pa.pair = pb.pair AND pa.doc_id = pb.doc_id
+  GROUP BY pa.pair, pa.doc_id
+),
+sa AS (SELECT p.pair, s.doc_id, round(s.score, 4) AS s_a
+       FROM scored s JOIN pairs p ON s.term = p.ta),
+sb AS (SELECT p.pair, s.doc_id, round(s.score, 4) AS s_b
+       FROM scored s JOIN pairs p ON s.term = p.tb),
+ranked AS (
+  SELECT m.pair, m.doc_id, m.mindist,
+         round(1.0 / (1.0 + m.mindist), 4) AS boost,
+         round(sa.s_a + sb.s_b + 1.0 / (1.0 + m.mindist), 4) AS final,
+         row_number() OVER (PARTITION BY m.pair
+           ORDER BY round(sa.s_a + sb.s_b + 1.0 / (1.0 + m.mindist), 4)
+                    DESC, m.doc_id ASC) AS rank
+  FROM mind m
+  JOIN sa ON m.pair = sa.pair AND m.doc_id = sa.doc_id
+  JOIN sb ON m.pair = sb.pair AND m.doc_id = sb.doc_id
+)
+SELECT pair, doc_id, mindist, boost, final, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {_TP_K} ORDER BY pair, rank"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -13077,4 +13314,6 @@ QUERIES = {
     "permutation_sigtest": (q_permutation_sigtest, SQL_PERMUTATION_SIGTEST),
     "ranks_selection": (q_ranks_selection, SQL_RANKS_SELECTION),
     "click_preferences": (q_click_preferences, SQL_CLICK_PREFERENCES),
+    "query_flow": (q_query_flow, SQL_QUERY_FLOW),
+    "term_proximity": (q_term_proximity, SQL_TERM_PROXIMITY),
 }
