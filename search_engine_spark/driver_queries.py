@@ -13150,6 +13150,220 @@ SELECT pair, doc_id, mindist, boost, final, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {_TP_K} ORDER BY pair, rank"""
 
 
+# ---------------------------------------------------------------------------
+# BM25+ lower-bounded ranking (Lv & Zhai, CIKM 2011)
+# ---------------------------------------------------------------------------
+
+_BMP_DELTA = 1.0
+_BMP_K = 10
+_BMP_SEED = "merge"
+
+
+def q_bm25_plus(spark, sf_dir):
+    """BM25+ (Lv & Zhai, CIKM 2011): plain BM25's tf normalisation
+    decays toward ZERO for very long documents, so a long doc that
+    genuinely contains the term can score below a short doc that does
+    not deserve it — BM25+ lower-bounds the tf component by adding a
+    constant delta (here 1.0) AFTER saturation, guaranteeing any
+    occurrence is worth at least idf·delta regardless of document
+    length.  Top-10 for one seed term under BM25+, reporting both
+    scores and the doc's rank under each function — rank_shift > 0
+    marks the long documents the lower bound rescues.
+
+    Scale shape: identical to every bm25_* entry — the seed's posting
+    list only (term filter below the tf agg), 1-row broadcast stats,
+    two rank windows over the same scored rows (no second scan), k-row
+    output.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir).filter(F.col("term") == _BMP_SEED)
+    tf = toks.groupBy("doc_id").agg(F.count("*").alias("tf"))
+    dl = _dl(spark, sf_dir)
+    stats = dl.agg(F.count("*").alias("_n"), F.avg("dl").alias("_avgdl"))
+    base = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(
+            F.broadcast(
+                tf.agg(F.count("*").alias("_df"))
+            )
+        )
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "sat",
+            F.col("tf") * (K1 + 1.0)
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("dl") / F.col("_avgdl"))
+            ),
+        )
+        .select(
+            "doc_id", "dl",
+            _r4(F.col("idf") * F.col("sat")).alias("bm25"),
+            _r4(F.col("idf") * (F.col("sat") + _BMP_DELTA)).alias(
+                "bm25_plus"
+            ),
+        )
+    )
+    w_plus = Window.orderBy(F.col("bm25_plus").desc(), F.col("doc_id").asc())
+    w_base = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        base.withColumn("rank", F.row_number().over(w_plus))
+        .withColumn("rank_bm25", F.row_number().over(w_base))
+        .filter(F.col("rank") <= _BMP_K)
+        .select(
+            "doc_id", F.col("dl").cast("long").alias("dl"), "bm25",
+            "bm25_plus", "rank",
+            F.col("rank_bm25").cast("long").alias("rank_bm25"),
+            (F.col("rank_bm25") - F.col("rank")).cast("long")
+            .alias("rank_shift"),
+        )
+        .orderBy("rank")
+    )
+
+
+SQL_BM25_PLUS = f"""WITH {_TOKS_SQL},
+tf AS (SELECT doc_id, count(*) AS tf FROM toks
+       WHERE term = '{_BMP_SEED}' GROUP BY doc_id),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfc AS (SELECT count(*) AS df FROM tf),
+base AS (
+  SELECT tf.doc_id, dl.dl,
+         ln((stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0) AS idf,
+         tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS sat
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats CROSS JOIN dfc
+),
+scored2 AS (
+  SELECT doc_id, dl, round(idf * sat, 4) AS bm25,
+         round(idf * (sat + {_BMP_DELTA}), 4) AS bm25_plus
+  FROM base
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY bm25_plus DESC, doc_id ASC) AS rank,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_bm25
+  FROM scored2
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, bm25, bm25_plus,
+       CAST(rank AS BIGINT) AS rank, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+       CAST(rank_bm25 - rank AS BIGINT) AS rank_shift
+FROM ranked WHERE rank <= {_BMP_K} ORDER BY rank"""
+
+
+# ---------------------------------------------------------------------------
+# term- vs doc-partitioned routing cost model (Moffat, Webber, Zobel &
+# Baeza-Yates, Inf. Retr. 2007)
+# ---------------------------------------------------------------------------
+
+_PC_SHARDS = 8
+_PC_TOPK = 10
+
+
+def q_partition_cost(spark, sf_dir):
+    """Distributed-index routing cost under the two classic
+    partitioning schemes (Moffat, Webber, Zobel & Baeza-Yates, Inf.
+    Retr. 2007) — the design decision behind the engine's A4
+    term-sharded dictionary (SURVEY §2 A4): per 3-term query,
+    DOC-partitioned fans out to ALL shards but each ships only its
+    local top-k (network = shards·k rows), while TERM-partitioned
+    touches only the shards owning the query's terms but must ship
+    WHOLE posting lists to the coordinator (network = sum of the
+    terms' df).  One row per query with both shard counts, both
+    transfer volumes, and which scheme moves less data.  The stand-in
+    term→shard partitioner is length(term) % shards so the oracle can
+    mirror it (production uses xxhash64 — functions/hashing.py).
+
+    Scale shape: df for the query terms comes from the term-filtered
+    tf aggregate (map-side, |terms| rows); everything after is
+    constant-size arithmetic per query.  The point of the entry IS the
+    scale story: term-partitioning's transfer grows with df (unbounded
+    in corpus size) while doc-partitioning's grows with shards·k
+    (constant per query) — why every web-scale engine doc-partitions,
+    exactly as the reference and this repo do.
+    """
+    terms = sorted({t for q in _MS_QUERIES for t in q})
+    triples = spark.createDataFrame(
+        [(a, b, c, f"{a}+{b}+{c}") for a, b, c in _MS_QUERIES],
+        "t1 string, t2 string, t3 string, q string",
+    )
+    df = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("term").isin(terms))
+        .groupBy("term", "doc_id")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .withColumn(
+            "shard",
+            F.pmod(F.length("term"), F.lit(_PC_SHARDS)).cast("long"),
+        )
+    )
+    hits = df.join(
+        F.broadcast(triples),
+        (F.col("term") == F.col("t1"))
+        | (F.col("term") == F.col("t2"))
+        | (F.col("term") == F.col("t3")),
+    )
+    return (
+        hits.groupBy("q")
+        .agg(
+            F.countDistinct("shard").cast("long").alias("term_shards"),
+            F.sum("df").cast("long").alias("term_transfer"),
+        )
+        .select(
+            "q",
+            "term_shards",
+            "term_transfer",
+            F.lit(_PC_SHARDS).cast("long").alias("doc_shards"),
+            F.lit(_PC_SHARDS * _PC_TOPK).cast("long").alias("doc_transfer"),
+            F.when(
+                F.col("term_transfer") < _PC_SHARDS * _PC_TOPK,
+                F.lit("term"),
+            ).otherwise(F.lit("doc")).alias("cheaper"),
+        )
+        .orderBy("q")
+    )
+
+
+SQL_PARTITION_COST = f"""WITH {_TOKS_SQL},
+qs AS (
+  SELECT * FROM (VALUES ('data', 'join', 'merge', 'data+join+merge'),
+                        ('query', 'spark', 'hash', 'query+spark+hash'),
+                        ('scan', 'filter', 'sort', 'scan+filter+sort'))
+  AS t(t1, t2, t3, q)
+),
+df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(length(term) % {_PC_SHARDS} AS BIGINT) AS shard
+  FROM toks
+  WHERE term IN ('data', 'join', 'merge', 'query', 'spark', 'hash',
+                 'scan', 'filter', 'sort')
+  GROUP BY term
+),
+hits AS (
+  SELECT qs.q, df.term, df.df, df.shard
+  FROM df JOIN qs ON df.term IN (qs.t1, qs.t2, qs.t3)
+)
+SELECT q,
+       CAST(count(DISTINCT shard) AS BIGINT) AS term_shards,
+       CAST(sum(df) AS BIGINT) AS term_transfer,
+       CAST({_PC_SHARDS} AS BIGINT) AS doc_shards,
+       CAST({_PC_SHARDS * _PC_TOPK} AS BIGINT) AS doc_transfer,
+       CASE WHEN sum(df) < {_PC_SHARDS * _PC_TOPK} THEN 'term'
+            ELSE 'doc' END AS cheaper
+FROM hits GROUP BY q ORDER BY q"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -13316,4 +13530,6 @@ QUERIES = {
     "click_preferences": (q_click_preferences, SQL_CLICK_PREFERENCES),
     "query_flow": (q_query_flow, SQL_QUERY_FLOW),
     "term_proximity": (q_term_proximity, SQL_TERM_PROXIMITY),
+    "bm25_plus": (q_bm25_plus, SQL_BM25_PLUS),
+    "partition_cost": (q_partition_cost, SQL_PARTITION_COST),
 }
