@@ -83,6 +83,20 @@ class Near(Phrase):
 
 
 @dataclass
+class Prefix(Expr):
+    """Prefix (trailing-wildcard) leaf: ``merg*`` — beyond-reference
+    surface (the reference grammar has no wildcards; Lucene-style
+    MultiTermQuery semantics).  The prefix matches INDEX TERMS (stems)
+    by string prefix — wildcard terms skip stemming, as in Lucene's
+    analysis chain — and the engine rewrites the leaf to an OR of the
+    highest-df matching terms before execution
+    (PackedQueryEngine._expand_prefixes), capped Lucene-style so a
+    1-character prefix cannot explode into a vocabulary-sized plan."""
+
+    prefix: str
+
+
+@dataclass
 class And(Expr):
     left: Expr
     right: Expr
@@ -160,6 +174,8 @@ def _leaf(token: str) -> Expr:
     if token.startswith(SYM_PHRASE):
         terms = [t for t in token[1:].split(" ") if t]
         return Phrase(terms)
+    if token.endswith("*") and len(token) > 1 and "*" not in token[:-1]:
+        return Prefix(token[:-1])
     return Word(token)
 
 
@@ -282,6 +298,11 @@ def optimize(expr: Expr | None, synonyms: bool = False) -> Expr | None:
         if len(expr.effective_stems) == 1:
             return Word(expr.effective_stems[0], expr.effective_stems[0])
         return expr
+    if isinstance(expr, Prefix):
+        # no stemming, no synonyms (Lucene: wildcard terms skip analysis);
+        # expansion to an OR of index terms happens engine-side where the
+        # dictionary lives (PackedQueryEngine._expand_prefixes)
+        return expr if expr.prefix else None
     if isinstance(expr, (And, Or)):
         left = optimize(expr.left, synonyms)
         right = optimize(expr.right, synonyms)

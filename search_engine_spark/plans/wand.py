@@ -39,7 +39,58 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_engine_spark.plans import bm25
-from search_engine_spark.plans.query_ast import And, Expr, Or, Word, compile_query
+from search_engine_spark.plans.query_ast import (
+    And, Expr, Not, Or, OrSyn, Prefix, Word, compile_query,
+)
+
+
+def _collect_prefixes(ast: Expr | None, acc: set[str]) -> None:
+    """Gather every Prefix leaf's prefix string into ``acc``."""
+    if ast is None:
+        return
+    if isinstance(ast, Prefix):
+        acc.add(ast.prefix)
+    elif isinstance(ast, (And, Or)):
+        _collect_prefixes(ast.left, acc)
+        _collect_prefixes(ast.right, acc)
+    elif isinstance(ast, Not):
+        _collect_prefixes(ast.child, acc)
+    elif isinstance(ast, OrSyn):
+        _collect_prefixes(ast.original, acc)
+        for s in ast.synonyms:
+            _collect_prefixes(s, acc)
+
+
+def _substitute_prefixes(ast: Expr | None,
+                         table: dict[str, list[str]]) -> Expr | None:
+    """Replace every Prefix leaf with an OR over its expansion terms.
+
+    A prefix that matched NO dictionary term becomes a dead leaf under
+    exactly optimize()'s collapse conventions (dead leaves are removable
+    noise: an op with one dead child collapses to the live child, a NOT
+    over a dead child dies) — so ``data zzzq*`` degrades to ``data``,
+    the same way an unknown/stopword term does, and a bare ``zzzq*``
+    yields the defined-empty result."""
+    if ast is None:
+        return None
+    if isinstance(ast, Prefix):
+        terms = table.get(ast.prefix, [])
+        if not terms:
+            return None
+        node: Expr = Word(terms[0], terms[0])
+        for t in terms[1:]:
+            node = Or(node, Word(t, t))
+        return node
+    if isinstance(ast, (And, Or)):
+        left = _substitute_prefixes(ast.left, table)
+        right = _substitute_prefixes(ast.right, table)
+        if left is not None and right is not None:
+            return type(ast)(left, right)
+        return left if left is not None else right
+    if isinstance(ast, Not):
+        child = _substitute_prefixes(ast.child, table)
+        return Not(child) if child is not None else None
+    return ast  # Word / Phrase / OrSyn (prefixes never nest inside OrSyn)
 
 
 # ---------------------------------------------------------------------------
@@ -358,6 +409,64 @@ class PackedQueryEngine:
             [], "doc_id long, score double, url string, title string"
         )
 
+    MAX_PREFIX_EXPANSIONS = 32
+
+    def _prefix_table(self, prefixes: list[str],
+                      max_expansions: int | None = None
+                      ) -> dict[str, list[str]]:
+        """ONE Spark job: for every prefix, the top-``max_expansions``
+        matching dictionary terms by global df (term-asc tiebreak) —
+        Lucene's MultiTermQuery rewrite cap, so a 1-character prefix can
+        never explode into a vocabulary-sized OR.
+
+        Scale shape: the dictionary projection is column-pruned to
+        (term, df) on the packed scan; the prefix list joins as a
+        BROADCAST (|prefixes| rows) with StartsWith, and term-sorted
+        parquet row groups skip on the term column's min/max — the Spark
+        analogue of the reference dictionary's ordered-scan range lookup
+        (SURVEY §2 A4).  The result is ≤ |prefixes|·cap rows collected
+        driver-side to rewrite the plan, like any dictionary lookup."""
+        from pyspark.sql import Window
+
+        cap = max_expansions or self.MAX_PREFIX_EXPANSIONS
+        pats = self.spark.createDataFrame(
+            [(p,) for p in sorted(prefixes)], "p string"
+        )
+        dic = self.packed.select("term", "df").filter(
+            ~F.col("term").startswith("@")
+        )
+        m = (
+            dic.join(F.broadcast(pats),
+                     F.col("term").startswith(F.col("p")))
+            .groupBy("p", "term")
+            .agg(F.max("df").alias("df"))
+        )
+        w = Window.partitionBy("p").orderBy(
+            F.col("df").desc(), F.col("term").asc()
+        )
+        rows = (
+            m.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= cap)
+            .select("p", "term", "_r")
+            .collect()
+        )
+        out: dict[str, list[str]] = {}
+        for r in sorted(rows, key=lambda r: (r["p"], r["_r"])):
+            out.setdefault(r["p"], []).append(r["term"])
+        return out
+
+    def _rewrite_prefixes(self, ast: Expr | None,
+                          max_expansions: int | None = None) -> Expr | None:
+        """Expand every Prefix leaf against the index dictionary; a no-op
+        (and no Spark job) when the tree has none."""
+        acc: set[str] = set()
+        _collect_prefixes(ast, acc)
+        if not acc:
+            return ast
+        return _substitute_prefixes(
+            ast, self._prefix_table(sorted(acc), max_expansions)
+        )
+
     def _n_buckets(self) -> int:
         """Merged-bucket count (doclens rows), cached — one tiny count job
         per engine lifetime, sets the kernel stage's task count."""
@@ -411,12 +520,29 @@ class PackedQueryEngine:
         phrase queries fall back to the logical executor per query.  The
         batch is total, nothing is silently dropped.
         """
-        plans: list[tuple[str, str, list[str]]] = []  # (query, mode, stems)
-        nonflat: list[tuple[str, Expr]] = []
+        asts: list[tuple[str, Expr]] = []
         for q in queries:
             ast = compile_query(q, synonyms=synonyms)
             if ast is None:
                 continue  # empty/stopword-only query: defined-empty result
+            asts.append((q, ast))
+        # prefix (trailing-wildcard) leaves: ONE shared dictionary-lookup
+        # job expands every prefix in the whole batch, keeping the O(1)
+        # jobs-per-batch contract
+        pref: set[str] = set()
+        for _, a in asts:
+            _collect_prefixes(a, pref)
+        if pref:
+            table = self._prefix_table(sorted(pref))
+            asts = [
+                (q, a2)
+                for q, a in asts
+                for a2 in (_substitute_prefixes(a, table),)
+                if a2 is not None
+            ]
+        plans: list[tuple[str, str, list[str]]] = []  # (query, mode, stems)
+        nonflat: list[tuple[str, Expr]] = []
+        for q, ast in asts:
             r = route(ast)
             if r is not None:
                 plans.append((q, r[0], r[1]))
@@ -620,6 +746,7 @@ class PackedQueryEngine:
                 query, k=k, synonyms=synonyms
             )
         ast = compile_query(query, synonyms=synonyms)
+        ast = self._rewrite_prefixes(ast)
         if static_mode or dynamic_mode:
             # heuristic-parity scoring invalidates the BM25-only WAND
             # bounds → the exhaustive executor is the correct engine
