@@ -165,6 +165,23 @@ def _engine_near_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix (trailing-wildcard) retrieval: ``w1*`` expands against the
+    packed dictionary into a capped OR of the highest-df matching terms
+    (plans/wand.py _prefix_table — Lucene MultiTermQuery rewrite) and
+    runs on the flat kernel, mixed with a NOT so the rewrite composes
+    with the anti-join membership.  Expansion ≡ explicit-OR rank
+    identity is enforced by tests/test_prefix_query.py; this entry
+    golden-checks the values end-to-end."""
+    from search_engine_spark.plans.wand import PackedQueryEngine
+
+    eng = PackedQueryEngine.from_catalog(_engine_catalog(spark))
+    return _check_golden(
+        "engine_prefix_topk",
+        eng.search("w1* - w2", k=10),
+    )
+
+
 def _engine_dynamic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic-parity ranking flow (SURVEY §2.7 R4/R5): static gate +
     rarest-term span features + synonym fallback + 0.75/0.25 final mix
@@ -245,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["engine_batch_search"] = _engine_batch_search
     out["engine_phrase_topk"] = _engine_phrase_topk
     out["engine_near_topk"] = _engine_near_topk
+    out["engine_prefix_topk"] = _engine_prefix_topk
     out["engine_dynamic_topk"] = _engine_dynamic_topk
     out["media_features"] = _media_features
     return out

@@ -49,7 +49,8 @@ def main() -> None:
     drifted = []
     for name in ("engine_bm25_topk", "engine_postings_sample",
                  "engine_batch_search", "engine_phrase_topk",
-                 "engine_near_topk", "engine_dynamic_topk"):
+                 "engine_near_topk", "engine_prefix_topk",
+                 "engine_dynamic_topk"):
         df = qs[name](spark, "/root/testdata/sf0.001")
         out[name] = {"columns": df.columns, "rows": snapshot(df)}
         if name in old and old[name] != json.loads(
