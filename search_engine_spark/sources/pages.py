@@ -225,7 +225,13 @@ def write_pages_parquet(path: str | Path, n_docs: int, seed: int = SEED,
         (n_docs, seed, lo, min(lo + batch, n_docs))
         for lo in range(0, n_docs, batch)
     ]
-    writer = pq.ParquetWriter(path, schema, compression="zstd")
+    # write-aside + atomic rename: a synthesis killed mid-write must never
+    # leave a footer-less parquet at the cache path (cached_pages trusts
+    # existence), so the final path only ever holds a COMPLETE file
+    import os
+
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    writer = pq.ParquetWriter(tmp, schema, compression="zstd")
     if processes is None:
         processes = min(16, mp.cpu_count(), max(1, len(ranges)))
     if processes > 1 and len(ranges) > 1:
@@ -236,6 +242,7 @@ def write_pages_parquet(path: str | Path, n_docs: int, seed: int = SEED,
         for r in ranges:
             writer.write_table(pa.Table.from_pylist(_gen_batch(r), schema=schema))
     writer.close()
+    os.replace(tmp, path)
     return path
 
 
