@@ -1774,7 +1774,7 @@ def q_sessionize(spark, sf_dir):
 SQL_SESSIONIZE = """WITH flagged AS (
   SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
-              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END
            AS new_session
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sid AS (
@@ -10805,8 +10805,9 @@ def q_query_abandonment(spark, sf_dir):
             F.when(
                 F.col("prev_ts").isNull()
                 | (
-                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
-                    > 1800
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                    > 1800 * 1_000_000
                 ),
                 1,
             ).otherwise(0),
@@ -10843,7 +10844,7 @@ def q_query_abandonment(spark, sf_dir):
 SQL_QUERY_ABANDONMENT = f"""WITH flagged AS (
   SELECT user_id, event_id, event_type, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END
            AS new_session
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sid AS (
@@ -11734,18 +11735,22 @@ def q_rfm_scores(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .filter(F.col("event_type") == "purchase")
     )
-    mx = p.agg(F.max(F.unix_timestamp("ts")).alias("_mx"))
+    mx = p.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_mx")
+    )
     per_user = (
         p.groupBy("user_id")
         .agg(
-            F.max(F.unix_timestamp("ts")).alias("_last"),
+            F.max(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+            ).alias("_last"),
             F.count("*").cast("long").alias("frequency"),
             F.sum("value").alias("_mon"),
         )
         .crossJoin(F.broadcast(mx))
         .select(
             "user_id",
-            F.floor((F.col("_mx") - F.col("_last")) / 86400)
+            F.floor((F.col("_mx") - F.col("_last")) / 86_400_000_000)
             .cast("long").alias("recency_days"),
             "frequency",
             _r4("_mon").alias("monetary"),
@@ -11775,13 +11780,13 @@ def q_rfm_scores(spark, sf_dir):
 
 
 SQL_RFM_SCORES = f"""WITH p AS (
-  SELECT user_id, epoch(ts) AS es, value FROM events
+  SELECT user_id, epoch_us(ts) AS es, value FROM events
   WHERE event_type = 'purchase'
 ),
 mx AS (SELECT max(es) AS mx FROM p),
 per_user AS (
   SELECT user_id,
-         CAST(floor((mx.mx - max(p.es)) / 86400) AS BIGINT)
+         CAST(floor((mx.mx - max(p.es)) / 86400000000) AS BIGINT)
            AS recency_days,
          count(*) AS frequency,
          round(sum(value), 4) AS monetary
@@ -12958,8 +12963,9 @@ def q_query_flow(spark, sf_dir):
         F.when(
             F.lag("ts").over(wu).isNull()
             | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(wu))
-                > _QF_GAP_S
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(wu).cast("timestamp"))
+                > _QF_GAP_S * 1_000_000
             ),
             1,
         ).otherwise(0),
@@ -13009,7 +13015,7 @@ SQL_QUERY_FLOW = f"""WITH ev AS (
 ),
 flagged AS (
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-                 OR epoch(ts) - epoch(lag(ts) OVER w) > {_QF_GAP_S}
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_QF_GAP_S * 1_000_000}
                  THEN 1 ELSE 0 END AS new_session
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
@@ -13364,6 +13370,172 @@ SELECT q,
 FROM hits GROUP BY q ORDER BY q"""
 
 
+# ---------------------------------------------------------------------------
+# pogo-sticking (short-click) quality signal
+# ---------------------------------------------------------------------------
+
+_POGO_S = 60      # a click followed by ANY next action within 60 s = pogo
+_POGO_MIN = 3     # report items with at least this many clicks
+
+
+def q_pogo_sticking(spark, sf_dir):
+    """Pogo-sticking rate per item — the classic dwell-time quality
+    signal (short clicks; cf. Joachims et al.'s "Accurately interpreting
+    clickthrough data", and industrial SAT-click thresholds): a click
+    whose user produces ANY next event within 60 s counts as a bounce
+    back to the results page, so items whose clicks are mostly short
+    are attracting clicks they do not satisfy (the complement of
+    coec_model's position-debiased attractiveness).  One row per item
+    with >= 3 clicks: click count, pogo count, pogo rate.
+
+    Determinism: dwell is integer epoch arithmetic over the
+    (user ORDER BY ts, event_id) window; the only division is
+    count/count.  Scale shape: ONE sessionization-shaped window
+    shuffle keyed by user (the same exchange sessionize/query_flow
+    use), then a map-side-combinable per-item aggregate — nothing
+    exceeds per-item cardinality at 10^12 events.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id", "ts", "event_id", "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.withColumn("next_ts", F.lead("ts").over(wu))
+    clicks = nxt.filter(
+        (F.col("event_type") == "click") & F.col("item").isNotNull()
+    ).withColumn(
+        "pogo",
+        F.when(
+            F.col("next_ts").isNotNull()
+            & (
+                F.unix_micros(F.col("next_ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+                <= _POGO_S * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        clicks.groupBy("item")
+        .agg(
+            F.count("*").cast("long").alias("n_clicks"),
+            F.sum("pogo").cast("long").alias("n_pogo"),
+        )
+        .filter(F.col("n_clicks") >= _POGO_MIN)
+        .select(
+            "item", "n_clicks", "n_pogo",
+            _r4(F.col("n_pogo") / F.col("n_clicks")).alias("pogo_rate"),
+        )
+        .orderBy(F.col("pogo_rate").desc(), F.col("item").asc())
+    )
+
+
+SQL_POGO_STICKING = f"""WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_ts
+  FROM events
+),
+clicks AS (
+  SELECT item,
+         CASE WHEN next_ts IS NOT NULL
+              AND epoch_us(next_ts) - epoch_us(ts) <= {_POGO_S * 1_000_000}
+              THEN 1 ELSE 0 END AS pogo
+  FROM ev WHERE event_type = 'click' AND item IS NOT NULL
+)
+SELECT item, CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(pogo) AS BIGINT) AS n_pogo,
+       round(CAST(sum(pogo) AS DOUBLE) / count(*), 4) AS pogo_rate
+FROM clicks GROUP BY item HAVING count(*) >= {_POGO_MIN}
+ORDER BY pogo_rate DESC, item ASC"""
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity of the link graph (Newman, PRL 2002)
+# ---------------------------------------------------------------------------
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Directed degree assortativity (Newman, PRL 2002/2003) of the
+    shared synthetic link graph (pagerank/hits' S6 LinkEmitter surface):
+    the Pearson correlation, over EDGES, between the source's out-degree
+    and the destination's in-degree.  Real web graphs are
+    disassortative (hubs point at low-degree pages); one number
+    summarises whether this crawl's link structure looks web-like —
+    a drift monitor a crawler QA stack recomputes per snapshot.
+
+    Determinism: degrees are integers, so every sum in the Pearson
+    formula (n·Σxy − Σx·Σy etc.) is an EXACT integer well inside the
+    2^53 double range; the only float ops are one sqrt (IEEE
+    correctly-rounded in both engines) and one division.  Scale shape:
+    two degree aggregates keyed by node, two edge joins keyed src/dst
+    (co-partitioned with the edge list), one 1-row global aggregate —
+    at 10^12 edges this is the Pregel-adjacent shape pagerank already
+    uses, with no iteration.
+    """
+    _, edges = _link_edges(spark, sf_dir)
+    outd = edges.groupBy("src").agg(F.count("*").alias("xd"))
+    ind = edges.groupBy("dst").agg(F.count("*").alias("yd"))
+    e = edges.join(outd, "src").join(ind, "dst")
+    agg = e.agg(
+        F.count("*").alias("m"),
+        F.sum("xd").alias("sx"),
+        F.sum("yd").alias("sy"),
+        F.sum(F.col("xd") * F.col("yd")).alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+        F.sum(F.col("yd") * F.col("yd")).alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("m").cast("long").alias("n_edges"),
+        _r4(F.col("sx") / F.col("m")).alias("mean_outdeg"),
+        _r4(F.col("sy") / F.col("m")).alias("mean_indeg"),
+        _r4(num / den).alias("assortativity"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""WITH
+nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id AS src, (rules.m * id + rules.b) % nn.n AS dst
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (VALUES {', '.join(f'({m}, {b})' for m, b in _PR_RULES)})
+      AS rules(m, b)
+  ) WHERE src <> dst
+),
+outd AS (SELECT src, count(*) AS xd FROM edges GROUP BY src),
+ind AS (SELECT dst, count(*) AS yd FROM edges GROUP BY dst),
+e AS (
+  SELECT outd.xd, ind.yd
+  FROM edges JOIN outd ON edges.src = outd.src
+  JOIN ind ON edges.dst = ind.dst
+),
+agg AS (
+  SELECT count(*) AS m, sum(xd) AS sx, sum(yd) AS sy,
+         sum(xd * yd) AS sxy, sum(xd * xd) AS sxx, sum(yd * yd) AS syy
+  FROM e
+)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       round(CAST(sx AS DOUBLE) / m, 4) AS mean_outdeg,
+       round(CAST(sy AS DOUBLE) / m, 4) AS mean_indeg,
+       round((m * sxy - sx * sy)
+             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                    * (m * syy - sy * sy)), 4) AS assortativity
+FROM agg"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -13532,4 +13704,7 @@ QUERIES = {
     "term_proximity": (q_term_proximity, SQL_TERM_PROXIMITY),
     "bm25_plus": (q_bm25_plus, SQL_BM25_PLUS),
     "partition_cost": (q_partition_cost, SQL_PARTITION_COST),
+    "pogo_sticking": (q_pogo_sticking, SQL_POGO_STICKING),
+    "degree_assortativity": (q_degree_assortativity,
+                             SQL_DEGREE_ASSORTATIVITY),
 }

@@ -56,7 +56,11 @@ def batch_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = gap_minutes * 60
+    # EXACT microsecond gap arithmetic — the same precision the streaming
+    # twin's state machine uses (gap_us), so batch ≡ stream holds at
+    # sub-second session boundaries too (unix_timestamp would TRUNCATE to
+    # seconds and merge a 1800.5 s gap the stream correctly splits)
+    gap_us = gap_minutes * 60 * 1_000_000
     with_flag = events.select(
         "user_id", "ts", "event_id", "value",
         F.lag("ts").over(w).alias("prev_ts"),
@@ -64,7 +68,11 @@ def batch_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "new_session",
         (
             F.col("prev_ts").isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap_s)
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                > gap_us
+            )
         ).cast("int"),
     )
     with_sid = with_flag.withColumn(

@@ -12,6 +12,16 @@ from search_engine_spark import driver_queries as DQ
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _usec(a, b):
+    """Exact microsecond difference — Spark unix_micros(b)-unix_micros(a)
+    / DuckDB epoch_us(b)-epoch_us(a) semantics (integer microseconds,
+    nothing truncated)."""
+    td = b - a
+    return (td.days * 86_400_000_000 + td.seconds * 1_000_000
+            + td.microseconds)
+
+
+
 def test_query_flow_matches_twin(spark):
     rows = duckdb.sql(
         f"""SELECT user_id, ts, event_id,
@@ -29,7 +39,7 @@ def test_query_flow_matches_twin(spark):
         prev_ts, sid = None, 0
         seq = []
         for ts, eid, q in lst:
-            if prev_ts is None or (ts - prev_ts).total_seconds() > DQ._QF_GAP_S:
+            if prev_ts is None or _usec(prev_ts, ts) > DQ._QF_GAP_S * 1_000_000:
                 sid += 1
             seq.append((sid, q))
             prev_ts = ts

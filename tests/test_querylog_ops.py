@@ -105,7 +105,9 @@ def test_abandonment_matches_python_twin(spark):
         cur = None
         prev_ts = None
         for ts, _eid, etype in evs:
-            if prev_ts is None or (ts - prev_ts).total_seconds() > 1800:
+            if prev_ts is None or ((ts - prev_ts).days * 86_400_000_000
+                       + (ts - prev_ts).seconds * 1_000_000
+                       + (ts - prev_ts).microseconds) > 1_800_000_000:
                 if cur:
                     sessions.append((uid, cur))
                 cur = []
