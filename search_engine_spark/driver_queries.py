@@ -13536,6 +13536,546 @@ SELECT CAST(m AS BIGINT) AS n_edges,
 FROM agg"""
 
 
+# ---------------------------------------------------------------------------
+# link reciprocity (Garlaschelli & Loffredo, PRL 2004)
+# ---------------------------------------------------------------------------
+
+
+def q_link_reciprocity(spark, sf_dir):
+    """Reciprocity of the directed link graph: the fraction of edges
+    whose reverse edge also exists (Garlaschelli & Loffredo, PRL 2004's
+    r = L_bidirectional / L).  Together with degree_assortativity this
+    is the second one-number structural drift monitor a crawler QA
+    stack recomputes per snapshot — real web graphs sit near r ~ 0.25
+    (links are mostly one-way), so a crawl whose reciprocity jumps is
+    mis-canonicalizing URLs or trapped in a forum.
+
+    Determinism: two integer counts and ONE division.  Scale shape: the
+    reverse-edge test is a self-semi-join on the (src, dst) key — the
+    edge list shuffles once on its own key, co-partitioned with itself;
+    at 10^12 edges this is a sort-merge semi-join with no skew beyond
+    the edge key's own distribution.
+    """
+    _, edges = _link_edges(spark, sf_dir)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = edges.join(rev, ["src", "dst"], "left_semi")
+    return (
+        edges.agg(F.count("*").alias("_ne"))
+        .crossJoin(F.broadcast(recip.agg(F.count("*").alias("_nr"))))
+        .select(
+            F.col("_ne").cast("long").alias("n_edges"),
+            F.col("_nr").cast("long").alias("n_reciprocal"),
+            _r4(F.col("_nr") / F.col("_ne")).alias("reciprocity"),
+        )
+    )
+
+
+SQL_LINK_RECIPROCITY = f"""WITH {_edges_sql()},
+r AS (
+  SELECT count(*) AS nr FROM edges e
+  WHERE EXISTS (SELECT 1 FROM edges x
+                WHERE x.src = e.dst AND x.dst = e.src)
+),
+t AS (SELECT count(*) AS ne FROM edges)
+SELECT CAST(ne AS BIGINT) AS n_edges,
+       CAST(nr AS BIGINT) AS n_reciprocal,
+       round(CAST(nr AS DOUBLE) / ne, 4) AS reciprocity
+FROM t CROSS JOIN r"""
+
+
+# ---------------------------------------------------------------------------
+# per-node local clustering coefficient (Watts-Strogatz)
+# ---------------------------------------------------------------------------
+
+
+def q_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient (Watts & Strogatz 1998)
+    over the undirected link graph: c_i = 2*t_i / (d_i*(d_i-1)) for
+    every node with degree >= 2, where t_i counts triangles through i.
+    Complements triangle_count's global (triangle, wedge) pair with the
+    node-level signal link-spam detectors threshold on (link farms are
+    near-cliques: c ~ 1 at high degree, where organic hubs have c ~ 0).
+
+    Reuses triangle_count's degree-ordered orientation so each triangle
+    is FOUND once (from its min-degree corner, bounding wedge fanout on
+    power-law hubs) and then credited to all three corners by exploding
+    the (u, v, w) triple — so t_i stays an exact integer and the only
+    float op per row is one division.  Scale shape: the wedge self-join
+    and closure semi-join are triangle_count's plan; the per-node credit
+    is one explode + hash aggregation keyed by node id.
+    """
+    _, edges = _link_edges(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    ).distinct()
+    deg = (
+        und.select(F.col("lo").alias("v"))
+        .unionAll(und.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    dl_ = deg.select(F.col("v").alias("lo"), F.col("deg").alias("deg_lo"))
+    dh_ = deg.select(F.col("v").alias("hi"), F.col("deg").alias("deg_hi"))
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        und.join(dl_, "lo")
+        .join(dh_, "hi")
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        )
+    )
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    wedges = oriented.join(
+        o2, (oriented["u"] == o2["u2"]) & (oriented["v"] < o2["w"])
+    ).select("u", "v", "w")
+    tri = wedges.join(
+        und,
+        (F.least("v", "w") == und["lo"]) & (F.greatest("v", "w") == und["hi"]),
+        "left_semi",
+    )
+    node_tri = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(node_tri, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_tri"),
+            _r4(
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1))
+            ).alias("local_cc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CLUSTERING_COEFF = f"""WITH {_edges_sql()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges
+),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT lo AS v FROM und UNION ALL SELECT hi AS v FROM und
+  ) GROUP BY v
+),
+oriented AS (
+  SELECT CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND und.lo < und.hi)
+         THEN und.lo ELSE und.hi END AS u,
+         CASE WHEN dl.deg < dh.deg OR (dl.deg = dh.deg AND und.lo < und.hi)
+         THEN und.hi ELSE und.lo END AS v
+  FROM und JOIN deg dl ON und.lo = dl.v JOIN deg dh ON und.hi = dh.v
+),
+wedges AS (
+  SELECT a.u AS u, a.v AS v, b.v AS w
+  FROM oriented a JOIN oriented b ON a.u = b.u AND a.v < b.v
+),
+tri AS (
+  SELECT * FROM wedges
+  WHERE EXISTS (SELECT 1 FROM und
+                WHERE und.lo = least(wedges.v, wedges.w)
+                  AND und.hi = greatest(wedges.v, wedges.w))
+),
+node_tri AS (
+  SELECT node AS v, count(*) AS t FROM (
+    SELECT unnest([u, v, w]) AS node FROM tri
+  ) GROUP BY node
+)
+SELECT deg.v AS doc_id, CAST(deg.deg AS BIGINT) AS degree,
+       CAST(coalesce(node_tri.t, 0) AS BIGINT) AS n_tri,
+       round(2.0 * coalesce(node_tri.t, 0)
+             / (deg.deg * (deg.deg - 1)), 4) AS local_cc
+FROM deg LEFT JOIN node_tri ON deg.v = node_tri.v
+WHERE deg.deg >= 2 ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# query reformulation classification (Lau & Horvitz, UM 1999)
+# ---------------------------------------------------------------------------
+
+
+def q_reformulation_types(spark, sf_dir):
+    """Classify consecutive in-session query transitions by term-set
+    relation (the Lau & Horvitz 1999 / Rieh & Xie taxonomy behind query
+    understanding dashboards): repeat (same query), specialization
+    (terms added), generalization (terms removed), substitution (terms
+    swapped, overlap kept), or new_task (no term overlap).  The query
+    log is query_flow's: pseudo-query id props.k % 30 inside
+    sessionize's 30-minute sessions; a query's synthetic TERM SET is
+    the 5-bit mask of (id + 1), so set relations are pure bitwise
+    integer tests ((a & b) = a <=> a's terms subset b's) — identical in
+    both engines, no string handling in the hot path to diverge on.
+
+    Determinism: bitmask tests and integer counts; the only division is
+    n/total.  Scale shape: ONE sessionization window shuffle keyed by
+    user (shared with sessionize/query_flow/pogo_sticking), then a
+    5-row map-side-combinable aggregate — bounded output regardless of
+    log size.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id", "ts", "event_id",
+            F.pmod(
+                F.get_json_object("props", "$.k").cast("long"),
+                F.lit(_QF_MOD),
+            ).alias("q"),
+        )
+        .filter(F.col("q").isNotNull())
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(wu).cast("timestamp"))
+                > _QF_GAP_S * 1_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sid = flagged.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    pairs = (
+        sid.withColumn("next_q", F.lead("q").over(wu))
+        .withColumn("next_sid", F.lead("sid").over(wu))
+        .filter(F.col("next_sid") == F.col("sid"))
+        .select(
+            (F.col("q") + 1).alias("a"), (F.col("next_q") + 1).alias("b")
+        )
+    )
+    ab = F.col("a").bitwiseAND(F.col("b"))
+    cls = (
+        F.when(F.col("a") == F.col("b"), F.lit("repeat"))
+        .when(ab == F.col("a"), F.lit("specialization"))
+        .when(ab == F.col("b"), F.lit("generalization"))
+        .when(ab != 0, F.lit("substitution"))
+        .otherwise(F.lit("new_task"))
+    )
+    counted = pairs.select(cls.alias("reform_class")).groupBy(
+        "reform_class"
+    ).agg(F.count("*").cast("long").alias("n"))
+    total = counted.agg(F.sum("n").alias("_tot"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "reform_class", "n",
+            _r4(F.col("n") / F.col("_tot")).alias("frac"),
+        )
+        .orderBy("reform_class")
+    )
+
+
+SQL_REFORMULATION_TYPES = f"""WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % {_QF_MOD} AS q
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+flagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                    > {_QF_GAP_S * 1_000_000}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS sid
+  FROM flagged
+),
+pairs AS (
+  SELECT a, b FROM (
+    SELECT q + 1 AS a,
+           lead(q) OVER w + 1 AS b,
+           sid,
+           lead(sid) OVER w AS next_sid
+    FROM sid WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE next_sid = sid
+),
+classed AS (
+  SELECT CASE WHEN a = b THEN 'repeat'
+              WHEN (a & b) = a THEN 'specialization'
+              WHEN (a & b) = b THEN 'generalization'
+              WHEN (a & b) <> 0 THEN 'substitution'
+              ELSE 'new_task' END AS reform_class
+  FROM pairs
+),
+counted AS (
+  SELECT reform_class, CAST(count(*) AS BIGINT) AS n
+  FROM classed GROUP BY reform_class
+)
+SELECT reform_class, n,
+       round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM counted), 4) AS frac
+FROM counted ORDER BY reform_class"""
+
+
+# ---------------------------------------------------------------------------
+# bpref evaluation (Buckley & Voorhees, SIGIR 2004)
+# ---------------------------------------------------------------------------
+
+
+def q_bpref_eval(spark, sf_dir):
+    """bpref (Buckley & Voorhees, SIGIR 2004) of the BM25 top-K pool
+    per query, under the same deterministic synthetic judgments
+    ndcg_eval/mrr_map_eval use (grade >= 2 is relevant; every pooled
+    doc is judged).  bpref = (1/R) * sum over relevant r of
+    (1 - min(nonrel_above_r, min(R,N)) / min(R,N)) — the preference
+    metric that stays stable under incomplete judgments, which is why
+    TREC reports it alongside MAP.  Conventions (trec_eval's):
+    R = 0 -> 0.0; N = 0 with R > 0 -> 1.0 (no judged nonrelevant to
+    rank above anything).
+
+    Determinism: the sum is computed as an INTEGER numerator
+    sum(min(R,N) - min(nonrel_above, min(R,N))) with ONE final division
+    by R*min(R,N), so there is no float accumulation to diverge on.
+    Scale shape: identical to mrr_map_eval — per-query rank windows
+    over the term-pruned _scored plan, then a |queries|-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, _NDCG_QS).filter(F.col("term").isin(_NDCG_QS))
+    w = Window.partitionBy("term").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc()
+    )
+    top = (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NDCG_K)
+        .withColumn(
+            "rel",
+            F.when(
+                F.pmod(
+                    (F.col("doc_id") % _SPLIT_PRIME) * F.lit(2654435761),
+                    F.lit(4),
+                )
+                >= 2,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    cw = (
+        Window.partitionBy("term")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pw = Window.partitionBy("term")
+    pool = (
+        top.withColumn("cum_rel", F.sum("rel").over(cw))
+        .withColumn("nonrel_above", F.col("rank") - F.col("cum_rel"))
+        .withColumn("r_tot", F.sum("rel").over(pw))
+        .withColumn("n_tot", F.count("*").over(pw) - F.col("r_tot"))
+        .withColumn("mrn", F.least("r_tot", "n_tot"))
+    )
+    return (
+        pool.groupBy("term")
+        .agg(
+            F.max("r_tot").cast("long").alias("n_rel"),
+            F.max("n_tot").cast("long").alias("n_nonrel"),
+            F.sum(
+                F.col("rel")
+                * (F.col("mrn") - F.least("nonrel_above", "mrn"))
+            ).alias("_num"),
+            F.max("mrn").alias("_mrn"),
+        )
+        .select(
+            "term", "n_rel", "n_nonrel",
+            F.when(F.col("n_rel") == 0, F.lit(0.0))
+            .when(F.col("_mrn") == 0, F.lit(1.0))
+            .otherwise(
+                _r4(F.col("_num") / (F.col("n_rel") * F.col("_mrn")))
+            )
+            .alias("bpref"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_BPREF_EVAL = f"""WITH {_BM25_CORE_SQL},
+top AS (
+  SELECT term, doc_id, rank,
+         CASE WHEN ((doc_id % {_SPLIT_PRIME}) * 2654435761) % 4 >= 2
+              THEN 1 ELSE 0 END AS rel
+  FROM (
+    SELECT term, doc_id, row_number() OVER (
+      PARTITION BY term ORDER BY round(score, 4) DESC, doc_id ASC) AS rank
+    FROM scored WHERE term IN ('merge', 'join', 'scan'))
+  WHERE rank <= {_NDCG_K}
+),
+pool AS (
+  SELECT term, rank, rel,
+         rank - sum(rel) OVER (PARTITION BY term ORDER BY rank
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS nonrel_above,
+         sum(rel) OVER (PARTITION BY term) AS r_tot,
+         count(*) OVER (PARTITION BY term)
+           - sum(rel) OVER (PARTITION BY term) AS n_tot,
+         least(sum(rel) OVER (PARTITION BY term),
+               count(*) OVER (PARTITION BY term)
+                 - sum(rel) OVER (PARTITION BY term)) AS mrn
+  FROM top
+)
+SELECT term,
+       CAST(max(r_tot) AS BIGINT) AS n_rel,
+       CAST(max(n_tot) AS BIGINT) AS n_nonrel,
+       CASE WHEN max(r_tot) = 0 THEN 0.0
+            WHEN max(mrn) = 0 THEN 1.0
+            ELSE round(CAST(sum(rel * (mrn - least(nonrel_above, mrn)))
+                            AS DOUBLE)
+                       / (max(r_tot) * max(mrn)), 4) END AS bpref
+FROM pool GROUP BY term ORDER BY term"""
+
+
+# ---------------------------------------------------------------------------
+# bow-tie decomposition of the link graph (Broder et al., WWW 2000)
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 8    # K-hop reachability horizon (both directions)
+
+
+def q_bowtie_structure(spark, sf_dir):
+    """Bow-tie decomposition (Broder et al., "Graph structure in the
+    web", WWW 2000) of the link graph, truncated at a _BT_ITERS-hop
+    horizon: from the seed (the max-in-degree node, ties -> smallest
+    id — a deterministic proxy for "a node in the giant SCC"), nodes
+    reachable FORWARD and BACKWARD within K hops form the 'scc' core,
+    backward-only is 'in', forward-only is 'out', and the rest is
+    'other' (tendrils + disconnected, which full Broder separates via
+    weak connectivity).  The K-hop truncation is what makes the result
+    a fixed dataflow both engines compute identically; at web scale
+    the same plan iterates to fixpoint with a convergence check
+    (new-frontier count = 0), K ~ log(diameter) rounds on a web graph.
+
+    Scale shape: each hop is one co-partitioned join of the frontier
+    set against the edge list plus a distinct keyed by node id — the
+    Pregel shape q_pagerank/q_bfs_hops use; the classification is two
+    left-semi flags and a 4-row aggregate.
+    """
+    with_n, edges = _link_edges(spark, sf_dir)
+    nodes = with_n.select("id")
+    ind = edges.groupBy("dst").agg(F.count("*").alias("cnt"))
+    seed1 = ind.agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("dst")).alias("neg"))).alias("s")
+    ).select((-F.col("s.neg")).alias("seed_id"))
+    fwd = nodes.join(
+        F.broadcast(seed1), nodes["id"] == seed1["seed_id"]
+    ).select("id")
+    bwd = fwd
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    for _ in range(_BT_ITERS):
+        fwd = (
+            fwd.unionAll(
+                fwd.join(edges, fwd["id"] == edges["src"]).select(
+                    F.col("dst").alias("id")
+                )
+            )
+            .distinct()
+        )
+        bwd = (
+            bwd.unionAll(
+                bwd.join(rev, bwd["id"] == rev["src"]).select(
+                    F.col("dst").alias("id")
+                )
+            )
+            .distinct()
+        )
+    f_flag = fwd.select("id", F.lit(1).alias("f"))
+    b_flag = bwd.select("id", F.lit(1).alias("b"))
+    classed = (
+        nodes.join(f_flag, "id", "left")
+        .join(b_flag, "id", "left")
+        .select(
+            F.when(
+                F.col("f").isNotNull() & F.col("b").isNotNull(), F.lit("scc")
+            )
+            .when(F.col("b").isNotNull(), F.lit("in"))
+            .when(F.col("f").isNotNull(), F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("component"),
+        )
+    )
+    counted = classed.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    total = counted.agg(F.sum("n_nodes").alias("_tot"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "component", "n_nodes",
+            _r4(F.col("n_nodes") / F.col("_tot")).alias("pct"),
+        )
+        .orderBy("component")
+    )
+
+
+def _bowtie_sql() -> str:
+    # Each f{t}/b{t} is referenced twice by the next round (and f/b{K}
+    # twice more by the classifier), so they are declared MATERIALIZED —
+    # DuckDB otherwise INLINES multi-referenced CTEs and the unrolled
+    # chain re-evaluates exponentially (2^K scans of the edge list).
+    parts = [f"""WITH {_edges_sql()},
+ind AS (SELECT dst, count(*) AS cnt FROM edges GROUP BY dst),
+seed AS (SELECT dst AS id FROM ind ORDER BY cnt DESC, dst ASC LIMIT 1),
+f0 AS (SELECT id FROM seed),
+b0 AS (SELECT id FROM seed)"""]
+    for t in range(1, _BT_ITERS + 1):
+        parts.append(
+            f""",
+f{t} AS MATERIALIZED (
+  SELECT id FROM f{t - 1}
+  UNION
+  SELECT e.dst AS id FROM f{t - 1} f JOIN edges e ON f.id = e.src
+),
+b{t} AS MATERIALIZED (
+  SELECT id FROM b{t - 1}
+  UNION
+  SELECT e.src AS id FROM b{t - 1} b JOIN edges e ON b.id = e.dst
+)"""
+        )
+    parts.append(
+        f""",
+classed AS (
+  SELECT CASE
+    WHEN EXISTS (SELECT 1 FROM f{_BT_ITERS} f WHERE f.id = nodes.id)
+     AND EXISTS (SELECT 1 FROM b{_BT_ITERS} b WHERE b.id = nodes.id)
+      THEN 'scc'
+    WHEN EXISTS (SELECT 1 FROM b{_BT_ITERS} b WHERE b.id = nodes.id)
+      THEN 'in'
+    WHEN EXISTS (SELECT 1 FROM f{_BT_ITERS} f WHERE f.id = nodes.id)
+      THEN 'out'
+    ELSE 'other' END AS component
+  FROM nodes
+),
+counted AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM classed GROUP BY component
+)
+SELECT component, n_nodes,
+       round(CAST(n_nodes AS DOUBLE) / (SELECT sum(n_nodes) FROM counted),
+             4) AS pct
+FROM counted ORDER BY component"""
+    )
+    return "".join(parts)
+
+
+SQL_BOWTIE_STRUCTURE = _bowtie_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -13707,4 +14247,9 @@ QUERIES = {
     "pogo_sticking": (q_pogo_sticking, SQL_POGO_STICKING),
     "degree_assortativity": (q_degree_assortativity,
                              SQL_DEGREE_ASSORTATIVITY),
+    "link_reciprocity": (q_link_reciprocity, SQL_LINK_RECIPROCITY),
+    "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
+    "reformulation_types": (q_reformulation_types, SQL_REFORMULATION_TYPES),
+    "bpref_eval": (q_bpref_eval, SQL_BPREF_EVAL),
+    "bowtie_structure": (q_bowtie_structure, SQL_BOWTIE_STRUCTURE),
 }
