@@ -14076,6 +14076,442 @@ FROM counted ORDER BY component"""
 SQL_BOWTIE_STRUCTURE = _bowtie_sql()
 
 
+# ---------------------------------------------------------------------------
+# Rank-biased precision (Moffat & Zobel, TOIS 2008)
+# ---------------------------------------------------------------------------
+
+_RBP_K = 10          # evaluation depth (same pool as ndcg/bpref)
+_RBP_PN, _RBP_PD = 4, 5   # persistence p = 4/5 = 0.8 as an exact rational
+
+
+def q_rbp_eval(spark, sf_dir):
+    """Rank-biased precision (Moffat & Zobel, TOIS 2008) of the BM25
+    top-K pool per query, with the residual that bounds what deeper
+    judging could add: RBP = (1-p)·Σ_i rel_i·p^(i-1), residual = p^K
+    (every rank ≤ K is judged here, so the residual is exactly the
+    truncation tail).  p = 0.8, the paper's recommended persistence for
+    web-style browsing; binary relevance from the same deterministic
+    synthetic judgments bpref/mrr use (grade ≥ 2 → relevant).
+
+    Determinism: p is the rational 4/5, so every term rel_i·p^(i-1) is
+    rel_i·4^(i-1)/5^(i-1); scaling by 5^(K-1) makes the sum a pure
+    INTEGER numerator Σ rel_i·4^(i-1)·5^(K-i) (< 10·5^9, safely int64;
+    the 4^a·5^b products are also exact in the double pow both engines
+    evaluate before the bigint cast).  One final division yields RBP —
+    no float accumulation at all.  Scale shape: identical to bpref —
+    per-query rank windows over the term-pruned _scored plan, then a
+    |queries|-row aggregate.
+
+    Reference parity: the reference ranks but never evaluates
+    (`engine/csolver/ranker.cpp` has no metric code); this extends R8's
+    top-k surface with the standard offline-measurement operator.
+    """
+    from pyspark.sql import Window
+
+    p = _RBP_PN / _RBP_PD
+    scale = _RBP_PD ** (_RBP_K - 1)
+    s = _scored(spark, sf_dir, _NDCG_QS).filter(F.col("term").isin(_NDCG_QS))
+    w = Window.partitionBy("term").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc()
+    )
+    top = (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RBP_K)
+        .withColumn(
+            "rel",
+            F.when(
+                F.pmod(
+                    (F.col("doc_id") % _SPLIT_PRIME) * F.lit(2654435761),
+                    F.lit(4),
+                )
+                >= 2,
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "w",
+            (
+                F.pow(F.lit(float(_RBP_PN)), F.col("rank") - 1)
+                * F.pow(F.lit(float(_RBP_PD)), F.lit(_RBP_K) - F.col("rank"))
+            ).cast("long"),
+        )
+    )
+    return (
+        top.groupBy("term")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel"),
+            F.sum(F.col("rel") * F.col("w")).alias("_num"),
+        )
+        .select(
+            "term", "n_rel",
+            _r4(
+                F.lit(1.0 - p) * F.col("_num") / F.lit(float(scale))
+            ).alias("rbp"),
+            F.round(F.lit(p ** _RBP_K), 4).alias("residual"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_RBP_EVAL = f"""WITH {_BM25_CORE_SQL},
+top AS (
+  SELECT term, rank,
+         CASE WHEN ((doc_id % {_SPLIT_PRIME}) * 2654435761) % 4 >= 2
+              THEN 1 ELSE 0 END AS rel,
+         CAST(pow({_RBP_PN}, rank - 1) * pow({_RBP_PD}, {_RBP_K} - rank)
+              AS BIGINT) AS w
+  FROM (
+    SELECT term, doc_id, row_number() OVER (
+      PARTITION BY term ORDER BY round(score, 4) DESC, doc_id ASC) AS rank
+    FROM scored WHERE term IN ('merge', 'join', 'scan'))
+  WHERE rank <= {_RBP_K}
+)
+SELECT term, CAST(sum(rel) AS BIGINT) AS n_rel,
+       round({1.0 - _RBP_PN / _RBP_PD} * sum(rel * w)
+             / {float(_RBP_PD ** (_RBP_K - 1))}, 4) AS rbp,
+       round({(_RBP_PN / _RBP_PD) ** _RBP_K}, 4) AS residual
+FROM top GROUP BY term ORDER BY term"""
+
+
+# ---------------------------------------------------------------------------
+# NQC post-retrieval query-performance prediction (Shtok et al. 2012)
+# ---------------------------------------------------------------------------
+
+_NQC_K = 10
+
+
+def q_nqc_qpp(spark, sf_dir):
+    """NQC — Normalized Query Commitment (Shtok, Kurland, Carmel &
+    Raiber, TOIS 2012), the post-retrieval QPP that reads the SPREAD of
+    the top-k scores where WIG reads their level: nqc =
+    stddev_pop(top-k scores) / mean(all candidate scores).  A peaked
+    head (high variance) predicts an effective query; a flat head says
+    the ranking failed to commit.  Same |q|=1 seeds as wig_qpp so the
+    two predictors are directly comparable per query.
+
+    Determinism: scores are rounded to 4 decimals then scaled to
+    INTEGERS (×10^4); Σs and Σs² over k=10 and the candidate-mean's Σ
+    are integer-exact, so nqc = n·sqrt(k·Σs² − (Σs)²) / (k·Σall) is
+    computed from identical integers in both engines with one sqrt and
+    one division at the very end.  Scale shape: only |seeds| posting
+    lists are scored; per-seed sums are map-side-combinable; the top-k
+    spread reads k rows from a rank window per seed.
+    """
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, _IL_SEEDS).select(
+        F.col("term").alias("seed"), "doc_id",
+        F.round(F.round("score", 4) * 10000).cast("long").alias("s4"),
+    )
+    w = Window.partitionBy("seed").orderBy(
+        F.col("s4").desc(), F.col("doc_id").asc()
+    )
+    ranked = s.withColumn("_r", F.row_number().over(w))
+    alls = ranked.groupBy("seed").agg(
+        F.count("*").cast("long").alias("n_cand"),
+        F.sum("s4").alias("_sa"),
+    )
+    tops = (
+        ranked.filter(F.col("_r") <= _NQC_K)
+        .groupBy("seed")
+        .agg(
+            F.count("*").cast("long").alias("_k"),
+            F.sum("s4").alias("_s1"),
+            F.sum(F.col("s4") * F.col("s4")).alias("_s2"),
+        )
+    )
+    return (
+        alls.join(tops, "seed")
+        .select(
+            "seed", "n_cand",
+            _r4(
+                F.sqrt(
+                    (F.col("_k") * F.col("_s2") - F.col("_s1") * F.col("_s1"))
+                    .cast("double")
+                )
+                * F.col("n_cand")
+                / (F.col("_k") * F.col("_sa"))
+            ).alias("nqc"),
+            _r4(F.col("_s1") / (F.col("_k") * 10000.0)).alias("mean_top"),
+        )
+        .orderBy("seed")
+    )
+
+
+SQL_NQC_QPP = f"""WITH {_BM25_CORE_SQL},
+ranked AS (
+  SELECT term AS seed, doc_id,
+         CAST(round(round(score, 4) * 10000) AS BIGINT) AS s4,
+         row_number() OVER (PARTITION BY term
+           ORDER BY CAST(round(round(score, 4) * 10000) AS BIGINT) DESC,
+                    doc_id ASC) AS r
+  FROM scored
+  WHERE term IN ('data', 'join', 'merge', 'query', 'spark')
+),
+alls AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_cand, sum(s4) AS sa
+         FROM ranked GROUP BY seed),
+tops AS (SELECT seed, CAST(count(*) AS BIGINT) AS k, sum(s4) AS s1,
+                sum(s4 * s4) AS s2
+         FROM ranked WHERE r <= {_NQC_K} GROUP BY seed)
+SELECT a.seed, a.n_cand,
+       round(sqrt(CAST(t.k * t.s2 - t.s1 * t.s1 AS DOUBLE)) * a.n_cand
+             / (t.k * a.sa), 4) AS nqc,
+       round(t.s1 / (t.k * 10000.0), 4) AS mean_top
+FROM alls a JOIN tops t ON a.seed = t.seed ORDER BY a.seed"""
+
+
+# ---------------------------------------------------------------------------
+# Co-citation + bibliographic coupling (Small 1973; Kessler 1963)
+# ---------------------------------------------------------------------------
+
+_COCITE_TOPK = 20
+
+
+def q_cocitation(spark, sf_dir):
+    """Co-citation (Small 1973) and bibliographic coupling (Kessler
+    1963) over the link graph — the two classic second-order link
+    similarities: pages cited TOGETHER are related (co-citation joins
+    on the citing page), pages citing the SAME targets are related
+    (coupling joins on the cited page).  Top-_COCITE_TOPK unordered
+    pairs by combined evidence, with both counts.
+
+    Determinism: pure integer self-joins and counts.  Scale shape: each
+    self-join keys on one endpoint, so cost is Σ deg² per key — bounded
+    here by the arithmetic graph's O(1) out-degree; on a real web graph
+    the standard guard is capping per-key degree before the self-join
+    (drop hubs above ~10³, exactly the adamic_adar/hot-cell pattern
+    used elsewhere in this catalog).  The pair aggregate is map-side
+    combinable; the cut is a distributed TakeOrdered, never a global
+    sort.
+
+    Reference parity: the reference's LinkEmitter side output
+    (`engine/parser/Parser.cpp` link frames) is the input this operator
+    mines; the reference itself never analyses its link graph.
+    """
+    _, edges = _link_edges(spark, sf_dir)
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    cocite = (
+        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+        .filter(F.col("e1.dst") < F.col("e2.dst"))
+        .groupBy(
+            F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("cocite"))
+    )
+    couple = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.dst"))
+        .filter(F.col("e1.src") < F.col("e2.src"))
+        .groupBy(
+            F.col("e1.src").alias("a"), F.col("e2.src").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("coupling"))
+    )
+    return (
+        cocite.join(couple, ["a", "b"], "full_outer")
+        .select(
+            "a", "b",
+            F.coalesce("cocite", F.lit(0)).cast("long").alias("cocite"),
+            F.coalesce("coupling", F.lit(0)).cast("long").alias("coupling"),
+        )
+        .withColumn("combined", F.col("cocite") + F.col("coupling"))
+        .orderBy(
+            F.col("combined").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+        .limit(_COCITE_TOPK)
+    )
+
+
+SQL_COCITATION = f"""WITH {_edges_sql()},
+cocite AS (
+  SELECT e1.dst AS a, e2.dst AS b, count(*) AS cocite
+  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY e1.dst, e2.dst
+),
+couple AS (
+  SELECT e1.src AS a, e2.src AS b, count(*) AS coupling
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+  GROUP BY e1.src, e2.src
+)
+SELECT coalesce(c.a, p.a) AS a, coalesce(c.b, p.b) AS b,
+       CAST(coalesce(c.cocite, 0) AS BIGINT) AS cocite,
+       CAST(coalesce(p.coupling, 0) AS BIGINT) AS coupling,
+       CAST(coalesce(c.cocite, 0) + coalesce(p.coupling, 0) AS BIGINT)
+         AS combined
+FROM cocite c FULL OUTER JOIN couple p ON c.a = p.a AND c.b = p.b
+ORDER BY combined DESC, a ASC, b ASC LIMIT {_COCITE_TOPK}"""
+
+
+# ---------------------------------------------------------------------------
+# Elias–Fano index-size model (Vigna, WSDM 2013 quasi-succinct indices)
+# ---------------------------------------------------------------------------
+
+
+def q_elias_fano_cost(spark, sf_dir):
+    """Elias–Fano posting-list size model (Vigna, "Quasi-succinct
+    indices", WSDM 2013 — the docid codec in PISA/modern engines),
+    rolled up by posting_histogram's power-of-two df buckets: a list of
+    n docids over universe U costs n·l lower bits + (n + (U >> l))
+    upper-bits unary, with l = max(0, ⌊log2(U/n)⌋) — within half a bit
+    of the information-theoretic minimum REGARDLESS of gap layout,
+    which is why it needs no gap window at all (contrast codec_cost,
+    whose varbyte/gamma totals depend on the actual gaps).  Output per
+    bucket: list count, postings, EF bits, and bits/posting — the
+    companion measurement to codec_cost for the A2 codec choice.
+
+    Determinism: l is computed as bitlen(U div n) − 1 via the same
+    length(bin(x)) string arithmetic codec_cost uses (⌊log2⌋ of the
+    integer quotient equals ⌊log2⌋ of the real quotient for quotients
+    ≥ 1, so no floating log on power-of-two boundaries); shifts are
+    exact double pow/floor below 2^53.  Scale shape: one pass over the
+    term_df aggregate (no positional data touched), a 1-row broadcast
+    for U, then a ≤64-row map-side-combinable rollup.
+    """
+    tf = _tf(spark, sf_dir)
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    u = _dl(spark, sf_dir).agg(F.count("*").cast("long").alias("u"))
+    bitlen = lambda c: F.length(F.bin(c))  # noqa: E731
+    lists = (
+        df.crossJoin(F.broadcast(u))
+        .withColumn("_q", F.floor(F.col("u") / F.col("df")).cast("long"))
+        .withColumn("l", (bitlen(F.col("_q")) - 1).cast("long"))
+        .withColumn(
+            "_hi",
+            F.floor(
+                F.col("u") / F.pow(F.lit(2.0), F.col("l"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "ef_bits", F.col("df") * F.col("l") + F.col("df") + F.col("_hi")
+        )
+        .withColumn("bucket", (bitlen(F.col("df")) - 1).cast("long"))
+    )
+    return (
+        lists.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_lists"),
+            F.sum("df").cast("long").alias("postings"),
+            F.sum("ef_bits").cast("long").alias("ef_bits"),
+        )
+        .withColumn(
+            "bits_per_posting", _r4(F.col("ef_bits") / F.col("postings"))
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_ELIAS_FANO_COST = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+u AS (SELECT count(DISTINCT doc_id) AS u FROM toks),
+lists AS (
+  SELECT df.df,
+         length(bin(CAST(df.u1 // df.df AS BIGINT))) - 1 AS l,
+         df.u1,
+         length(bin(CAST(df.df AS BIGINT))) - 1 AS bucket
+  FROM (SELECT df.term, df.df, u.u AS u1 FROM df CROSS JOIN u) df
+),
+sized AS (
+  SELECT bucket, df,
+         df * l + df + CAST(floor(u1 / pow(2, l)) AS BIGINT) AS ef_bits
+  FROM lists
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_lists,
+       CAST(sum(df) AS BIGINT) AS postings,
+       CAST(sum(ef_bits) AS BIGINT) AS ef_bits,
+       round(CAST(sum(ef_bits) AS DOUBLE) / sum(df), 4) AS bits_per_posting
+FROM sized GROUP BY bucket ORDER BY bucket"""
+
+
+# ---------------------------------------------------------------------------
+# Spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen, VLDB 2006)
+# ---------------------------------------------------------------------------
+
+
+def q_spam_mass(spark, sf_dir):
+    """Relative spam mass (Gyöngyi et al., "Link spam detection based on
+    mass estimation", VLDB 2006): the fraction of a page's PageRank NOT
+    accounted for by trusted sources, m(p) = (PR(p) − PR_trust(p)) /
+    PR(p), where PR_trust is the TrustRank vector (teleport restricted
+    to the seed set).  Pages whose rank comes mostly from outside the
+    trust neighbourhood are the link-spam suspects TrustRank alone only
+    implicitly demotes — spam mass makes the signal explicit and
+    thresholdable.  Output: every node with pr, tr, and spam_mass.
+
+    Determinism: both vectors are the already-hash-green pagerank /
+    trustrank iterations; the ratio is taken over the 8-decimal ROUNDED
+    vectors so both engines divide identical doubles (pr > 0 always via
+    the teleport term).  Scale shape: two Pregel-shaped iterate plans
+    over the same co-partitioned edge table plus one final co-keyed
+    join — nothing beyond what pagerank and trustrank already shuffle.
+    """
+    pr = q_pagerank(spark, sf_dir)
+    tr = q_trustrank(spark, sf_dir)
+    return (
+        pr.join(tr, "doc_id")
+        .select(
+            "doc_id", "pr", "tr",
+            _r4((F.col("pr") - F.col("tr")) / F.col("pr")).alias("spam_mass"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _spam_mass_sql() -> str:
+    """Unroll both power iterations in one WITH: pagerank's r*/c* chain
+    and trustrank's s*/d* chain share the nodes/nn/edges/deg CTEs."""
+    rules = ", ".join(f"({m}, {b})" for m, b in _PR_RULES)
+    parts = [
+        f"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id AS src, (rules.m * id + rules.b) % nn.n AS dst
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (VALUES {rules}) AS rules(m, b)
+  ) WHERE src <> dst
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn),
+seeds AS (
+  SELECT id, CASE WHEN id % {_BFS_SEED_MOD} = 0
+                  THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS t
+  FROM nodes
+),
+ns AS (SELECT sum(t) AS ns FROM seeds),
+base AS (SELECT id, t / ns.ns AS tele FROM seeds CROSS JOIN ns),
+s0 AS (SELECT id, tele, tele AS r FROM base)"""
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+c{t} AS (SELECT e.dst AS id, sum(r.r / e.deg) AS c
+         FROM r{t - 1} r JOIN e ON r.id = e.src GROUP BY e.dst),
+r{t} AS (SELECT nodes.id,
+                CAST({1.0 - _PR_DAMP} AS DOUBLE) / nn.n
+                + CAST({_PR_DAMP} AS DOUBLE) * coalesce(c{t}.c, 0) AS r
+         FROM nodes CROSS JOIN nn LEFT JOIN c{t} ON nodes.id = c{t}.id),
+d{t} AS (SELECT e.dst AS id, sum(s.r / e.deg) AS c
+         FROM s{t - 1} s JOIN e ON s.id = e.src GROUP BY e.dst),
+s{t} AS (SELECT base.id, base.tele,
+                CAST({1.0 - _PR_DAMP} AS DOUBLE) * base.tele
+                + CAST({_PR_DAMP} AS DOUBLE) * coalesce(d{t}.c, 0) AS r
+         FROM base LEFT JOIN d{t} ON base.id = d{t}.id)"""
+        )
+    parts.append(
+        f"""
+SELECT p.id AS doc_id, round(p.r, 8) AS pr, round(s.r, 8) AS tr,
+       round((round(p.r, 8) - round(s.r, 8)) / round(p.r, 8), 4)
+         AS spam_mass
+FROM r{_PR_ITERS} p JOIN s{_PR_ITERS} s ON p.id = s.id
+ORDER BY doc_id"""
+    )
+    return "".join(parts)
+
+
+SQL_SPAM_MASS = _spam_mass_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -14252,4 +14688,9 @@ QUERIES = {
     "reformulation_types": (q_reformulation_types, SQL_REFORMULATION_TYPES),
     "bpref_eval": (q_bpref_eval, SQL_BPREF_EVAL),
     "bowtie_structure": (q_bowtie_structure, SQL_BOWTIE_STRUCTURE),
+    "rbp_eval": (q_rbp_eval, SQL_RBP_EVAL),
+    "nqc_qpp": (q_nqc_qpp, SQL_NQC_QPP),
+    "cocitation": (q_cocitation, SQL_COCITATION),
+    "elias_fano_cost": (q_elias_fano_cost, SQL_ELIAS_FANO_COST),
+    "spam_mass": (q_spam_mass, SQL_SPAM_MASS),
 }
