@@ -14512,6 +14512,485 @@ ORDER BY doc_id"""
 SQL_SPAM_MASS = _spam_mass_sql()
 
 
+# ---------------------------------------------------------------------------
+# Skip-pointer cost model (Moffat & Zobel, TOIS 1996 self-indexing)
+# ---------------------------------------------------------------------------
+
+_SKIP_PAIRS = (("merge", "join"), ("hash", "join"),
+               ("scan", "filter"), ("dup", "join"))
+
+
+def q_skip_cost_model(spark, sf_dir):
+    """Skip-pointer cost model for conjunctive queries (Moffat & Zobel,
+    "Self-indexing inverted files for fast text retrieval", TOIS 1996)
+    — the analysis behind the reference's A3 skip tables
+    (`Posts.hpp:345-379` buckets postings exactly so seeks skip):
+    intersecting a short list of p postings against a long list of L
+    postings costs L+p decodes linearly; with skips every s postings it
+    costs ~ceil(L/s) skip reads + p·s within-block decodes, minimized
+    at s* = sqrt(L/p) giving ~2·sqrt(pL).  Per query pair: both df's,
+    the linear cost, the cost at the reference's fixed-bucket policy
+    s = ceil(sqrt(L)) (tuned for p=1 dictionary seeks), the
+    per-query-optimal cost, and both saving ratios vs the linear
+    merge.  The signs tell the story the literature tells: fixed
+    sqrt(L) skips LOSE on df-balanced ANDs (negative fixed_saving —
+    why engines fall back to a plain merge there) and only
+    p-adaptive skipping wins once df_short << df_long
+    (opt_saving > 0 on the asymmetric pair).
+
+    Determinism: all integer arithmetic — sqrt/ceil of integers are
+    correctly-rounded IEEE ops identical across engines, then cast to
+    BIGINT.  Scale shape: inputs are |pairs| rows of the df aggregate
+    (broadcast), output |pairs| rows — the model itself is free; it
+    exists to justify the physical layout choice, like codec_cost.
+    """
+    terms = sorted({t for p in _SKIP_PAIRS for t in p})
+    tf = _tokens(spark, sf_dir).filter(F.col("term").isin(terms)).groupBy(
+        "term", "doc_id"
+    ).agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in _SKIP_PAIRS], "qa string, qb string"
+    )
+    da = df.select(F.col("term").alias("qa"), F.col("df").alias("df_a"))
+    db = df.select(F.col("term").alias("qb"), F.col("df").alias("df_b"))
+    j = pairs.join(F.broadcast(da), "qa").join(F.broadcast(db), "qb")
+    p_, l_ = F.least("df_a", "df_b"), F.greatest("df_a", "df_b")
+    s = F.ceil(F.sqrt(l_.cast("double"))).cast("long")
+    skip_cost = (p_ * s + F.ceil(l_ / s)).cast("long")
+    opt_cost = F.ceil(
+        2.0 * F.sqrt((p_ * l_).cast("double"))
+    ).cast("long")
+    linear = (F.col("df_a") + F.col("df_b")).cast("long")
+    return j.select(
+        "qa", "qb", "df_a", "df_b",
+        linear.alias("linear_cost"),
+        s.alias("skip_len"),
+        skip_cost.alias("skip_cost"),
+        opt_cost.alias("opt_cost"),
+        _r4(F.lit(1.0) - skip_cost / linear).alias("fixed_saving"),
+        _r4(F.lit(1.0) - opt_cost / linear).alias("opt_saving"),
+    ).orderBy("qa", "qb")
+
+
+SQL_SKIP_COST_MODEL = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+pairs AS (SELECT * FROM (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _SKIP_PAIRS)}) AS t(qa, qb)),
+j AS (
+  SELECT p.qa, p.qb, a.df AS df_a, b.df AS df_b,
+         least(a.df, b.df) AS p_, greatest(a.df, b.df) AS l_
+  FROM pairs p JOIN df a ON p.qa = a.term JOIN df b ON p.qb = b.term
+),
+c AS (
+  SELECT qa, qb, df_a, df_b, p_, l_,
+         CAST(ceil(sqrt(CAST(l_ AS DOUBLE))) AS BIGINT) AS skip_len
+  FROM j
+)
+SELECT qa, qb, df_a, df_b,
+       CAST(df_a + df_b AS BIGINT) AS linear_cost, skip_len,
+       CAST(p_ * skip_len + ceil(CAST(l_ AS DOUBLE) / skip_len) AS BIGINT)
+         AS skip_cost,
+       CAST(ceil(2.0 * sqrt(CAST(p_ * l_ AS DOUBLE))) AS BIGINT)
+         AS opt_cost,
+       round(1.0 - (p_ * skip_len
+                    + ceil(CAST(l_ AS DOUBLE) / skip_len))
+                   / (df_a + df_b), 4) AS fixed_saving,
+       round(1.0 - CAST(ceil(2.0 * sqrt(CAST(p_ * l_ AS DOUBLE)))
+                        AS BIGINT) / (df_a + df_b), 4) AS opt_saving
+FROM c ORDER BY qa, qb"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (Wenzek et al., LREC 2020)
+# ---------------------------------------------------------------------------
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style quality partition (Wenzek et al., "CCNet: Extracting
+    high quality monolingual datasets from web crawl data", LREC 2020):
+    split the corpus into head / middle / tail thirds by LM
+    cross-entropy (unigram_logprob's per-doc score — CCNet uses a
+    wikipedia-trained KenLM; the partition logic is identical), the
+    standard first gate of a web-scale training-data pipeline.
+
+    Determinism: bucketing compares the 4-decimal ROUNDED xent against
+    exact-percentile thresholds computed FROM those rounded values —
+    the same interpolation arithmetic in both engines (the
+    length_filter pattern).  Scale shape: thresholds are a 1-ROW exact
+    percentile side plan broadcast into a narrow CASE — never an
+    ntile/percent_rank global-sort window; at 100 TB the same shape
+    holds with approx_percentile.
+    """
+    tf = _tf(spark, sf_dir)
+    ct = tf.groupBy("term").agg(F.sum("tf").alias("ct"))
+    tot = ct.agg(F.sum("ct").alias("_t"))
+    xent = (
+        tf.join(ct, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            _r4(
+                F.sum(F.col("tf") * -F.log(F.col("ct") / F.col("_t")))
+                / F.sum("tf")
+            ).alias("x4"),
+        )
+    )
+    thr = xent.agg(
+        F.expr(
+            "percentile(x4, array(0.3333333333333333, 0.6666666666666666))"
+        ).alias("q")
+    ).select(F.col("q")[0].alias("t1"), F.col("q")[1].alias("t2"))
+    bucketed = xent.crossJoin(F.broadcast(thr)).withColumn(
+        "bucket",
+        F.when(F.col("x4") <= F.col("t1"), F.lit("head"))
+        .when(F.col("x4") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("x4").alias("min_xent"),
+            F.max("x4").alias("max_xent"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_PERPLEXITY_BUCKETS = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+ct AS (SELECT term, sum(tf) AS ct FROM tf GROUP BY term),
+tot AS (SELECT sum(ct) AS t FROM ct),
+xent AS (
+  SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         round(sum(tf.tf * -ln(ct.ct / tot.t)) / sum(tf.tf), 4) AS x4
+  FROM tf JOIN ct ON tf.term = ct.term CROSS JOIN tot
+  GROUP BY tf.doc_id
+),
+thr AS (
+  SELECT quantile_cont(x4, 0.3333333333333333) AS t1,
+         quantile_cont(x4, 0.6666666666666666) AS t2
+  FROM xent
+)
+SELECT CASE WHEN x4 <= t1 THEN 'head'
+            WHEN x4 <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(x4) AS min_xent, max(x4) AS max_xent
+FROM xent CROSS JOIN thr
+GROUP BY 1 ORDER BY bucket"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al., 2021, §A1.1.1)
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 25, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_ALPHA_FRAC = 0.8
+_GOPHER_MIN_STOPS = 2
+
+
+def q_gopher_quality(spark, sf_dir):
+    """The Gopher document-quality rule set (Rae et al., "Scaling
+    language models: ... Gopher", 2021, appendix A1.1.1) — the named
+    filter battery most web-scale training corpora start from,
+    complementary to text_quality's raw signals: (1) word count within
+    [{min_w}, {max_w}] (the paper's 50 floor scaled to this corpus'
+    synthetic doc lengths), (2) mean word length within [3, 10],
+    (3) ≥ 80% of words contain an alphabetic character, (4) at least
+    2 stopword occurrences.  Output: per-doc rule booleans + the
+    overall keep flag, ordered by doc_id — the exact shape a pipeline
+    materializes to audit WHY a document was dropped.
+
+    Determinism: counts and integer-vs-constant comparisons only; the
+    two ratio rules compare integer numerators against integer-scaled
+    bounds (mwl·10·words, alpha·5·words) so no float division exists
+    at all.  Scale shape: one narrow map-side aggregate per doc over
+    the token stream; no joins, no windows.
+    """.format(min_w=_GOPHER_MIN_WORDS, max_w=_GOPHER_MAX_WORDS)
+    toks = _tokens(spark, sf_dir)
+    stops = [s.strip("'") for s in _EN_STOPS.strip("()").split(",")]
+    per = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.length("term")).cast("long").alias("_chars"),
+        F.sum(F.when(F.col("term").rlike("[a-z]"), 1).otherwise(0))
+        .cast("long").alias("_alpha"),
+        F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0))
+        .cast("long").alias("_stops"),
+    )
+    n = F.col("n_words")
+    rules = per.select(
+        "doc_id", "n_words",
+        ((n >= _GOPHER_MIN_WORDS) & (n <= _GOPHER_MAX_WORDS))
+        .alias("ok_words"),
+        (
+            (F.col("_chars") * 10 >= F.lit(int(_GOPHER_MIN_MWL * 10)) * n)
+            & (F.col("_chars") * 10 <= F.lit(int(_GOPHER_MAX_MWL * 10)) * n)
+        ).alias("ok_mean_len"),
+        (F.col("_alpha") * 5 >= n * 4).alias("ok_alpha"),
+        (F.col("_stops") >= _GOPHER_MIN_STOPS).alias("ok_stops"),
+    )
+    return rules.withColumn(
+        "keep",
+        F.col("ok_words") & F.col("ok_mean_len")
+        & F.col("ok_alpha") & F.col("ok_stops"),
+    ).orderBy("doc_id")
+
+
+SQL_GOPHER_QUALITY = f"""WITH {_TOKS_SQL},
+per AS (
+  SELECT doc_id, count(*) AS n_words,
+         sum(length(term)) AS chars,
+         sum(CASE WHEN regexp_matches(term, '[a-z]') THEN 1 ELSE 0 END)
+           AS alpha,
+         sum(CASE WHEN term IN {_EN_STOPS} THEN 1 ELSE 0 END) AS stops
+  FROM toks GROUP BY doc_id
+),
+rules AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         (n_words >= {_GOPHER_MIN_WORDS}
+          AND n_words <= {_GOPHER_MAX_WORDS}) AS ok_words,
+         (chars * 10 >= {int(_GOPHER_MIN_MWL * 10)} * n_words
+          AND chars * 10 <= {int(_GOPHER_MAX_MWL * 10)} * n_words)
+           AS ok_mean_len,
+         (alpha * 5 >= n_words * 4) AS ok_alpha,
+         (stops >= {_GOPHER_MIN_STOPS}) AS ok_stops
+  FROM per
+)
+SELECT doc_id, n_words, ok_words, ok_mean_len, ok_alpha, ok_stops,
+       (ok_words AND ok_mean_len AND ok_alpha AND ok_stops) AS keep
+FROM rules ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Filtered vector search: post-filter oversampling recall
+# ---------------------------------------------------------------------------
+
+_FANN_LABEL = 3
+_FANN_K = 10
+_FANN_OVERSAMPLE = (1, 2, 4, 8, 16)
+
+
+def q_filtered_ann(spark, sf_dir):
+    """Filtered vector search — top-k under a metadata predicate
+    (label = {lbl}), the shape every vector store must serve ("ANN
+    with filters").  The baseline strategy is POST-FILTERING an
+    oversampled unfiltered top-(m·k): cheap (reuses the unfiltered
+    index) but recall degrades with predicate selectivity.  This entry
+    measures exactly that: for each oversample factor m, recall@k of
+    post-filter-from-top-(m·k) against the exact predicate-constrained
+    top-k — the curve that tells a serving stack when post-filtering
+    stops being good enough and pre-filtered scan (or per-label IVF
+    routing) must take over.
+
+    Determinism: ranks on 4-decimal rounded cosine with vec_id
+    tiebreaks everywhere; recall is an integer overlap with one final
+    /k.  Scale shape: one scored scan feeds both rank windows; the m
+    sweep joins the (m·k)-row global heads against the k-row exact head
+    — all broadcast-sized; the only real work is the one distributed
+    cosine scan, shared by every m.
+    """.format(lbl=_FANN_LABEL)
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("e", "qv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label",
+            _r4(dot / (nrm("e") * nrm("qv"))).alias("cos"),
+        )
+    )
+    wg = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    ranked = scored.withColumn("grank", F.row_number().over(wg))
+    wf = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        scored.filter(F.col("label") == _FANN_LABEL)
+        .withColumn("frank", F.row_number().over(wf))
+        .filter(F.col("frank") <= _FANN_K)
+        .select("vec_id")
+    )
+    ms = spark.createDataFrame(
+        [(m,) for m in _FANN_OVERSAMPLE], "m long"
+    )
+    post = (
+        ranked.filter(F.col("label") == _FANN_LABEL)
+        .crossJoin(F.broadcast(ms))
+        .filter(F.col("grank") <= F.col("m") * _FANN_K)
+    )
+    wm = Window.partitionBy("m").orderBy("grank")
+    kept = post.withColumn("_r", F.row_number().over(wm)).filter(
+        F.col("_r") <= _FANN_K
+    )
+    hits = (
+        kept.join(F.broadcast(exact), "vec_id")
+        .groupBy("m")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    found = kept.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_post")
+    )
+    return (
+        ms.join(found, "m", "left")
+        .join(hits, "m", "left")
+        .select(
+            "m",
+            F.coalesce("n_post", F.lit(0)).cast("long").alias("n_post"),
+            _r4(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(float(_FANN_K))
+            ).alias("recall_at_k"),
+        )
+        .orderBy("m")
+    )
+
+
+SQL_FILTERED_ANN = f"""WITH emb AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (SELECT e AS qv FROM emb WHERE vec_id = 0),
+scored AS (
+  SELECT emb.vec_id, emb.label,
+         round(list_dot_product(emb.e, q.qv)
+               / (sqrt(list_dot_product(emb.e, emb.e))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos
+  FROM emb CROSS JOIN q WHERE emb.vec_id <> 0
+),
+ranked AS (
+  SELECT vec_id, label, cos,
+         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS grank
+  FROM scored
+),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS r
+    FROM scored WHERE label = {_FANN_LABEL}) WHERE r <= {_FANN_K}
+),
+ms AS (SELECT * FROM (VALUES {", ".join(f"({m})" for m in _FANN_OVERSAMPLE)}) AS t(m)),
+kept AS (
+  SELECT m, vec_id FROM (
+    SELECT ms.m, r.vec_id,
+           row_number() OVER (PARTITION BY ms.m ORDER BY r.grank) AS rr
+    FROM ranked r CROSS JOIN ms
+    WHERE r.label = {_FANN_LABEL} AND r.grank <= ms.m * {_FANN_K})
+  WHERE rr <= {_FANN_K}
+),
+found AS (SELECT m, count(*) AS n_post FROM kept GROUP BY m),
+hits AS (SELECT k.m, count(*) AS n_hits
+         FROM kept k JOIN exact e ON k.vec_id = e.vec_id GROUP BY k.m)
+SELECT ms.m AS m,
+       CAST(coalesce(found.n_post, 0) AS BIGINT) AS n_post,
+       round(coalesce(hits.n_hits, 0) / {float(_FANN_K)}, 4) AS recall_at_k
+FROM ms LEFT JOIN found ON ms.m = found.m
+LEFT JOIN hits ON ms.m = hits.m
+ORDER BY m"""
+
+
+# ---------------------------------------------------------------------------
+# Truncated harmonic centrality (Boldi & Vigna, Internet Math. 2014)
+# ---------------------------------------------------------------------------
+
+_HC_ITERS = 6    # hop horizon; every 1/d with d ≤ 6 divides 60 exactly
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality (Boldi & Vigna, "Axioms for centrality",
+    Internet Mathematics 2014 — the centrality they show satisfies all
+    three axioms, unlike closeness/betweenness) of the _BFS_SEED_MOD
+    seed sample, truncated at a _HC_ITERS-hop horizon: H(v) =
+    Σ_{{u: d(u,v) ≤ K}} 1/d(u,v), computed by a K-round BACKWARD
+    multi-source BFS (who can reach the seed, at what distance).
+
+    Determinism: distances are integers ≤ 6, and every 1/d with d ≤ 6
+    divides 1/60 evenly — so the sum is the INTEGER Σ (60/d) with one
+    final /60, no float accumulation (the same exact-rational trick as
+    rbp_eval).  Scale shape: Pregel-shaped frontier joins keyed on the
+    edge endpoint — identical to bfs_hops/bowtie — with the per-round
+    min-dist dedup as a map-side-combinable (seed, node) aggregate;
+    |seeds| stays O(N/_BFS_SEED_MOD), so state is bounded.
+    """
+    _, edges = _link_edges(spark, sf_dir)
+    seeds = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("seed"))
+        .filter(F.col("seed") % _BFS_SEED_MOD == 0)
+    )
+    reached = seeds.select(
+        "seed", F.col("seed").alias("id"), F.lit(0).alias("dist")
+    )
+    for t in range(1, _HC_ITERS + 1):
+        cand = (
+            reached.join(edges, reached["id"] == edges["dst"])
+            .select("seed", F.col("src").alias("id"), F.lit(t).alias("dist"))
+        )
+        reached = (
+            reached.unionByName(cand)
+            .groupBy("seed", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return (
+        reached.filter(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum((F.lit(60) / F.col("dist")).cast("long")).alias("_h60"),
+        )
+        .select(
+            "seed", "n_reached",
+            _r4(F.col("_h60") / F.lit(60.0)).alias("harmonic"),
+        )
+        .orderBy("seed")
+    )
+
+
+def _harmonic_sql() -> str:
+    parts = [f"""WITH {_edges_sql()},
+r0 AS (
+  SELECT doc_id AS seed, doc_id AS id, 0 AS dist FROM documents
+  WHERE doc_id % {_BFS_SEED_MOD} = 0
+)"""]
+    for t in range(1, _HC_ITERS + 1):
+        parts.append(
+            f""",
+r{t} AS MATERIALIZED (
+  SELECT seed, id, min(dist) AS dist FROM (
+    SELECT seed, id, dist FROM r{t - 1}
+    UNION ALL
+    SELECT r.seed, e.src AS id, {t} AS dist
+    FROM r{t - 1} r JOIN edges e ON r.id = e.dst
+  ) GROUP BY seed, id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+       round(sum(60 // dist) / 60.0, 4) AS harmonic
+FROM r{_HC_ITERS} WHERE dist > 0
+GROUP BY seed ORDER BY seed"""
+    )
+    return "".join(parts)
+
+
+SQL_HARMONIC_CENTRALITY = _harmonic_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -14693,4 +15172,10 @@ QUERIES = {
     "cocitation": (q_cocitation, SQL_COCITATION),
     "elias_fano_cost": (q_elias_fano_cost, SQL_ELIAS_FANO_COST),
     "spam_mass": (q_spam_mass, SQL_SPAM_MASS),
+    "skip_cost_model": (q_skip_cost_model, SQL_SKIP_COST_MODEL),
+    "perplexity_buckets": (q_perplexity_buckets, SQL_PERPLEXITY_BUCKETS),
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "filtered_ann": (q_filtered_ann, SQL_FILTERED_ANN),
+    "harmonic_centrality": (q_harmonic_centrality,
+                            SQL_HARMONIC_CENTRALITY),
 }
