@@ -14991,6 +14991,421 @@ GROUP BY seed ORDER BY seed"""
 SQL_HARMONIC_CENTRALITY = _harmonic_sql()
 
 
+# ---------------------------------------------------------------------------
+# Precision/recall@k (the Cranfield basics, trec_eval's P_k / recall_k)
+# ---------------------------------------------------------------------------
+
+
+def q_prec_rec_at_k(spark, sf_dir):
+    """Set-based precision@5 / precision@10 / recall@10 of the BM25
+    ranking per query — trec_eval's P_5/P_10/recall_10 rows, the
+    Cranfield numbers every other metric in this catalog refines.
+    Relevance is the same deterministic binary judgment bpref/mrr use;
+    R_total counts relevant docs among ALL the query's candidates (the
+    full judgment set, not just the pool), so recall@10 is a real
+    recall.
+
+    Determinism: integer cut-off counts with one division per metric.
+    Scale shape: per-query rank windows over the term-pruned _scored
+    plan plus one unpooled per-query relevant-count aggregate — both
+    map-side-combinable; output is |queries| rows.
+    """
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, _NDCG_QS).filter(F.col("term").isin(_NDCG_QS))
+    rel = F.when(
+        F.pmod(
+            (F.col("doc_id") % _SPLIT_PRIME) * F.lit(2654435761), F.lit(4)
+        )
+        >= 2,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy("term").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc()
+    )
+    ranked = s.withColumn("rank", F.row_number().over(w)).withColumn(
+        "rel", rel
+    )
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel_total"),
+            F.sum(F.when(F.col("rank") <= 5, F.col("rel")).otherwise(0))
+            .cast("long").alias("_r5"),
+            F.sum(F.when(F.col("rank") <= 10, F.col("rel")).otherwise(0))
+            .cast("long").alias("_r10"),
+        )
+        .select(
+            "term", "n_rel_total",
+            _r4(F.col("_r5") / 5.0).alias("p_at_5"),
+            _r4(F.col("_r10") / 10.0).alias("p_at_10"),
+            _r4(F.col("_r10") / F.col("n_rel_total")).alias("recall_at_10"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_PREC_REC_AT_K = f"""WITH {_BM25_CORE_SQL},
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term
+           ORDER BY round(score, 4) DESC, doc_id ASC) AS rank,
+         CASE WHEN ((doc_id % {_SPLIT_PRIME}) * 2654435761) % 4 >= 2
+              THEN 1 ELSE 0 END AS rel
+  FROM scored WHERE term IN ('merge', 'join', 'scan')
+)
+SELECT term, CAST(sum(rel) AS BIGINT) AS n_rel_total,
+       round(sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / 5.0, 4)
+         AS p_at_5,
+       round(sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) / 10.0, 4)
+         AS p_at_10,
+       round(CAST(sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) AS DOUBLE)
+             / sum(rel), 4) AS recall_at_10
+FROM ranked GROUP BY term ORDER BY term"""
+
+
+# ---------------------------------------------------------------------------
+# 11-point interpolated precision-recall curve (TREC / Salton)
+# ---------------------------------------------------------------------------
+
+_PR_LEVELS = tuple(i / 10 for i in range(11))
+
+
+def q_interp_pr_curve(spark, sf_dir):
+    """The classic 11-point interpolated precision-recall curve
+    (Salton's convention, reported by trec_eval as ircl_prn.0.00 …
+    1.00): at each recall level r ∈ {0.0, 0.1, …, 1.0}, the
+    interpolated precision max{P(i) : R(i) ≥ r} over the FULL ranking
+    (P(i) = relevant-in-top-i / i, R(i) = relevant-in-top-i / R).
+    Averaged over the query set — the curve behind every textbook PR
+    plot, and still the honest way to compare rankers at a chosen
+    operating recall.
+
+    Determinism: P(i) and R(i) are single divisions of integers, so
+    both engines hold identical doubles; max/avg over identical
+    doubles agree; one final round.  Scale shape: one cumulative-sum
+    rank window per query (the mrr/map shape), then an 11-row level
+    table joined BROADCAST against the per-rank points — the max-per
+    -level aggregate is map-side-combinable; output is 11 rows.
+    """
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, _NDCG_QS).filter(F.col("term").isin(_NDCG_QS))
+    rel = F.when(
+        F.pmod(
+            (F.col("doc_id") % _SPLIT_PRIME) * F.lit(2654435761), F.lit(4)
+        )
+        >= 2,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy("term").orderBy(
+        F.round("score", 4).desc(), F.col("doc_id").asc()
+    )
+    cw = (
+        Window.partitionBy("term")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pw = Window.partitionBy("term")
+    pts = (
+        s.withColumn("rank", F.row_number().over(w))
+        .withColumn("rel", rel)
+        .withColumn("cum", F.sum("rel").over(cw))
+        .withColumn("rtot", F.sum("rel").over(pw))
+        .select(
+            "term",
+            (F.col("cum") / F.col("rank")).alias("p"),
+            (F.col("cum") / F.col("rtot")).alias("r"),
+        )
+    )
+    levels = spark.createDataFrame(
+        [(lv,) for lv in _PR_LEVELS], "level double"
+    )
+    per_q = (
+        pts.join(F.broadcast(levels), pts["r"] >= levels["level"])
+        .groupBy("term", "level")
+        .agg(F.max("p").alias("ip"))
+    )
+    return (
+        per_q.groupBy("level")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            _r4(F.avg("ip")).alias("interp_prec"),
+        )
+        .orderBy("level")
+    )
+
+
+SQL_INTERP_PR_CURVE = f"""WITH {_BM25_CORE_SQL},
+pts AS (
+  SELECT term,
+         CAST(sum(rel) OVER cum AS DOUBLE) / rank AS p,
+         CAST(sum(rel) OVER cum AS DOUBLE)
+           / sum(rel) OVER (PARTITION BY term) AS r
+  FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term
+             ORDER BY round(score, 4) DESC, doc_id ASC) AS rank,
+           CASE WHEN ((doc_id % {_SPLIT_PRIME}) * 2654435761) % 4 >= 2
+                THEN 1 ELSE 0 END AS rel
+    FROM scored WHERE term IN ('merge', 'join', 'scan'))
+  WINDOW cum AS (PARTITION BY term ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+levels AS (SELECT * FROM (VALUES {", ".join(f"({lv})" for lv in _PR_LEVELS)}) AS t(level)),
+per_q AS (
+  SELECT term, level, max(p) AS ip
+  FROM pts JOIN levels ON pts.r >= levels.level
+  GROUP BY term, level
+)
+SELECT level, CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(ip), 4) AS interp_prec
+FROM per_q GROUP BY level ORDER BY level"""
+
+
+# ---------------------------------------------------------------------------
+# tau_AP top-weighted rank correlation (Yilmaz, Aslam & Robertson 2008)
+# ---------------------------------------------------------------------------
+
+_TAP_LCM = 2520   # lcm(1..9): every 1/(i-1) with i ≤ 10 divides it
+
+
+def q_tau_ap(spark, sf_dir):
+    """AP-correlation tau_ap (Yilmaz, Aslam & Robertson, SIGIR 2008) of
+    the same BM25 vs Dirichlet-QL top-10 pair kendall_tau and
+    rbo_overlap read — the THIRD agreement lens: tau treats all swaps
+    equally, RBO needs no conjointness, tau_ap is the probabilistic
+    middle ground that weights agreement at the TOP the way average
+    precision does: tau_ap = 2/(n-1)·Σ_{{i=2..n}} C(i)/(i-1) − 1, with
+    C(i) = how many of the i-1 docs ranked above position i in list B
+    are also above that doc in list A.  Common docs are re-ranked
+    densely 1..n in each list first (the truncated-list convention).
+
+    Determinism: C(i) is an integer pair count; Σ C(i)/(i-1) is scaled
+    by lcm(1..9) = {_TAP_LCM} into one INTEGER numerator, with a
+    single final division — the rbp/harmonic exact-rational trick.
+    Scale shape: corpus work lives in the two retrieval plans; the
+    concordance join is ≤ 45 pairs.  Output is 1 row.
+    """
+    from pyspark.sql import Window
+
+    pair = _rank_pair(spark, sf_dir)
+    pair = pair.withColumn(
+        "ri", F.row_number().over(Window.orderBy("ra"))
+    ).withColumn("si", F.row_number().over(Window.orderBy("rb")))
+    i = pair.select(
+        F.col("ri").alias("ri_i"), F.col("si").alias("si_i")
+    )
+    j = pair.select(
+        F.col("ri").alias("ri_j"), F.col("si").alias("si_j")
+    )
+    conc = (
+        i.crossJoin(j)
+        .filter(F.col("si_j") < F.col("si_i"))
+        .groupBy("si_i")
+        .agg(
+            F.sum(
+                F.when(F.col("ri_j") < F.col("ri_i"), 1).otherwise(0)
+            ).alias("c")
+        )
+    )
+    n1 = pair.agg(F.count("*").cast("long").alias("n"))
+    return (
+        conc.crossJoin(F.broadcast(n1))
+        .agg(
+            F.max("n").alias("_n"),
+            F.sum(
+                F.col("c") * (F.lit(_TAP_LCM) / (F.col("si_i") - 1))
+                .cast("long")
+            ).alias("_s"),
+        )
+        .select(
+            F.col("_n").alias("n_common"),
+            _r4(
+                F.lit(2.0) * F.col("_s")
+                / (F.lit(float(_TAP_LCM)) * (F.col("_n") - 1))
+                - 1.0
+            ).alias("tau_ap"),
+        )
+    )
+
+
+SQL_TAU_AP = f"""WITH {_RANK_PAIR_SQL},
+dense AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY ra) AS ri,
+         row_number() OVER (ORDER BY rb) AS si
+  FROM pair
+),
+conc AS (
+  SELECT i.si_i, sum(CASE WHEN j.ri_j < i.ri_i THEN 1 ELSE 0 END) AS c
+  FROM (SELECT ri AS ri_i, si AS si_i FROM dense) i
+  JOIN (SELECT ri AS ri_j, si AS si_j FROM dense) j
+    ON j.si_j < i.si_i
+  GROUP BY i.si_i
+),
+nn2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dense)
+SELECT nn2.n AS n_common,
+       round(2.0 * sum(c * ({_TAP_LCM} // (si_i - 1)))
+             / ({float(_TAP_LCM)} * (nn2.n - 1)) - 1.0, 4) AS tau_ap
+FROM conc CROSS JOIN nn2 GROUP BY nn2.n"""
+
+
+# ---------------------------------------------------------------------------
+# Hop plot / neighbourhood function (Palmer ANF, KDD 2002)
+# ---------------------------------------------------------------------------
+
+
+def q_hop_plot(spark, sf_dir):
+    """The hop plot / neighbourhood function N(h) (Palmer, Gibbons &
+    Faloutsos, "ANF", KDD 2002 — computed exactly here on the seed
+    sample instead of with Flajolet-Martin sketches): for each hop
+    count h ≤ _HC_ITERS, how many (node → seed) pairs are within h
+    hops, and the mean reachable-set size per seed — the curve whose
+    flattening point is the graph's effective diameter (Leskovec's
+    densification studies read growth off exactly this curve).
+
+    Determinism: pure integer BFS distances and counts with one final
+    division.  Scale shape: reuses harmonic_centrality's backward
+    multi-source BFS state (same Pregel joins); the rollup is a ≤ K-row
+    cumulative aggregate over integer hop labels.
+    """
+    _, edges = _link_edges(spark, sf_dir)
+    seeds = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("seed"))
+        .filter(F.col("seed") % _BFS_SEED_MOD == 0)
+    )
+    reached = seeds.select(
+        "seed", F.col("seed").alias("id"), F.lit(0).alias("dist")
+    )
+    for t in range(1, _HC_ITERS + 1):
+        cand = (
+            reached.join(edges, reached["id"] == edges["dst"])
+            .select("seed", F.col("src").alias("id"), F.lit(t).alias("dist"))
+        )
+        reached = (
+            reached.unionByName(cand)
+            .groupBy("seed", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+    ns = seeds.agg(F.count("*").cast("long").alias("n_seeds"))
+    per_hop = (
+        reached.filter(F.col("dist") > 0)
+        .groupBy("dist")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    from pyspark.sql import Window
+
+    cw = Window.orderBy("dist").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_hop.withColumn("n_pairs", F.sum("n_new").over(cw).cast("long"))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            F.col("dist").alias("h"), "n_new", "n_pairs",
+            _r4(F.col("n_pairs") / F.col("n_seeds")).alias("mean_ball"),
+        )
+        .orderBy("h")
+    )
+
+
+def _hop_plot_sql() -> str:
+    parts = [f"""WITH {_edges_sql()},
+r0 AS (
+  SELECT doc_id AS seed, doc_id AS id, 0 AS dist FROM documents
+  WHERE doc_id % {_BFS_SEED_MOD} = 0
+)"""]
+    for t in range(1, _HC_ITERS + 1):
+        parts.append(
+            f""",
+r{t} AS MATERIALIZED (
+  SELECT seed, id, min(dist) AS dist FROM (
+    SELECT seed, id, dist FROM r{t - 1}
+    UNION ALL
+    SELECT r.seed, e.src AS id, {t} AS dist
+    FROM r{t - 1} r JOIN edges e ON r.id = e.dst
+  ) GROUP BY seed, id
+)"""
+        )
+    parts.append(
+        f""",
+nsd AS (SELECT CAST(count(*) AS BIGINT) AS n_seeds FROM r0),
+per_hop AS (
+  SELECT dist AS h, CAST(count(*) AS BIGINT) AS n_new
+  FROM r{_HC_ITERS} WHERE dist > 0 GROUP BY dist
+)
+SELECT h, n_new,
+       CAST(sum(n_new) OVER (ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_pairs,
+       round(sum(n_new) OVER (ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(nsd.n_seeds AS DOUBLE), 4) AS mean_ball
+FROM per_hop CROSS JOIN nsd ORDER BY h"""
+    )
+    return "".join(parts)
+
+
+SQL_HOP_PLOT = _hop_plot_sql()
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution histogram (Broder WWW 2000, figure 2's power law)
+# ---------------------------------------------------------------------------
+
+
+def q_degree_histogram(spark, sf_dir):
+    """In/out-degree distribution of the link graph in power-of-two
+    buckets — the web-graph companion of posting_histogram (Broder et
+    al. WWW 2000 measured both degree power laws this way; zipf_fit
+    covers the TERM frequency law, this covers the LINK one).  One row
+    per bucket with how many nodes fall in it by out- and by in-degree.
+
+    Determinism: integer degrees, bin via bit length.  Scale shape: two
+    map-side-combinable degree aggregates keyed on the edge endpoints,
+    then a ≤ 64-row rollup joined full-outer on bucket.
+    """
+    _, edges = _link_edges(spark, sf_dir)
+    bl = lambda c: (F.length(F.bin(c)) - 1).cast("long")  # noqa: E731
+    outs = (
+        edges.groupBy("src").agg(F.count("*").alias("d"))
+        .groupBy(bl(F.col("d")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_out"))
+    )
+    ins = (
+        edges.groupBy("dst").agg(F.count("*").alias("d"))
+        .groupBy(bl(F.col("d")).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_in"))
+    )
+    return (
+        outs.join(ins, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_DEGREE_HISTOGRAM = f"""WITH {_edges_sql()},
+outs AS (
+  SELECT length(bin(d)) - 1 AS bucket, count(*) AS n_out
+  FROM (SELECT src, count(*) AS d FROM edges GROUP BY src) GROUP BY 1
+),
+ins AS (
+  SELECT length(bin(d)) - 1 AS bucket, count(*) AS n_in
+  FROM (SELECT dst, count(*) AS d FROM edges GROUP BY dst) GROUP BY 1
+)
+SELECT coalesce(outs.bucket, ins.bucket) AS bucket,
+       CAST(coalesce(n_out, 0) AS BIGINT) AS n_out,
+       CAST(coalesce(n_in, 0) AS BIGINT) AS n_in
+FROM outs FULL OUTER JOIN ins ON outs.bucket = ins.bucket
+ORDER BY bucket"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -15178,4 +15593,9 @@ QUERIES = {
     "filtered_ann": (q_filtered_ann, SQL_FILTERED_ANN),
     "harmonic_centrality": (q_harmonic_centrality,
                             SQL_HARMONIC_CENTRALITY),
+    "prec_rec_at_k": (q_prec_rec_at_k, SQL_PREC_REC_AT_K),
+    "interp_pr_curve": (q_interp_pr_curve, SQL_INTERP_PR_CURVE),
+    "tau_ap": (q_tau_ap, SQL_TAU_AP),
+    "hop_plot": (q_hop_plot, SQL_HOP_PLOT),
+    "degree_histogram": (q_degree_histogram, SQL_DEGREE_HISTOGRAM),
 }
