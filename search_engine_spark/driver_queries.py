@@ -15406,6 +15406,501 @@ FROM outs FULL OUTER JOIN ins ON outs.bucket = ins.bucket
 ORDER BY bucket"""
 
 
+# ---------------------------------------------------------------------------
+# Faceted search counts (the SERP sidebar aggregation)
+# ---------------------------------------------------------------------------
+
+_FACET_TERM = "merge"
+
+
+def q_facet_counts(spark, sf_dir):
+    """Faceted navigation counts for one query: every doc matching the
+    query term, bucketed by each facet dimension (lang, source) — the
+    sidebar aggregation every search UI renders next to the ranked
+    list (and the reason engines keep doc metadata columnar next to
+    the index; the reference's URLBlob packs english/TLD per doc at
+    `HashBlob.h:575-578` for exactly this kind of per-result metadata
+    read).
+
+    Determinism: pure integer counts.  Scale shape: the query term's
+    posting list semi-joins the metadata table on doc_id (co-keyed),
+    then two map-side-combinable (facet, value) aggregates; output is
+    |facet values| rows, never a corpus scan beyond the one postings
+    lookup.
+    """
+    toks = _tokens(spark, sf_dir)
+    match = (
+        toks.filter(F.col("term") == _FACET_TERM)
+        .select("doc_id").distinct()
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    hit = meta.join(match, "doc_id")
+    by_lang = hit.groupBy(F.col("lang").alias("value")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    ).select(F.lit("lang").alias("facet"), "value", "n_docs")
+    by_src = hit.groupBy(F.col("source").alias("value")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    ).select(F.lit("source").alias("facet"), "value", "n_docs")
+    return by_lang.unionByName(by_src).orderBy(
+        "facet", F.col("n_docs").desc(), "value"
+    )
+
+
+SQL_FACET_COUNTS = f"""WITH {_TOKS_SQL},
+match AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{_FACET_TERM}'),
+hit AS (
+  SELECT d.doc_id, d.lang, d.source
+  FROM documents d JOIN match USING (doc_id)
+)
+SELECT 'lang' AS facet, lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM hit GROUP BY lang
+UNION ALL
+SELECT 'source' AS facet, source AS value, CAST(count(*) AS BIGINT)
+FROM hit GROUP BY source
+ORDER BY facet, n_docs DESC, value"""
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-budget allocation (Chung et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+_UNIMAX_BUDGET_NUM, _UNIMAX_BUDGET_DEN = 4, 5   # budget = 4/5 of corpus
+_UNIMAX_EPOCHS = 1                               # the paper's headline cap
+
+
+def q_unimax_allocation(spark, sf_dir):
+    """UniMax language sampling (Chung et al., "UniMax: Fairer and more
+    effective language sampling for large-scale multilingual
+    pretraining", 2023): spread a token budget B as uniformly as
+    possible across languages subject to a per-language epoch cap
+    (here {e} epoch — the paper's headline setting), i.e. water-filling
+    alloc_l = min(cap_l, τ) with τ chosen so Σ alloc = B.  The greedy
+    smallest-first loop in the paper has this closed form: sort
+    languages by corpus size ascending; a language is capped iff
+    N_l·(L−r+1) ≤ B − prefix_sum(smaller caps) (an INTEGER compare);
+    uncapped languages share the integer remainder τ = ⌊(B −
+    Σ_capped)/|uncapped|⌋.  Output per language: tokens, cap, the
+    allocation, and realized epochs; leftover = B − Σ alloc (< L from
+    the floor) is reported in every row for auditability.
+
+    Determinism: every quantity is integer arithmetic; epochs is the
+    only division, applied once at output.  Scale shape: one token
+    count per language (map-side-combinable), then windows over the
+    |languages|-row table — the corpus-scale work is exactly one
+    aggregate, as a 10^12-token mixture planner must be.
+    """.format(e=_UNIMAX_EPOCHS)
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "doc_id"
+    )
+    per = toks.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_t"),
+        F.count("*").cast("long").alias("_L"),
+    ).select(
+        (F.col("_t") * _UNIMAX_BUDGET_NUM / _UNIMAX_BUDGET_DEN)
+        .cast("long").alias("b"),
+        "_L",
+    )
+    w = Window.orderBy("n_tokens", "lang")
+    ranked = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("cap", F.col("n_tokens") * _UNIMAX_EPOCHS)
+        .withColumn(
+            "pfx",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap") * (F.col("_L") - F.col("r") + 1)
+            <= F.col("b") - F.col("pfx"),
+        )
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(0))
+        .alias("_sc"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(1)).alias("_nu"),
+        F.max("b").alias("_b"),
+    ).select(
+        F.floor(
+            (F.col("_b") - F.col("_sc"))
+            / F.greatest(F.col("_nu"), F.lit(1))
+        ).cast("long").alias("tau"),
+        "_sc", "_nu", "_b",
+    )
+    out = ranked.crossJoin(F.broadcast(agg)).withColumn(
+        "alloc",
+        F.when(F.col("capped"), F.col("cap")).otherwise(F.col("tau")),
+    )
+    return out.select(
+        "lang", "n_tokens",
+        F.col("cap").cast("long").alias("cap"),
+        F.col("alloc").cast("long").alias("alloc"),
+        _r4(F.col("alloc") / F.col("n_tokens")).alias("epochs"),
+        (F.col("_b") - F.col("_sc") - F.col("tau") * F.col("_nu"))
+        .cast("long").alias("leftover"),
+    ).orderBy("lang")
+
+
+SQL_UNIMAX_ALLOCATION = f"""WITH {_TOKS_SQL},
+per AS (
+  SELECT d.lang, count(*) AS n_tokens
+  FROM toks t JOIN documents d USING (doc_id) GROUP BY d.lang
+),
+tot AS (
+  SELECT CAST(sum(n_tokens) * {_UNIMAX_BUDGET_NUM}
+              / {_UNIMAX_BUDGET_DEN} AS BIGINT) AS b,
+         count(*) AS L FROM per
+),
+ranked AS (
+  SELECT lang, n_tokens, tot.b, tot.L,
+         row_number() OVER (ORDER BY n_tokens, lang) AS r,
+         n_tokens * {_UNIMAX_EPOCHS} AS cap,
+         coalesce(sum(n_tokens * {_UNIMAX_EPOCHS}) OVER (
+           ORDER BY n_tokens, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+  FROM per CROSS JOIN tot
+),
+flagged AS (
+  SELECT *, (cap * (L - r + 1) <= b - pfx) AS capped FROM ranked
+),
+agg AS (
+  SELECT CAST(floor((max(b) - sum(CASE WHEN capped THEN cap ELSE 0 END))
+              / greatest(sum(CASE WHEN capped THEN 0 ELSE 1 END), 1))
+         AS BIGINT) AS tau,
+         sum(CASE WHEN capped THEN cap ELSE 0 END) AS sc,
+         sum(CASE WHEN capped THEN 0 ELSE 1 END) AS nu,
+         max(b) AS b2
+  FROM flagged
+)
+SELECT f.lang, CAST(f.n_tokens AS BIGINT) AS n_tokens,
+       CAST(f.cap AS BIGINT) AS cap,
+       CAST(CASE WHEN f.capped THEN f.cap ELSE a.tau END AS BIGINT)
+         AS alloc,
+       round(CAST(CASE WHEN f.capped THEN f.cap ELSE a.tau END AS DOUBLE)
+             / f.n_tokens, 4) AS epochs,
+       CAST(a.b2 - a.sc - a.tau * a.nu AS BIGINT) AS leftover
+FROM flagged f CROSS JOIN agg a ORDER BY f.lang"""
+
+
+# ---------------------------------------------------------------------------
+# OPIC crawl prioritization (Abiteboul, Preda & Cobena, WWW 2003)
+# ---------------------------------------------------------------------------
+
+_OPIC_ITERS = 8
+
+
+def q_opic_priority(spark, sf_dir):
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003), the crawl-ordering signal computable WHILE
+    crawling, before PageRank's batch iteration is affordable: every
+    page holds cash (init 1/N); a visited page distributes its cash
+    equally to its outlinks and banks the amount in its history;
+    importance ≈ (history + cash) normalized.  This is the batch
+    (synchronous) variant over the link graph: C_{{t+1}} = PC_t,
+    H_K = Σ_{{t=0..K}} C_t, importance = H_K/(K+1).  No damping, no
+    teleport — total cash is conserved (the synthetic graph's ring
+    rule guarantees out-degree ≥ 1, so no virtual node is needed),
+    which is what separates OPIC's estimator from pagerank's.
+
+    Determinism: identical float iteration shape to the hash-green
+    pagerank/trustrank (per-node sums of ≤|rules| in-edge terms),
+    rounded to 8 at output.  Scale shape: one co-partitioned join +
+    one hash agg per round — Pregel-shaped, linear lineage.
+    """
+    with_n, edges = _link_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src")
+    ranks = with_n.select(
+        "id",
+        (F.lit(1.0) / F.col("n")).alias("c"),
+        (F.lit(1.0) / F.col("n")).alias("h"),
+    )
+    for _ in range(_OPIC_ITERS):
+        contribs = (
+            ranks.join(e, ranks["id"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("c") / F.col("deg")).alias("nc"))
+        )
+        ranks = (
+            ranks.join(contribs, ranks["id"] == contribs["dst"], "left")
+            .select(
+                "id",
+                F.coalesce("nc", F.lit(0.0)).alias("c"),
+                (F.col("h") + F.coalesce("nc", F.lit(0.0))).alias("h"),
+            )
+        )
+    return ranks.select(
+        F.col("id").alias("doc_id"),
+        F.round("c", 8).alias("cash"),
+        F.round(F.col("h") / (_OPIC_ITERS + 1), 8).alias("importance"),
+    )
+
+
+def _opic_sql() -> str:
+    rules = ", ".join(f"({m}, {b})" for m, b in _PR_RULES)
+    parts = [f"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id AS src, (rules.m * id + rules.b) % nn.n AS dst
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (VALUES {rules}) AS rules(m, b)
+  ) WHERE src <> dst
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS c, CAST(1 AS DOUBLE) / nn.n AS h
+       FROM nodes CROSS JOIN nn)"""]
+    for t in range(1, _OPIC_ITERS + 1):
+        parts.append(
+            f""",
+c{t} AS (SELECT e.dst AS id, sum(r.c / e.deg) AS nc
+         FROM r{t - 1} r JOIN e ON r.id = e.src GROUP BY e.dst),
+r{t} AS (SELECT r.id, coalesce(c{t}.nc, 0) AS c,
+                r.h + coalesce(c{t}.nc, 0) AS h
+         FROM r{t - 1} r LEFT JOIN c{t} ON r.id = c{t}.id)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS doc_id, round(c, 8) AS cash,
+       round(h / {_OPIC_ITERS + 1}, 8) AS importance FROM r{_OPIC_ITERS}"""
+    )
+    return "".join(parts)
+
+
+SQL_OPIC_PRIORITY = _opic_sql()
+
+
+# ---------------------------------------------------------------------------
+# Shapley + position-based conversion attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_CHANNELS = ("click", "signup", "view")   # bit order: 1, 2, 4
+
+
+def q_shapley_attribution(spark, sf_dir):
+    """Exact Shapley-value conversion attribution (Shapley 1953, the
+    data-driven marketing formulation of Zhao et al. 2018) over the
+    3-channel touch model: a user's coalition is the SET of channels
+    touched before their first purchase; v(S) = converted users whose
+    touch set ⊆ S.  For this reach-style v the Shapley value has a
+    closed form — each converted user splits one unit of credit
+    EQUALLY among their |m| touched channels (the per-user marginals
+    telescope; the 0!/1!/2! weights sum to 6/|m| per channel in
+    units of 1/3!) — so the whole computation is the integer
+    φ6_c = Σ_{{m ∋ c}} n[m]·(6/|m|) with ONE final /6, which is also
+    why last_touch / position_attribution exist as contrasts: they
+    are the non-symmetric axioms' alternatives.
+
+    Determinism: pure integers until the final division.  Scale
+    shape: sessionize-style per-user min-purchase window, one
+    (user → mask) aggregate, an 8-row mask rollup broadcast into a
+    3-row output.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    first_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("_fp"))
+        .select("user_id", F.col("_fp.ts").alias("pts"),
+                F.col("_fp.event_id").alias("pid"))
+    )
+    touches = (
+        ev.join(first_p, "user_id")
+        .filter(F.col("event_type").isin(list(_ATTR_CHANNELS)))
+        .filter(
+            (F.col("ts") < F.col("pts"))
+            | ((F.col("ts") == F.col("pts")) & (F.col("event_id") < F.col("pid")))
+        )
+    )
+    bit = F.when(F.col("event_type") == _ATTR_CHANNELS[0], 1).when(
+        F.col("event_type") == _ATTR_CHANNELS[1], 2
+    ).otherwise(4)
+    masks = (
+        touches.select("user_id", bit.alias("b"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sum("b").alias("mask"))
+    )
+    counts = masks.groupBy("mask").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    chans = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(_ATTR_CHANNELS)],
+        "channel string, cbit long",
+    )
+    per = (
+        counts.crossJoin(F.broadcast(chans))
+        .filter(F.expr("cast(mask as bigint) & cbit") != 0)
+        .withColumn(
+            "sz",
+            F.expr(
+                "cast((mask & 1) != 0 as int) + cast((mask & 2) != 0 as int)"
+                " + cast((mask & 4) != 0 as int)"
+            ),
+        )
+        .withColumn("phi6", F.col("n") * (F.lit(6) / F.col("sz")).cast("long"))
+    )
+    return (
+        per.groupBy("channel")
+        .agg(
+            F.sum("phi6").cast("long").alias("phi6"),
+            F.sum("n").cast("long").alias("n_touched_conv"),
+        )
+        .select(
+            "channel", "n_touched_conv",
+            _r4(F.col("phi6") / 6.0).alias("shapley"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_SHAPLEY_ATTRIBUTION = f"""WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+),
+first_p AS (
+  SELECT user_id,
+         min(struct_pack(ts := ts, event_id := event_id)) AS fp
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+),
+fp2 AS (SELECT user_id, fp.ts AS pts, fp.event_id AS pid FROM first_p),
+masks AS (
+  SELECT user_id, sum(b) AS mask FROM (
+    SELECT DISTINCT e.user_id,
+           CASE e.event_type WHEN '{_ATTR_CHANNELS[0]}' THEN 1
+                             WHEN '{_ATTR_CHANNELS[1]}' THEN 2
+                             ELSE 4 END AS b
+    FROM ev e JOIN fp2 ON e.user_id = fp2.user_id
+    WHERE e.event_type IN ('{_ATTR_CHANNELS[0]}', '{_ATTR_CHANNELS[1]}',
+                           '{_ATTR_CHANNELS[2]}')
+      AND (e.ts < fp2.pts OR (e.ts = fp2.pts AND e.event_id < fp2.pid))
+  ) GROUP BY user_id
+),
+counts AS (SELECT mask, count(*) AS n FROM masks GROUP BY mask),
+chans AS (SELECT * FROM (VALUES
+  ('{_ATTR_CHANNELS[0]}', 1), ('{_ATTR_CHANNELS[1]}', 2),
+  ('{_ATTR_CHANNELS[2]}', 4)) AS t(channel, cbit)),
+per AS (
+  SELECT c.channel, k.n,
+         ((k.mask::BIGINT & 1 != 0)::INT + (k.mask::BIGINT & 2 != 0)::INT
+          + (k.mask::BIGINT & 4 != 0)::INT) AS sz
+  FROM counts k CROSS JOIN chans c
+  WHERE (k.mask::BIGINT & c.cbit) != 0
+)
+SELECT channel, CAST(sum(n) AS BIGINT) AS n_touched_conv,
+       round(sum(n * (6 // sz)) / 6.0, 4) AS shapley
+FROM per GROUP BY channel ORDER BY channel"""
+
+
+def q_position_attribution(spark, sf_dir):
+    """Position-based (U-shaped 40/20/40) conversion attribution — the
+    non-symmetric contrast to shapley_attribution and the recency
+    contrast to last_touch: within each converted user's pre-purchase
+    touch sequence, the FIRST touch earns 0.4, the LAST 0.4, and the
+    middle touches split 0.2 evenly (1 touch → 1.0; 2 touches →
+    0.5/0.5, the standard degenerate conventions).  Per channel: the
+    credited conversions.
+
+    Determinism: per-touch weights are single divisions of small
+    integers; the per-channel sum rounds once at output (the coec
+    pattern).  Scale shape: one sessionize-style rank window per user
+    (first/last/middle labels from row_number against count), then a
+    map-side-combinable channel aggregate — 3 output rows.
+    """
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    first_p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("_fp"))
+        .select("user_id", F.col("_fp.ts").alias("pts"),
+                F.col("_fp.event_id").alias("pid"))
+    )
+    touches = (
+        ev.join(first_p, "user_id")
+        .filter(F.col("event_type").isin(list(_ATTR_CHANNELS)))
+        .filter(
+            (F.col("ts") < F.col("pts"))
+            | ((F.col("ts") == F.col("pts")) & (F.col("event_id") < F.col("pid")))
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cw = Window.partitionBy("user_id")
+    lab = (
+        touches.withColumn("r", F.row_number().over(w))
+        .withColumn("k", F.count("*").over(cw))
+        .withColumn(
+            "credit",
+            F.when(F.col("k") == 1, F.lit(1.0))
+            .when(F.col("r") == 1, F.lit(0.4))
+            .when(F.col("r") == F.col("k"), F.lit(0.4))
+            .when(F.col("k") == 2, F.lit(0.0))
+            .otherwise(F.lit(0.2) / (F.col("k") - 2)),
+        )
+        .withColumn(
+            "credit",
+            F.when(F.col("k") == 2, F.lit(0.5)).otherwise(F.col("credit")),
+        )
+    )
+    return (
+        lab.groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            _r4(F.sum("credit")).alias("credit"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_POSITION_ATTRIBUTION = f"""WITH ev AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+),
+first_p AS (
+  SELECT user_id,
+         min(struct_pack(ts := ts, event_id := event_id)) AS fp
+  FROM ev WHERE event_type = 'purchase' GROUP BY user_id
+),
+fp2 AS (SELECT user_id, fp.ts AS pts, fp.event_id AS pid FROM first_p),
+touches AS (
+  SELECT e.user_id, e.ts, e.event_id, e.event_type
+  FROM ev e JOIN fp2 ON e.user_id = fp2.user_id
+  WHERE e.event_type IN ('{_ATTR_CHANNELS[0]}', '{_ATTR_CHANNELS[1]}',
+                         '{_ATTR_CHANNELS[2]}')
+    AND (e.ts < fp2.pts OR (e.ts = fp2.pts AND e.event_id < fp2.pid))
+),
+lab AS (
+  SELECT event_type,
+         CASE WHEN k = 1 THEN 1.0
+              WHEN k = 2 THEN 0.5
+              WHEN r = 1 OR r = k THEN 0.4
+              ELSE 0.2 / (k - 2) END AS credit
+  FROM (
+    SELECT event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS r,
+           count(*) OVER (PARTITION BY user_id) AS k
+    FROM touches)
+)
+SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+       round(sum(credit), 4) AS credit
+FROM lab GROUP BY event_type ORDER BY channel"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -15598,4 +16093,11 @@ QUERIES = {
     "tau_ap": (q_tau_ap, SQL_TAU_AP),
     "hop_plot": (q_hop_plot, SQL_HOP_PLOT),
     "degree_histogram": (q_degree_histogram, SQL_DEGREE_HISTOGRAM),
+    "facet_counts": (q_facet_counts, SQL_FACET_COUNTS),
+    "unimax_allocation": (q_unimax_allocation, SQL_UNIMAX_ALLOCATION),
+    "opic_priority": (q_opic_priority, SQL_OPIC_PRIORITY),
+    "shapley_attribution": (q_shapley_attribution,
+                            SQL_SHAPLEY_ATTRIBUTION),
+    "position_attribution": (q_position_attribution,
+                             SQL_POSITION_ATTRIBUTION),
 }
