@@ -15901,6 +15901,397 @@ SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches,
 FROM lab GROUP BY event_type ORDER BY channel"""
 
 
+# ---------------------------------------------------------------------------
+# Mutual-information feature selection (Manning/Raghavan/Schütze IIR §13.5)
+# ---------------------------------------------------------------------------
+
+_MI_CLASS_LANG = "en"
+_MI_TOPK = 20
+
+
+def q_mi_feature_select(spark, sf_dir):
+    """Mutual-information feature selection (the IIR §13.5 classic) for
+    the binary class lang = '{lc}': per term, the 2×2 contingency
+    (term-presence × class) and I(U;C) = Σ_ij (N_ij/N)·log2(N·N_ij /
+    (N_i·N_j)), the ranking every compact text classifier (lang-ID,
+    spam, quality) uses to pick its vocabulary.  Top-{k} terms by MI,
+    with the positive-class presence counts kept for auditability.
+
+    Determinism: the contingency cells are integers; each MI term is
+    one expression over those integers (0·log0 handled as 0), rounded
+    once.  Scale shape: one distinct (term, doc) aggregate joined to
+    the |docs|-row class table, then a per-term map-side-combinable
+    rollup; class totals are a 1-row broadcast; the cut is a
+    distributed TakeOrdered.
+    """.format(lc=_MI_CLASS_LANG, k=_MI_TOPK)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("lang") == _MI_CLASS_LANG).alias("pos")
+    )
+    tot = docs.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("np"),
+    )
+    present = (
+        _tokens(spark, sf_dir).select("term", "doc_id").distinct()
+        .join(docs, "doc_id")
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long")
+            .alias("n11"),
+            F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long")
+            .alias("n10"),
+        )
+    )
+    cells = present.crossJoin(F.broadcast(tot)).select(
+        "term", "n11", "n10",
+        (F.col("np") - F.col("n11")).alias("n01"),
+        (F.col("nn") - F.col("np") - F.col("n10")).alias("n00"),
+        "nn", "np",
+    )
+
+    def mi_term(nij, ni, nj):
+        return F.when(
+            nij > 0,
+            (nij / F.col("nn"))
+            * F.log2(F.col("nn") * nij / (ni * nj)),
+        ).otherwise(F.lit(0.0))
+
+    n1_ = F.col("n11") + F.col("n10")          # term present
+    n0_ = F.col("n01") + F.col("n00")          # term absent
+    npos, nneg = F.col("np"), F.col("nn") - F.col("np")
+    mi = (
+        mi_term(F.col("n11"), n1_, npos)
+        + mi_term(F.col("n10"), n1_, nneg)
+        + mi_term(F.col("n01"), n0_, npos)
+        + mi_term(F.col("n00"), n0_, nneg)
+    )
+    return (
+        cells.select("term", "n11", "n10", _r4(mi).alias("mi"))
+        .orderBy(F.col("mi").desc(), F.col("term").asc())
+        .limit(_MI_TOPK)
+    )
+
+
+SQL_MI_FEATURE_SELECT = f"""WITH {_TOKS_SQL},
+docs AS (SELECT doc_id, (lang = '{_MI_CLASS_LANG}') AS pos FROM documents),
+tot AS (SELECT count(*) AS nn,
+               sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np FROM docs),
+present AS (
+  SELECT t.term,
+         sum(CASE WHEN d.pos THEN 1 ELSE 0 END) AS n11,
+         sum(CASE WHEN d.pos THEN 0 ELSE 1 END) AS n10
+  FROM (SELECT DISTINCT term, doc_id FROM toks) t
+  JOIN docs d USING (doc_id) GROUP BY t.term
+),
+cells AS (
+  SELECT term, n11, n10, tot.np - n11 AS n01,
+         tot.nn - tot.np - n10 AS n00, tot.nn AS nn, tot.np AS np
+  FROM present CROSS JOIN tot
+)
+SELECT term, CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+       round(
+         (CASE WHEN n11 > 0 THEN (n11 / CAST(nn AS DOUBLE))
+               * log2(nn * n11 / (CAST(n11 + n10 AS DOUBLE) * np))
+               ELSE 0 END)
+       + (CASE WHEN n10 > 0 THEN (n10 / CAST(nn AS DOUBLE))
+               * log2(nn * n10 / (CAST(n11 + n10 AS DOUBLE) * (nn - np)))
+               ELSE 0 END)
+       + (CASE WHEN n01 > 0 THEN (n01 / CAST(nn AS DOUBLE))
+               * log2(nn * n01 / (CAST(n01 + n00 AS DOUBLE) * np))
+               ELSE 0 END)
+       + (CASE WHEN n00 > 0 THEN (n00 / CAST(nn AS DOUBLE))
+               * log2(nn * n00 / (CAST(n01 + n00 AS DOUBLE) * (nn - np)))
+               ELSE 0 END), 4) AS mi
+FROM cells ORDER BY mi DESC, term ASC LIMIT {_MI_TOPK}"""
+
+
+# ---------------------------------------------------------------------------
+# IPS counterfactual CTR estimation (Joachims, Swaminathan & Schnabel 2017)
+# ---------------------------------------------------------------------------
+
+
+def q_ips_ctr_estimate(spark, sf_dir):
+    """Inverse-propensity-scored relevance estimation (Joachims,
+    Swaminathan & Schnabel, "Unbiased learning-to-rank with biased
+    feedback", WSDM 2017): clicks are weighted by 1/propensity(pos),
+    with the examination propensity prop(p) = pctr(p)/pctr(1) read off
+    the same position-CTR prior coec_model fits — the SNIPS-free plain
+    IPS estimator.  Per item: naive clicks, naive CTR, and the IPS
+    estimate Σ_clicks 1/prop — the number whose ORDERING is unbiased
+    for true relevance under the examination model, where naive CTR
+    systematically favours items shown high.  Top-20 by IPS score.
+
+    Determinism: the prior is a ≤{slots}-row broadcast; each click's
+    weight pctr(1)/pctr(p) is one double division of identical values;
+    per-item sums round once (the coec precedent).  Scale shape: two
+    map-side-combinable aggregates over the filtered log keyed on item
+    — identical shuffle shape to coec_model, distributed TakeOrdered
+    cut.
+    """.format(slots=_COEC_SLOTS)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            (F.pmod(F.col("event_id"), F.lit(_COEC_SLOTS)) + 1)
+            .cast("long").alias("pos"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    prior = (
+        ev.groupBy("pos")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .alias("v"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .alias("c"),
+        )
+        .filter((F.col("v") > 0) & (F.col("c") > 0))
+        .select("pos", (F.col("c") / F.col("v")).alias("pctr"))
+    )
+    p1 = prior.filter(F.col("pos") == 1).select(
+        F.col("pctr").alias("pctr1")
+    )
+    w = prior.crossJoin(F.broadcast(p1)).select(
+        "pos", (F.col("pctr1") / F.col("pctr")).alias("ipw")
+    )
+    views = ev.filter(F.col("event_type") == "view").groupBy("item").agg(
+        F.count("*").cast("long").alias("n_views")
+    )
+    ips = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(w), "pos")
+        .groupBy("item")
+        .agg(
+            F.count("*").cast("long").alias("n_clicks"),
+            F.sum("ipw").alias("_ips"),
+        )
+    )
+    return (
+        ips.join(views, "item")
+        .select(
+            "item", "n_clicks", "n_views",
+            _r4(F.col("n_clicks") / F.col("n_views")).alias("naive_ctr"),
+            _r4("_ips").alias("ips_score"),
+        )
+        .orderBy(F.col("ips_score").desc(), F.col("item").asc())
+        .limit(20)
+    )
+
+
+SQL_IPS_CTR_ESTIMATE = f"""WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         CAST(event_id % {_COEC_SLOTS} + 1 AS BIGINT) AS pos
+  FROM events WHERE event_type IN ('view', 'click')
+),
+ev2 AS (SELECT * FROM ev WHERE item IS NOT NULL),
+prior AS (
+  SELECT pos,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           / CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS pctr
+  FROM ev2 GROUP BY pos
+  HAVING sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+),
+w AS (
+  SELECT p.pos, p1.pctr / p.pctr AS ipw
+  FROM prior p CROSS JOIN (SELECT pctr FROM prior WHERE pos = 1) p1
+),
+views AS (SELECT item, count(*) AS n_views FROM ev2
+          WHERE event_type = 'view' GROUP BY item),
+ips AS (
+  SELECT e.item, count(*) AS n_clicks, sum(w.ipw) AS s
+  FROM ev2 e JOIN w ON e.pos = w.pos
+  WHERE e.event_type = 'click' GROUP BY e.item
+)
+SELECT i.item, CAST(i.n_clicks AS BIGINT) AS n_clicks,
+       CAST(v.n_views AS BIGINT) AS n_views,
+       round(i.n_clicks / CAST(v.n_views AS DOUBLE), 4) AS naive_ctr,
+       round(i.s, 4) AS ips_score
+FROM ips i JOIN views v ON i.item = v.item
+ORDER BY ips_score DESC, i.item ASC LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# EWMA query-volume forecast (Hunter 1986; the ops smoothing baseline)
+# ---------------------------------------------------------------------------
+
+_EWMA_AN, _EWMA_AD = 1, 4          # α = 1/4 as an exact rational
+_EWMA_TYPE = "click"
+
+
+def q_ewma_forecast(spark, sf_dir):
+    """EWMA one-step-ahead volume forecasting (Hunter, J. Qual. Tech.
+    1986 — THE capacity-planning smoothing baseline) of the daily
+    '{et}' event volume: S_t = α·x_t + (1−α)·S_{{t−1}}, S_1 = x_1,
+    α = {an}/{ad}; the forecast for day t is S_{{t−1}} and the
+    residual x_t − S_{{t−1}} is what alerting thresholds watch
+    (spike_detect's z-score is the windowed cousin; EWMA is the
+    exponential-memory one).
+
+    Determinism: the recurrence is evaluated in CLOSED FORM — S_t =
+    α·Σ_{{i=2..t}} (1−α)^{{t−i}}·x_i + (1−α)^{{t−1}}·x_1 — as a
+    weighted self-join where each weight is the identical double
+    pow(0.75, t−i) in both engines; per-day sums round once.  Scale
+    shape: events pre-aggregate map-side to |days| rows FIRST; the
+    O(days²) weight join runs over that bounded table only (a year is
+    366 rows → 10⁵ pairs).  In the streaming engine the same S_t is
+    one stateful value per key — the batch closed form exists to
+    backfill and to verify that state.
+    """.format(et=_EWMA_TYPE, an=_EWMA_AN, ad=_EWMA_AD)
+    from pyspark.sql import Window
+
+    a = _EWMA_AN / _EWMA_AD
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == _EWMA_TYPE)
+        .groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    t = ev.withColumn(
+        "t", F.row_number().over(Window.orderBy("day"))
+    )
+    i = t.select(
+        F.col("t").alias("ti"), F.col("x").alias("xi")
+    )
+    pairs = t.join(i, F.col("ti") <= F.col("t"))
+    wgt = F.when(
+        F.col("ti") == 1,
+        F.pow(F.lit(1.0 - a), F.col("t") - 1),
+    ).otherwise(
+        F.lit(a) * F.pow(F.lit(1.0 - a), F.col("t") - F.col("ti"))
+    )
+    s = pairs.groupBy("day", "t", "x").agg(
+        F.sum(wgt * F.col("xi")).alias("_s")
+    )
+    wl = Window.orderBy("t")
+    return (
+        s.withColumn("_prev", F.lag("_s").over(wl))
+        .select(
+            "day", "x",
+            _r4("_s").alias("ewma"),
+            _r4(F.col("x") - F.col("_prev")).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_EWMA_FORECAST = f"""WITH ev AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS x
+  FROM events WHERE event_type = '{_EWMA_TYPE}' GROUP BY 1
+),
+t AS (SELECT day, x, row_number() OVER (ORDER BY day) AS t FROM ev),
+s AS (
+  SELECT b.day, b.t, b.x,
+         sum(CASE WHEN a.t = 1
+                  THEN pow({1.0 - _EWMA_AN / _EWMA_AD}, b.t - 1) * a.x
+                  ELSE {_EWMA_AN / _EWMA_AD}
+                       * pow({1.0 - _EWMA_AN / _EWMA_AD}, b.t - a.t) * a.x
+             END) AS s
+  FROM t b JOIN t a ON a.t <= b.t
+  GROUP BY b.day, b.t, b.x
+)
+SELECT day, CAST(x AS BIGINT) AS x, round(s, 4) AS ewma,
+       round(x - lag(s) OVER (ORDER BY t), 4) AS residual
+FROM s ORDER BY day"""
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal nearest neighbours (Qin et al., CVPR 2011 k-reciprocal)
+# ---------------------------------------------------------------------------
+
+_RNN_K = 5
+
+
+def q_reciprocal_nn(spark, sf_dir):
+    """k-reciprocal nearest neighbours (Qin et al., CVPR 2011; the
+    re-ranking/confidence primitive behind k-reciprocal re-ranking and
+    high-precision near-dup mining): the pair (a, b) is k-reciprocal
+    iff b is in a's cosine top-{k} AND a is in b's — mutual proximity
+    filters out hub vectors that appear in everyone's neighbour list
+    but reciprocate almost none.  Output: all reciprocal pairs a < b
+    with both ranks and the cosine.
+
+    Determinism: ranks over 4-decimal cosine with vec_id tiebreaks.
+    Scale shape: the all-pairs cosine is the same blocked computation
+    embed_neardup documents (LSH/IVF-bucketed at 10^12); the per-side
+    top-k is a rank window partitioned by the source vector, and the
+    reciprocity test is one self-join of two (n·k)-row lists on the
+    unordered pair key — never an n² join of raw vectors.
+    """.format(k=_RNN_K)
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    a = emb.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ea"),
+        nrm.alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"), F.col("e").alias("eb"),
+        nrm.alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = a.join(b, F.col("va") != F.col("vb")).select(
+        "va", "vb", _r4(dot / (F.col("na") * F.col("nb"))).alias("cos")
+    )
+    w = Window.partitionBy("va").orderBy(
+        F.col("cos").desc(), F.col("vb").asc()
+    )
+    topk = cos.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= _RNN_K
+    )
+    fwd = topk.select("va", "vb", "cos", F.col("r").alias("ra"))
+    bwd = topk.select(
+        F.col("va").alias("vb2"), F.col("vb").alias("va2"),
+        F.col("r").alias("rb"),
+    )
+    rec = fwd.join(
+        bwd,
+        (F.col("va") == F.col("va2")) & (F.col("vb") == F.col("vb2")),
+    ).filter(F.col("va") < F.col("vb"))
+    return rec.select(
+        F.col("va").alias("a"), F.col("vb").alias("b"),
+        "cos", "ra", "rb",
+    ).orderBy("a", "b")
+
+
+SQL_RECIPROCAL_NN = f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+cos AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
+  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT va, vb, cos, r FROM (
+    SELECT va, vb, cos,
+           row_number() OVER (PARTITION BY va
+                              ORDER BY cos DESC, vb ASC) AS r
+    FROM cos) WHERE r <= {_RNN_K}
+)
+SELECT f.va AS a, f.vb AS b, f.cos AS cos,
+       f.r AS ra, g.r AS rb
+FROM topk f JOIN topk g ON f.va = g.vb AND f.vb = g.va
+WHERE f.va < f.vb
+ORDER BY a, b"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -16100,4 +16491,8 @@ QUERIES = {
                             SQL_SHAPLEY_ATTRIBUTION),
     "position_attribution": (q_position_attribution,
                              SQL_POSITION_ATTRIBUTION),
+    "mi_feature_select": (q_mi_feature_select, SQL_MI_FEATURE_SELECT),
+    "ips_ctr_estimate": (q_ips_ctr_estimate, SQL_IPS_CTR_ESTIMATE),
+    "ewma_forecast": (q_ewma_forecast, SQL_EWMA_FORECAST),
+    "reciprocal_nn": (q_reciprocal_nn, SQL_RECIPROCAL_NN),
 }
