@@ -16292,6 +16292,377 @@ WHERE f.va < f.vb
 ORDER BY a, b"""
 
 
+# ---------------------------------------------------------------------------
+# Index size breakdown by component (the Lucene .doc/.pos accounting)
+# ---------------------------------------------------------------------------
+
+
+def q_index_size_breakdown(spark, sf_dir):
+    """Where the index bytes go: varbyte-encoded size of each posting
+    component — docid gaps, term frequencies, and within-document
+    position deltas — with each component's share of the total (the
+    Lucene .doc vs .pos accounting; in the reference the same split is
+    WordPost location deltas vs the docEnd stream, `Posts.hpp:30-96`).
+    The classic result this measures: positions dominate — every
+    occurrence pays a delta, while docids/tf pay once per (term, doc) —
+    which is why positional data lives in a separate stream that
+    conjunctive-only queries never read.
+
+    Determinism: varbyte bytes = ceil(bitlen/7) via length(bin(x))
+    string arithmetic (codec_cost's idiom), all integer.  Scale shape:
+    docid gaps reuse the merge-order window partitioned by term;
+    position deltas a window partitioned by (term, doc) — both are the
+    shuffles the index build itself runs; the rollup is a 3-row sum.
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    vb = lambda c: F.ceil(  # noqa: E731
+        F.length(F.bin(c)) / 7.0
+    ).cast("long")
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    wd = Window.partitionBy("term").orderBy("doc_id")
+    doc_bytes = tf.withColumn(
+        "gap", F.col("doc_id") - F.coalesce(F.lag("doc_id").over(wd), F.lit(-1))
+    ).agg(
+        F.sum(vb(F.col("gap"))).alias("docids"),
+        F.sum(vb(F.col("tf"))).alias("tfs"),
+    )
+    wp = Window.partitionBy("term", "doc_id").orderBy("pos")
+    pos_bytes = toks.withColumn(
+        "pd", F.col("pos") - F.coalesce(F.lag("pos").over(wp), F.lit(0))
+    ).agg(F.sum(vb(F.col("pd"))).alias("positions"))
+    wide = doc_bytes.crossJoin(pos_bytes).select(
+        F.col("docids"), F.col("tfs"), F.col("positions"),
+        (F.col("docids") + F.col("tfs") + F.col("positions")).alias("_tot"),
+    )
+    comps = wide.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("docids").alias("component"),
+                         F.col("docids").alias("bytes"), F.col("_tot")),
+                F.struct(F.lit("positions").alias("component"),
+                         F.col("positions").alias("bytes"), F.col("_tot")),
+                F.struct(F.lit("tfs").alias("component"),
+                         F.col("tfs").alias("bytes"), F.col("_tot")),
+            )
+        ).alias("c")
+    ).select("c.*")
+    return comps.select(
+        "component",
+        F.col("bytes").cast("long").alias("bytes"),
+        _r4(F.col("bytes") / F.col("_tot")).alias("share"),
+    ).orderBy("component")
+
+
+SQL_INDEX_SIZE_BREAKDOWN = f"""WITH {_TOKS_SQL},
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+db AS (
+  SELECT sum(CAST(ceil(length(bin(gap)) / 7.0) AS BIGINT)) AS docids,
+         sum(CAST(ceil(length(bin(tf)) / 7.0) AS BIGINT)) AS tfs
+  FROM (
+    SELECT tf,
+           doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                                               ORDER BY doc_id), -1) AS gap
+    FROM tf)
+),
+pb AS (
+  SELECT sum(CAST(ceil(length(bin(pd)) / 7.0) AS BIGINT)) AS positions
+  FROM (
+    SELECT pos - coalesce(lag(pos) OVER (PARTITION BY term, doc_id
+                                         ORDER BY pos), 0) AS pd
+    FROM toks)
+),
+wide AS (SELECT db.docids, db.tfs, pb.positions,
+                db.docids + db.tfs + pb.positions AS tot
+         FROM db CROSS JOIN pb)
+SELECT component, CAST(bytes AS BIGINT) AS bytes,
+       round(CAST(bytes AS DOUBLE) / tot, 4) AS share
+FROM (
+  SELECT 'docids' AS component, docids AS bytes, tot FROM wide
+  UNION ALL SELECT 'positions', positions, tot FROM wide
+  UNION ALL SELECT 'tfs', tfs, tot FROM wide)
+ORDER BY component"""
+
+
+# ---------------------------------------------------------------------------
+# Calibration curve + ECE (Naeini AAAI 2015 / Guo ICML 2017 framing)
+# ---------------------------------------------------------------------------
+
+_CAL_BINS = 10
+
+
+def q_calibration_curve(spark, sf_dir):
+    """Reliability diagram + expected calibration error of the
+    quality_classifier's p_keep against the rule-based gopher_quality
+    keep label — the standard check (Naeini et al. AAAI'15; Guo et al.
+    ICML'17) before a pipeline uses a classifier's PROBABILITY as a
+    threshold rather than just its argmax: per confidence bin, mean
+    predicted p vs observed keep rate, plus the |gap| each bin
+    contributes to ECE = Σ_b (n_b/N)·|acc_b − conf_b|.
+
+    Determinism: bins cut on the 4-decimal ROUNDED p (bin = min(⌊p·10⌋,
+    9), integer); observed rates are integer ratios; mean confidence
+    sums rounded doubles (the wig/coec precedent).  Scale shape: both
+    feature extractions are per-doc map-side aggregates over the same
+    token scan; the join is co-keyed on doc_id; the rollup is ≤ 10
+    rows.
+    """
+    toks = _tokens(spark, sf_dir)
+    stops = [s.strip("'") for s in _EN_STOPS.strip("()").split(",")]
+    per = toks.groupBy("doc_id").agg(
+        F.avg(F.length("term")).alias("_len"),
+        (F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0))
+         / F.count("*")).alias("_stop"),
+        (F.count_distinct("term") / F.count("*")).alias("_ttr"),
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.length("term")).cast("long").alias("_chars"),
+        F.sum(F.when(F.col("term").rlike("[a-z]"), 1).otherwise(0))
+        .cast("long").alias("_alpha"),
+        F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0))
+        .cast("long").alias("_stopn"),
+    )
+    z = (
+        F.lit(_QC_W_LEN) * F.col("_len")
+        + F.lit(_QC_W_STOP) * F.col("_stop")
+        + F.lit(_QC_W_TTR) * F.col("_ttr")
+        + F.lit(_QC_BIAS)
+    )
+    n = F.col("_n")
+    keep = (
+        (n >= _GOPHER_MIN_WORDS) & (n <= _GOPHER_MAX_WORDS)
+        & (F.col("_chars") * 10 >= F.lit(int(_GOPHER_MIN_MWL * 10)) * n)
+        & (F.col("_chars") * 10 <= F.lit(int(_GOPHER_MAX_MWL * 10)) * n)
+        & (F.col("_alpha") * 5 >= n * 4)
+        & (F.col("_stopn") >= _GOPHER_MIN_STOPS)
+    )
+    scored = per.select(
+        _r4(F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p"),
+        keep.cast("int").alias("y"),
+    ).withColumn(
+        "bin",
+        F.least(F.floor(F.col("p") * _CAL_BINS), F.lit(_CAL_BINS - 1))
+        .cast("long"),
+    )
+    tot = scored.agg(F.count("*").alias("_N"))
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("p").alias("_sp"),
+            F.sum("y").cast("long").alias("_sy"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n",
+            _r4(F.col("_sp") / F.col("n")).alias("mean_conf"),
+            _r4(F.col("_sy") / F.col("n")).alias("frac_pos"),
+            _r4(
+                F.abs(F.col("_sy") / F.col("n") - F.col("_sp") / F.col("n"))
+                * F.col("n") / F.col("_N")
+            ).alias("ece_part"),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_CALIBRATION_CURVE = f"""WITH {_TOKS_SQL},
+per AS (
+  SELECT doc_id, avg(length(term)) AS len,
+         sum(CASE WHEN term IN {_EN_STOPS} THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS stop,
+         count(DISTINCT term) * 1.0 / count(*) AS ttr,
+         count(*) AS n, sum(length(term)) AS chars,
+         sum(CASE WHEN regexp_matches(term, '[a-z]') THEN 1 ELSE 0 END)
+           AS alpha,
+         sum(CASE WHEN term IN {_EN_STOPS} THEN 1 ELSE 0 END) AS stopn
+  FROM toks GROUP BY doc_id
+),
+scored AS (
+  SELECT round(1.0 / (1.0 + exp(-({_QC_W_LEN} * len + {_QC_W_STOP} * stop
+                                 + {_QC_W_TTR} * ttr + ({_QC_BIAS})))), 4)
+           AS p,
+         CASE WHEN n >= {_GOPHER_MIN_WORDS} AND n <= {_GOPHER_MAX_WORDS}
+                   AND chars * 10 >= {int(_GOPHER_MIN_MWL * 10)} * n
+                   AND chars * 10 <= {int(_GOPHER_MAX_MWL * 10)} * n
+                   AND alpha * 5 >= n * 4
+                   AND stopn >= {_GOPHER_MIN_STOPS}
+              THEN 1 ELSE 0 END AS y
+  FROM per
+),
+binned AS (
+  SELECT least(CAST(floor(p * {_CAL_BINS}) AS BIGINT), {_CAL_BINS - 1})
+           AS bin, p, y
+  FROM scored
+),
+tot AS (SELECT count(*) AS N FROM binned)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(sum(p) / count(*), 4) AS mean_conf,
+       round(sum(y) * 1.0 / count(*), 4) AS frac_pos,
+       round(abs(sum(y) * 1.0 / count(*) - sum(p) / count(*))
+             * count(*) / tot.N, 4) AS ece_part
+FROM binned CROSS JOIN tot GROUP BY bin, tot.N ORDER BY bin"""
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013)
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT_DAYS = 15
+
+
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED — Controlled-experiment Using Pre-Experiment Data (Deng,
+    Xu, Kohavi & Walker, WSDM 2013), the variance-reduction standard
+    of every A/B platform: per user, Y = experiment-period metric
+    (spend in days > {d}) and X = pre-period covariate (spend in days
+    ≤ {d}); the adjusted metric Y − θ(X − X̄) with θ = cov(X,Y)/var(X)
+    keeps the mean unbiased while removing the between-user variance X
+    explains.  Output: user count, θ, var(Y), the CUPED-adjusted
+    variance, and the reduction ratio — the number that decides how
+    much smaller the experiment can be.
+
+    Determinism: per-user sums then the five moment sums (ΣX, ΣY, ΣX²,
+    ΣXY, ΣY²) — one pass of map-side-combinable aggregates; every
+    derived quantity is computed from those five identical doubles
+    with single expressions, rounded once.  Scale shape: one user-keyed
+    shuffle + a 1-row moment aggregate; nothing grows with events.
+    """.format(d=_CUPED_SPLIT_DAYS)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    t0 = ev.agg(F.min(F.date_trunc("DAY", "ts")).alias("_t0"))
+    split = F.col("_t0") + F.expr(
+        f"INTERVAL {_CUPED_SPLIT_DAYS} DAYS"
+    )
+    per = (
+        ev.crossJoin(F.broadcast(t0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0))
+            .alias("x"),
+            F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0))
+            .alias("y"),
+        )
+    )
+    m = per.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_users")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / n
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    theta = cov / var_x
+    var_cuped = var_y - cov * cov / var_x
+    return m.select(
+        "n_users",
+        _r4(theta).alias("theta"),
+        _r4(var_y).alias("var_y"),
+        _r4(var_cuped).alias("var_cuped"),
+        _r4(F.lit(1.0) - var_cuped / var_y).alias("reduction"),
+    )
+
+
+SQL_CUPED_ADJUSTMENT = f"""WITH t0 AS (
+  SELECT min(date_trunc('day', ts)) AS t0 FROM events
+),
+per AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < t0.t0 + INTERVAL {_CUPED_SPLIT_DAYS} DAY
+                  THEN value ELSE 0 END) AS x,
+         sum(CASE WHEN ts >= t0.t0 + INTERVAL {_CUPED_SPLIT_DAYS} DAY
+                  THEN value ELSE 0 END) AS y
+  FROM events CROSS JOIN t0 GROUP BY user_id
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(((sxy - sx * sy / n) / n) / ((sxx - sx * sx / n) / n), 4)
+         AS theta,
+       round((syy - sy * sy / n) / n, 4) AS var_y,
+       round((syy - sy * sy / n) / n
+             - ((sxy - sx * sy / n) / n) * ((sxy - sx * sy / n) / n)
+               / ((sxx - sx * sx / n) / n), 4) AS var_cuped,
+       round(1.0 - ((syy - sy * sy / n) / n
+             - ((sxy - sx * sy / n) / n) * ((sxy - sx * sy / n) / n)
+               / ((sxx - sx * sx / n) / n))
+             / ((syy - sy * sy / n) / n), 4) AS reduction
+FROM m"""
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (the lang_id operator's own eval)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Confusion matrix of the lang_id heuristic against the declared
+    lang column — the eval every classifier in a pipeline ships next
+    to its predictions (precision per predicted class falls out of the
+    same rows): one row per (true, predicted) pair with its count and
+    the share of the true class it represents.  On this corpus the
+    marker-word heuristic only knows en/de/fr while the synthetic
+    corpus shares one vocabulary across langs, so non-en classes
+    collapse into false 'en' hits or 'und' — exactly the failure mode
+    a confusion matrix exists to expose (and lang_consistency's
+    host-majority check complements at the source level).
+
+    Determinism: integer counts, one ratio.  Scale shape: the per-doc
+    marker aggregate is lang_id's own map-side shape; the matrix is a
+    ≤ |langs|²-row rollup with a broadcast per-class total.
+    """
+    pred = q_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    truth = _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("true_lang"))
+    j = truth.join(pred, "doc_id")
+    per_true = j.groupBy("true_lang").agg(
+        F.count("*").alias("_nt")
+    )
+    return (
+        j.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+        .join(F.broadcast(per_true), "true_lang")
+        .select(
+            "true_lang", "pred_lang", "n",
+            _r4(F.col("n") / F.col("_nt")).alias("frac_of_true"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+SQL_LANG_CONFUSION = f"""WITH {_TOKS_SQL},
+per AS (
+  SELECT doc_id, {_lang_sum_sql('en')} AS n_en, {_lang_sum_sql('de')} AS n_de,
+         {_lang_sum_sql('fr')} AS n_fr
+  FROM toks GROUP BY doc_id
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en > 0 THEN 'en'
+              WHEN n_de >= n_fr AND n_de > 0 THEN 'de'
+              WHEN n_fr > 0 THEN 'fr'
+              ELSE 'und' END AS pred_lang
+  FROM per
+),
+j AS (
+  SELECT d.lang AS true_lang, p.pred_lang
+  FROM documents d JOIN pred p USING (doc_id)
+),
+pt AS (SELECT true_lang, count(*) AS nt FROM j GROUP BY true_lang)
+SELECT j.true_lang, j.pred_lang, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / pt.nt, 4) AS frac_of_true
+FROM j JOIN pt ON j.true_lang = pt.true_lang
+GROUP BY j.true_lang, j.pred_lang, pt.nt
+ORDER BY j.true_lang, j.pred_lang"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -16495,4 +16866,9 @@ QUERIES = {
     "ips_ctr_estimate": (q_ips_ctr_estimate, SQL_IPS_CTR_ESTIMATE),
     "ewma_forecast": (q_ewma_forecast, SQL_EWMA_FORECAST),
     "reciprocal_nn": (q_reciprocal_nn, SQL_RECIPROCAL_NN),
+    "index_size_breakdown": (q_index_size_breakdown,
+                             SQL_INDEX_SIZE_BREAKDOWN),
+    "calibration_curve": (q_calibration_curve, SQL_CALIBRATION_CURVE),
+    "cuped_adjustment": (q_cuped_adjustment, SQL_CUPED_ADJUSTMENT),
+    "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
 }
