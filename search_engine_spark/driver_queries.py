@@ -16663,6 +16663,348 @@ GROUP BY j.true_lang, j.pred_lang, pt.nt
 ORDER BY j.true_lang, j.pred_lang"""
 
 
+# ---------------------------------------------------------------------------
+# Consistent-hashing reshard movement (Karger STOC'97; HRW: Thaler-Ravishankar)
+# ---------------------------------------------------------------------------
+
+_CH_N = 8          # current shard count; the comparison adds one
+
+
+def q_consistent_hash_moves(spark, sf_dir):
+    """Reshard movement: what fraction of doc keys MOVE when the shard
+    count grows {n} → {n1}, under (a) mod-hashing and (b) rendezvous /
+    highest-random-weight hashing (Thaler & Ravishankar 1998 — the
+    stateless equivalent of Karger's consistent hashing ring).  The
+    classic result this verifies on real keys: mod moves ≈ {n}/{n1} of
+    all keys (nearly everything reshuffles), rendezvous moves exactly
+    the keys the NEW shard wins ≈ 1/{n1} — the argument for HRW-sharded
+    posting stores whose chunks must not churn on scale-out.
+
+    Determinism: both schemes hash with the engine-portable md5-prefix
+    integer (shard_balance's idiom); winners pick by (weight, shard)
+    max — pure integer compares.  Scale shape: mod is a narrow
+    expression; rendezvous joins each key against a BROADCAST
+    ≤{n1}-row shard table and reduces with max_by — one
+    map-side-combinable pass, output 2 rows.
+    """.format(n=_CH_N, n1=_CH_N + 1)
+    keys = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("k")
+    )
+    h = F.conv(F.substring(F.md5("k"), 1, 8), 16, 10).cast("long")
+    mod = keys.select(
+        (F.pmod(h, F.lit(_CH_N)) != F.pmod(h, F.lit(_CH_N + 1)))
+        .cast("int").alias("moved")
+    ).agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("moved").cast("long").alias("n_moved"),
+    ).select(F.lit("mod").alias("scheme"), "n_keys", "n_moved")
+
+    shards = spark.createDataFrame(
+        [(s,) for s in range(_CH_N + 1)], "s long"
+    )
+    ww = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "k", "s")), 1, 8), 16, 10
+    ).cast("long")
+    pairs = keys.crossJoin(F.broadcast(shards)).select(
+        "k", "s", ww.alias("w")
+    )
+    ordk = F.col("w") * 16 + F.col("s")   # strictly monotone in (w, s)
+    new_s = pairs.groupBy("k").agg(
+        F.max_by("s", ordk).alias("new_s")
+    )
+    old_s = (
+        pairs.filter(F.col("s") < _CH_N)
+        .groupBy("k")
+        .agg(F.max_by("s", ordk).alias("old_s"))
+    )
+    hrw = (
+        new_s.join(old_s, "k")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(
+                (F.col("new_s") != F.col("old_s")).cast("int")
+            ).cast("long").alias("n_moved"),
+        )
+        .select(F.lit("rendezvous").alias("scheme"), "n_keys", "n_moved")
+    )
+    return (
+        mod.unionByName(hrw)
+        .select(
+            "scheme", "n_keys", "n_moved",
+            _r4(F.col("n_moved") / F.col("n_keys")).alias("frac_moved"),
+        )
+        .orderBy("scheme")
+    )
+
+
+SQL_CONSISTENT_HASH_MOVES = f"""WITH keys AS (
+  SELECT CAST(doc_id AS VARCHAR) AS k FROM documents
+),
+modm AS (
+  SELECT 'mod' AS scheme, count(*) AS n_keys,
+         sum(CASE WHEN h % {_CH_N} <> h % {_CH_N + 1} THEN 1 ELSE 0 END)
+           AS n_moved
+  FROM (SELECT CAST(concat('0x', substr(md5(k), 1, 8)) AS BIGINT) AS h
+        FROM keys)
+),
+shards AS (SELECT * FROM range({_CH_N + 1}) AS t(s)),
+pairs AS (
+  SELECT k, s,
+         CAST(concat('0x', substr(md5(concat(k, ':', CAST(s AS VARCHAR))),
+                                  1, 8)) AS BIGINT) AS w
+  FROM keys CROSS JOIN shards
+),
+new_s AS (
+  SELECT k, max_by(s, w * 16 + s) AS new_s FROM pairs GROUP BY k
+),
+old_s AS (
+  SELECT k, max_by(s, w * 16 + s) AS old_s FROM pairs
+  WHERE s < {_CH_N} GROUP BY k
+),
+hrwm AS (
+  SELECT 'rendezvous' AS scheme, count(*) AS n_keys,
+         sum(CASE WHEN n.new_s <> o.old_s THEN 1 ELSE 0 END) AS n_moved
+  FROM new_s n JOIN old_s o USING (k)
+)
+SELECT scheme, CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_moved AS BIGINT) AS n_moved,
+       round(n_moved * 1.0 / n_keys, 4) AS frac_moved
+FROM (SELECT * FROM modm UNION ALL SELECT * FROM hrwm)
+ORDER BY scheme"""
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (Börzsönyi, Kossmann & Stocker, ICDE 2001)
+# ---------------------------------------------------------------------------
+
+
+def q_skyline_docs(spark, sf_dir):
+    """The skyline operator (Börzsönyi et al., ICDE 2001) over the
+    quality/cost plane: documents Pareto-optimal in (p_keep ↑,
+    n_tokens ↓) — no other doc is at least as good on both axes and
+    strictly better on one.  The selection shape behind "best N
+    candidates under competing criteria" (dedup canonical pick,
+    training-data budget curation) that no single weighted score can
+    replicate.
+
+    Determinism: dominance compares the 4-decimal ROUNDED p_keep and
+    integer lengths only.  Scale shape: the dominance test is a
+    left-anti self-join — quadratic in the worst case, so the entry
+    presorts DESC by p_keep which lets block-nested-loop skylines
+    terminate early; at 10^12 rows the standard distributed plan is
+    grid-partition → local skyline → merge (same two-phase shape the
+    engine's top-k gather uses), with THIS operator as the local step.
+    """
+    toks = _tokens(spark, sf_dir)
+    stops = [s.strip("'") for s in _EN_STOPS.strip("()").split(",")]
+    feats = toks.groupBy("doc_id").agg(
+        F.avg(F.length("term")).alias("_len"),
+        (F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0))
+         / F.count("*")).alias("_stop"),
+        (F.count_distinct("term") / F.count("*")).alias("_ttr"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
+    z = (
+        F.lit(_QC_W_LEN) * F.col("_len")
+        + F.lit(_QC_W_STOP) * F.col("_stop")
+        + F.lit(_QC_W_TTR) * F.col("_ttr")
+        + F.lit(_QC_BIAS)
+    )
+    pts = feats.select(
+        "doc_id",
+        _r4(F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p_keep"),
+        "n_tokens",
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dominated = a.join(
+        b,
+        (F.col("b.p_keep") >= F.col("a.p_keep"))
+        & (F.col("b.n_tokens") <= F.col("a.n_tokens"))
+        & (
+            (F.col("b.p_keep") > F.col("a.p_keep"))
+            | (F.col("b.n_tokens") < F.col("a.n_tokens"))
+        ),
+        "left_semi",
+    )
+    return (
+        pts.join(dominated, "doc_id", "left_anti")
+        .select("doc_id", "p_keep", "n_tokens")
+        .orderBy(F.col("p_keep").desc(), F.col("n_tokens").asc(),
+                 F.col("doc_id").asc())
+    )
+
+
+SQL_SKYLINE_DOCS = f"""WITH {_TOKS_SQL},
+feats AS (
+  SELECT doc_id, avg(length(term)) AS len,
+         sum(CASE WHEN term IN {_EN_STOPS} THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS stop,
+         count(DISTINCT term) * 1.0 / count(*) AS ttr,
+         count(*) AS n_tokens
+  FROM toks GROUP BY doc_id
+),
+pts AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-({_QC_W_LEN} * len + {_QC_W_STOP} * stop
+                                 + {_QC_W_TTR} * ttr + ({_QC_BIAS})))), 4)
+           AS p_keep,
+         CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM feats
+)
+SELECT a.doc_id, a.p_keep, a.n_tokens
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.p_keep >= a.p_keep AND b.n_tokens <= a.n_tokens
+    AND (b.p_keep > a.p_keep OR b.n_tokens < a.n_tokens)
+)
+ORDER BY a.p_keep DESC, a.n_tokens ASC, a.doc_id ASC"""
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality profile (the ops-analytics load-shaping baseline)
+# ---------------------------------------------------------------------------
+
+
+def q_weekday_seasonality(spark, sf_dir):
+    """Day-of-week seasonal profile of event volume — the decomposition
+    every capacity plan and anomaly threshold starts from (ewma_forecast
+    smooths the trend; this isolates the weekly cycle): per weekday,
+    how many days of data, the mean daily volume, and the seasonal
+    index (mean_dow / overall daily mean) — index > 1 marks the heavy
+    days a static threshold would false-alarm on.
+
+    Determinism: daily counts are integers; means and the index are
+    single divisions of those integers.  Scale shape: events collapse
+    map-side to |days| rows FIRST (the spike_detect pre-aggregate),
+    then a 7-row rollup with the overall mean as a 1-row broadcast.
+    """
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    overall = ev.agg(
+        (F.sum("x") / F.count("*")).alias("_mu")
+    )
+    return (
+        ev.withColumn("dow", (F.dayofweek("day") - 1).cast("long"))
+        .groupBy("dow")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum("x").cast("long").alias("_sx"),
+        )
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "dow", "n_days",
+            _r4(F.col("_sx") / F.col("n_days")).alias("mean_volume"),
+            _r4(
+                F.col("_sx") / F.col("n_days") / F.col("_mu")
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+SQL_WEEKDAY_SEASONALITY = """WITH ev AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS x
+  FROM events GROUP BY 1
+),
+overall AS (SELECT sum(x) * 1.0 / count(*) AS mu FROM ev)
+SELECT CAST(dayofweek(day) AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(sum(x) * 1.0 / count(*), 4) AS mean_volume,
+       round(sum(x) * 1.0 / count(*) / overall.mu, 4) AS seasonal_index
+FROM ev CROSS JOIN overall
+GROUP BY dayofweek(day), overall.mu ORDER BY dow"""
+
+
+# ---------------------------------------------------------------------------
+# Delta-method variance for ratio metrics (Deng, Knoblich & Lu, KDD 2018)
+# ---------------------------------------------------------------------------
+
+_DM_NUM, _DM_DEN = "click", "view"
+
+
+def q_delta_method_ratio(spark, sf_dir):
+    """Delta-method variance of a ratio metric (Deng, Knoblich & Lu,
+    "Applying the Delta method in metric analytics", KDD 2018) — the
+    third leg of the experimentation kit next to cuped_adjustment and
+    permutation_sigtest: user-level CTR is the ratio of two per-user
+    sums r = ΣX/ΣY ({num}/{den} counts), whose naive per-user-average
+    variance is WRONG because numerator and denominator covary;
+    var(r) ≈ (var X + r²·var Y − 2r·cov(X,Y)) / (n·ȳ²) is the
+    first-order correction every A/B platform ships.
+
+    Determinism: per-user counts are integers; the five moment sums
+    are integer totals; every derived value is a single expression
+    over them, rounded once.  Scale shape: one user-keyed count
+    aggregate + a 1-row moment reduce — the cuped shape exactly.
+    """.format(num=_DM_NUM, den=_DM_DEN)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin(_DM_NUM, _DM_DEN)
+    )
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == _DM_NUM, 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == _DM_DEN, 1).otherwise(0))
+        .cast("long").alias("y"),
+    ).filter(F.col("y") > 0)
+    m = per.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_users")
+    xb = F.col("sx") / n
+    yb = F.col("sy") / n
+    r = F.col("sx") / F.col("sy")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / n) / n
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    var_r = (var_x + r * r * var_y - 2 * r * cov) / (n * yb * yb)
+    return m.select(
+        "n_users",
+        _r4(r).alias("ratio"),
+        _r4(var_r).alias("var_delta"),
+        _r4(F.sqrt(var_r)).alias("se_delta"),
+        _r4(var_x / (n * xb * xb)).alias("var_naive_num"),
+    )
+
+
+SQL_DELTA_METHOD_RATIO = f"""WITH per AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = '{_DM_NUM}' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = '{_DM_DEN}' THEN 1 ELSE 0 END) AS y
+  FROM events WHERE event_type IN ('{_DM_NUM}', '{_DM_DEN}')
+  GROUP BY user_id HAVING sum(CASE WHEN event_type = '{_DM_DEN}'
+                                   THEN 1 ELSE 0 END) > 0
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM per
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(sx * 1.0 / sy, 4) AS ratio,
+       round(((sxx - sx * sx * 1.0 / n) / n
+              + (sx * 1.0 / sy) * (sx * 1.0 / sy)
+                * (syy - sy * sy * 1.0 / n) / n
+              - 2 * (sx * 1.0 / sy) * (sxy - sx * sy * 1.0 / n) / n)
+             / (n * (sy * 1.0 / n) * (sy * 1.0 / n)), 4) AS var_delta,
+       round(sqrt(((sxx - sx * sx * 1.0 / n) / n
+              + (sx * 1.0 / sy) * (sx * 1.0 / sy)
+                * (syy - sy * sy * 1.0 / n) / n
+              - 2 * (sx * 1.0 / sy) * (sxy - sx * sy * 1.0 / n) / n)
+             / (n * (sy * 1.0 / n) * (sy * 1.0 / n))), 4) AS se_delta,
+       round(((sxx - sx * sx * 1.0 / n) / n)
+             / (n * (sx * 1.0 / n) * (sx * 1.0 / n)), 4) AS var_naive_num
+FROM m"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -16871,4 +17213,10 @@ QUERIES = {
     "calibration_curve": (q_calibration_curve, SQL_CALIBRATION_CURVE),
     "cuped_adjustment": (q_cuped_adjustment, SQL_CUPED_ADJUSTMENT),
     "lang_confusion": (q_lang_confusion, SQL_LANG_CONFUSION),
+    "consistent_hash_moves": (q_consistent_hash_moves,
+                              SQL_CONSISTENT_HASH_MOVES),
+    "skyline_docs": (q_skyline_docs, SQL_SKYLINE_DOCS),
+    "weekday_seasonality": (q_weekday_seasonality,
+                            SQL_WEEKDAY_SEASONALITY),
+    "delta_method_ratio": (q_delta_method_ratio, SQL_DELTA_METHOD_RATIO),
 }
