@@ -17005,6 +17005,338 @@ SELECT CAST(n AS BIGINT) AS n_users,
 FROM m"""
 
 
+# ---------------------------------------------------------------------------
+# Politeness-bound crawl makespan (Cho & Garcia-Molina's scheduling bound)
+# ---------------------------------------------------------------------------
+
+_CRAWL_DELAY_S = 2        # per-host politeness delay between fetches
+_CRAWL_WORKERS = 16
+
+
+def q_crawl_makespan(spark, sf_dir):
+    """The politeness long-pole analysis every crawler capacity plan
+    starts from (Cho & Garcia-Molina's crawl-ordering work assumes it;
+    robots crawl-delay makes it binding): with a {d}s per-host delay, a
+    host with n pages takes n·{d}s REGARDLESS of worker count — so the
+    crawl's lower bound is max(host serial time, total work / workers).
+    Per host: page count, serial seconds, and its share of the bound;
+    every row also carries the fleet bound for {w} workers and whether
+    THIS host is the long pole (the host you shard by ip-range or
+    negotiate a higher rate for).
+
+    Determinism: integer page counts × integer delay; the bound is a
+    greatest() of two integers (total work is integer-divided, ceil).
+    Scale shape: one map-side host aggregate; the bound is a 1-row
+    broadcast back — the planner never shuffles more than |hosts| rows.
+    """.format(d=_CRAWL_DELAY_S, w=_CRAWL_WORKERS)
+    per = _docs(spark, sf_dir).groupBy(
+        F.col("source").alias("host")
+    ).agg(F.count("*").cast("long").alias("n_pages"))
+    per = per.withColumn(
+        "serial_s", (F.col("n_pages") * _CRAWL_DELAY_S).cast("long")
+    )
+    bound = per.agg(
+        F.max("serial_s").alias("_mx"),
+        F.ceil(
+            F.sum("serial_s") / F.lit(float(_CRAWL_WORKERS))
+        ).cast("long").alias("_fleet"),
+    ).select(
+        F.greatest("_mx", "_fleet").alias("makespan_s"), "_mx"
+    )
+    return (
+        per.crossJoin(F.broadcast(bound))
+        .select(
+            "host", "n_pages", "serial_s", "makespan_s",
+            (F.col("serial_s") == F.col("_mx")).alias("long_pole"),
+            _r4(F.col("serial_s") / F.col("makespan_s")).alias("share"),
+        )
+        .orderBy(F.col("serial_s").desc(), F.col("host").asc())
+    )
+
+
+SQL_CRAWL_MAKESPAN = f"""WITH per AS (
+  SELECT source AS host, count(*) AS n_pages,
+         count(*) * {_CRAWL_DELAY_S} AS serial_s
+  FROM documents GROUP BY source
+),
+bound AS (
+  SELECT greatest(max(serial_s),
+                  CAST(ceil(sum(serial_s) / {float(_CRAWL_WORKERS)})
+                       AS BIGINT)) AS makespan_s,
+         max(serial_s) AS mx
+  FROM per
+)
+SELECT host, CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(serial_s AS BIGINT) AS serial_s,
+       CAST(bound.makespan_s AS BIGINT) AS makespan_s,
+       (serial_s = bound.mx) AS long_pole,
+       round(serial_s * 1.0 / bound.makespan_s, 4) AS share
+FROM per CROSS JOIN bound
+ORDER BY serial_s DESC, host ASC"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct-n diversity (Li et al., NAACL 2016 distinct-1/-2)
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_ngrams(spark, sf_dir):
+    """Corpus n-gram diversity distinct-n = |unique n-grams| / |total
+    n-grams| for n = 1..3 (Li et al., NAACL 2016 — the degeneracy
+    metric for generated text, and for web corpora the quick read on
+    template/boilerplate saturation: a crawl dominated by mirrors
+    collapses distinct-2 long before exact dedup fires).  One row per
+    n with both counts and the ratio.
+
+    Determinism: integer distinct/total counts, one division.  Scale
+    shape: grams build NARROWLY inside the scan (the _word_grams
+    transform — no token explode + window); each n is one
+    count_distinct aggregate, i.e. the exact-dedup shuffle keyed by
+    gram; at 10^12 tokens the standard swap is HLL (hll_distinct) —
+    this entry is the exact twin the sketch is validated against.
+    """
+    rows = []
+    for n in (1, 2, 3):
+        g = _word_grams(spark, sf_dir, n).select("g")
+        rows.append(
+            g.agg(
+                F.lit(n).alias("n"),
+                F.count("*").cast("long").alias("total"),
+                F.count_distinct("g").cast("long").alias("uniq"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "n", "total", "uniq",
+        _r4(F.col("uniq") / F.col("total")).alias("distinct_n"),
+    ).orderBy("n")
+
+
+def _distinct_sql(n: int) -> str:
+    joins = " || ' ' || ".join(
+        f"a[i + {j}]" for j in range(n)
+    )
+    return f"""
+  SELECT {n} AS n, count(*) AS total, count(DISTINCT g) AS uniq FROM (
+    SELECT unnest(CASE WHEN len(a) >= {n}
+                  THEN list_transform(range(1, len(a) - {n - 1} + 1),
+                                      i -> {joins})
+                  ELSE [] END) AS g
+    FROM (SELECT list_filter(regexp_split_to_array(lower(text),
+                             '[^a-z0-9]+'), x -> x <> '') AS a
+          FROM documents))"""
+
+
+SQL_DISTINCT_NGRAMS = f"""SELECT n, CAST(total AS BIGINT) AS total,
+       CAST(uniq AS BIGINT) AS uniq,
+       round(uniq * 1.0 / total, 4) AS distinct_n
+FROM ({_distinct_sql(1)}
+UNION ALL{_distinct_sql(2)}
+UNION ALL{_distinct_sql(3)})
+ORDER BY n"""
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient (Zhou & Mondragón 2004; Colizza et al. 2006)
+# ---------------------------------------------------------------------------
+
+_RC_THRESHOLDS = (2, 4, 8)
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k) (Zhou & Mondragón, IEEE Comm. Lett.
+    2004) of the undirected link graph: among nodes with degree > k,
+    the realized fraction of possible edges — do the hubs of the web
+    graph preferentially interlink (the "rich club" that makes hub
+    seeding and hub-first caching work), or are they mutually distant?
+    One row per threshold k ∈ {ks} with club size, internal edge
+    count, and φ.
+
+    Determinism: integer degrees, edge counts, and N·(N−1)/2; one
+    division.  Scale shape: degrees are one map-side aggregate; the
+    club-internal edge count is the edge table semi-joined TWICE
+    against the (tiny, broadcast) club membership — never a node×node
+    join; thresholds multiply rows by |ks| only.
+    """.format(ks=list(_RC_THRESHOLDS))
+    _, edges = _link_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in _RC_THRESHOLDS], "k long"
+    )
+    club = deg.crossJoin(F.broadcast(ks)).filter(
+        F.col("deg") > F.col("k")
+    ).select("k", "v")
+    sizes = club.groupBy("k").agg(F.count("*").cast("long").alias("n_club"))
+    e_in = (
+        und.crossJoin(F.broadcast(ks.select(F.col("k").alias("k2"))))
+        .join(
+            club.select(F.col("k").alias("k2"), F.col("v").alias("a")),
+            ["k2", "a"],
+        )
+        .join(
+            club.select(F.col("k").alias("k2"), F.col("v").alias("b")),
+            ["k2", "b"],
+        )
+        .groupBy(F.col("k2").alias("k"))
+        .agg(F.count("*").cast("long").alias("e_club"))
+    )
+    return (
+        sizes.join(e_in, "k", "left")
+        .select(
+            "k", "n_club",
+            F.coalesce("e_club", F.lit(0)).cast("long").alias("e_club"),
+            F.when(
+                F.col("n_club") >= 2,
+                _r4(
+                    F.coalesce("e_club", F.lit(0))
+                    * 2.0
+                    / (F.col("n_club") * (F.col("n_club") - 1))
+                ),
+            ).otherwise(F.lit(0.0)).alias("phi"),
+        )
+        .orderBy("k")
+    )
+
+
+SQL_RICH_CLUB = f"""WITH {_edges_sql()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY v
+),
+ks AS (SELECT * FROM (VALUES {", ".join(f"({k})" for k in _RC_THRESHOLDS)}) AS t(k)),
+club AS (
+  SELECT ks.k, deg.v FROM deg CROSS JOIN ks WHERE deg.deg > ks.k
+),
+sizes AS (SELECT k, count(*) AS n_club FROM club GROUP BY k),
+e_in AS (
+  SELECT ca.k, count(*) AS e_club
+  FROM und u
+  JOIN club ca ON u.a = ca.v
+  JOIN club cb ON u.b = cb.v AND ca.k = cb.k
+  GROUP BY ca.k
+)
+SELECT s.k, CAST(s.n_club AS BIGINT) AS n_club,
+       CAST(coalesce(e.e_club, 0) AS BIGINT) AS e_club,
+       CASE WHEN s.n_club >= 2
+            THEN round(coalesce(e.e_club, 0) * 2.0
+                       / (s.n_club * (s.n_club - 1)), 4)
+            ELSE 0.0 END AS phi
+FROM sizes s LEFT JOIN e_in e ON s.k = e.k
+ORDER BY s.k"""
+
+
+# ---------------------------------------------------------------------------
+# Attribute (language) homophily of the link graph (Newman, PRE 2003)
+# ---------------------------------------------------------------------------
+
+
+def q_lang_homophily(spark, sf_dir):
+    """Newman's attribute assortativity (Phys. Rev. E 67, 2003 —
+    eq. 2's discrete-attribute coefficient) for the doc LANGUAGE over
+    directed links: r = (Σ_i e_ii − Σ_i a_i·b_i) / (1 − Σ_i a_i·b_i),
+    where e_ii is the fraction of edges linking same-lang docs and
+    a_i/b_i are each language's share of edge sources/targets — the
+    "do pages link within their language?" number behind
+    language-partitioned crawling and per-lang shard affinity
+    (degree_assortativity is the structural twin; this is the
+    attribute one).  Output: one row with edge count, same-lang edge
+    count, observed fraction, expected fraction, and r.
+
+    Determinism: e_ii and the marginals are integer edge counts; the
+    coefficient is one expression over their ratios.  Scale shape: the
+    edge table joins the |docs|-row lang column on both endpoints
+    (co-keyed), then ONE |langs|²-bounded aggregate; the marginal
+    product is a ≤|langs|-row reduce.
+    """
+    _, edges = _link_edges(spark, sf_dir)
+    lang = _docs(spark, sf_dir).select("doc_id", "lang")
+    lab = (
+        edges.join(
+            lang.select(F.col("doc_id").alias("src"),
+                        F.col("lang").alias("ls")), "src"
+        )
+        .join(
+            lang.select(F.col("doc_id").alias("dst"),
+                        F.col("lang").alias("ld")), "dst"
+        )
+    )
+    mix = lab.groupBy("ls", "ld").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = mix.agg(F.sum("n").alias("_m"))
+    a = mix.groupBy("ls").agg(F.sum("n").alias("na"))
+    b = mix.groupBy("ld").agg(F.sum("n").alias("nb"))
+    ab = (
+        a.join(b, a["ls"] == b["ld"])
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("na") / F.col("_m")) * (F.col("nb") / F.col("_m"))
+            ).alias("_eab")
+        )
+    )
+    same = mix.filter(F.col("ls") == F.col("ld")).agg(
+        F.sum("n").alias("_same")
+    )
+    return (
+        tot.crossJoin(F.broadcast(same))
+        .crossJoin(F.broadcast(ab))
+        .select(
+            F.col("_m").cast("long").alias("n_edges"),
+            F.col("_same").cast("long").alias("n_same_lang"),
+            _r4(F.col("_same") / F.col("_m")).alias("observed"),
+            _r4("_eab").alias("expected"),
+            _r4(
+                (F.col("_same") / F.col("_m") - F.col("_eab"))
+                / (F.lit(1.0) - F.col("_eab"))
+            ).alias("assortativity"),
+        )
+    )
+
+
+SQL_LANG_HOMOPHILY = f"""WITH {_edges_sql()},
+lab AS (
+  SELECT ds.lang AS ls, dd.lang AS ld
+  FROM edges e
+  JOIN documents ds ON e.src = ds.doc_id
+  JOIN documents dd ON e.dst = dd.doc_id
+),
+mix AS (SELECT ls, ld, count(*) AS n FROM lab GROUP BY ls, ld),
+tot AS (SELECT sum(n) AS m FROM mix),
+a AS (SELECT ls, sum(n) AS na FROM mix GROUP BY ls),
+b AS (SELECT ld, sum(n) AS nb FROM mix GROUP BY ld),
+ab AS (
+  SELECT sum((a.na * 1.0 / tot.m) * (b.nb * 1.0 / tot.m)) AS eab
+  FROM a JOIN b ON a.ls = b.ld CROSS JOIN tot
+),
+same AS (SELECT sum(n) AS s FROM mix WHERE ls = ld)
+SELECT CAST(tot.m AS BIGINT) AS n_edges,
+       CAST(same.s AS BIGINT) AS n_same_lang,
+       round(same.s * 1.0 / tot.m, 4) AS observed,
+       round(ab.eab, 4) AS expected,
+       round((same.s * 1.0 / tot.m - ab.eab) / (1.0 - ab.eab), 4)
+         AS assortativity
+FROM tot CROSS JOIN same CROSS JOIN ab"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -17219,4 +17551,8 @@ QUERIES = {
     "weekday_seasonality": (q_weekday_seasonality,
                             SQL_WEEKDAY_SEASONALITY),
     "delta_method_ratio": (q_delta_method_ratio, SQL_DELTA_METHOD_RATIO),
+    "crawl_makespan": (q_crawl_makespan, SQL_CRAWL_MAKESPAN),
+    "distinct_ngrams": (q_distinct_ngrams, SQL_DISTINCT_NGRAMS),
+    "rich_club": (q_rich_club, SQL_RICH_CLUB),
+    "lang_homophily": (q_lang_homophily, SQL_LANG_HOMOPHILY),
 }
