@@ -17337,6 +17337,308 @@ SELECT CAST(tot.m AS BIGINT) AS n_edges,
 FROM tot CROSS JOIN same CROSS JOIN ab"""
 
 
+# ---------------------------------------------------------------------------
+# Silhouette of the trained IVF clustering (Rousseeuw, JCAM 1987)
+# ---------------------------------------------------------------------------
+
+_SIL_SAMPLE = 30
+
+
+def q_ivf_silhouette(spark, sf_dir):
+    """Silhouette coefficient (Rousseeuw, J. Comput. Appl. Math. 1987)
+    of the trained IVF clustering, on a {s}-vector sample: per sampled
+    vector, a = mean Euclidean distance to its own cell's other
+    members, b = min over other cells of the mean distance to that
+    cell, s = (b−a)/max(a,b) — the cluster-quality QA that says
+    whether the IVF cells ann_ivf_recall probes actually separate
+    (s ≈ 0 → probing one cell misses true neighbours ≈ random, the
+    recall curve explains why).  Output per cell: sampled count and
+    mean silhouette; computed over the SAME _ivf_model both search
+    entries use.
+
+    Determinism: cell assignment reuses _ivf_model's 6-decimal rounded
+    centroids (no flips); distances are identical doubles; per-(vector,
+    cell) means are single divisions; the min-over-cells picks among
+    identical doubles.  Scale shape: sample × corpus distance pairs —
+    the measurement is O(s·n) by design (it is run on a sample exactly
+    because of that); per-pair work collapses map-side to (sample,
+    cell) means before anything shuffles.
+    """.format(s=_SIL_SAMPLE)
+    final = _ivf_assignments(spark, sf_dir)
+    sample = final.filter(F.col("vec_id") < _SIL_SAMPLE).select(
+        F.col("vec_id").alias("sid"), F.col("cl").alias("scl"),
+        F.col("e").alias("se"),
+    )
+    other = final.select(
+        F.col("vec_id").alias("oid"), F.col("cl").alias("ocl"),
+        F.col("e").alias("oe"),
+    )
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with("se", "oe", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = (
+        sample.join(other, F.col("sid") != F.col("oid"))
+        .select("sid", "scl", "ocl", d.alias("d"))
+    )
+    per_cell = pairs.groupBy("sid", "scl", "ocl").agg(
+        F.avg("d").alias("md")
+    )
+    a = per_cell.filter(F.col("scl") == F.col("ocl")).select(
+        "sid", F.col("md").alias("a")
+    )
+    b = (
+        per_cell.filter(F.col("scl") != F.col("ocl"))
+        .groupBy("sid")
+        .agg(F.min("md").alias("b"))
+    )
+    s = (
+        sample.select("sid", "scl")
+        .join(a, "sid")
+        .join(b, "sid")
+        .withColumn(
+            "s",
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+        )
+    )
+    return (
+        s.groupBy(F.col("scl").alias("cl"))
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            _r4(F.avg("s")).alias("mean_silhouette"),
+        )
+        .orderBy("cl")
+    )
+
+
+SQL_IVF_SILHOUETTE = f"""WITH {_IVF_ASSIGN_SQL},
+sample AS (SELECT vec_id AS sid, cl AS scl, e AS se FROM final
+           WHERE vec_id < {_SIL_SAMPLE}),
+pairs AS (
+  SELECT s.sid, s.scl, f.cl AS ocl, list_distance(s.se, f.e) AS d
+  FROM sample s JOIN final f ON s.sid <> f.vec_id
+),
+per_cell AS (
+  SELECT sid, scl, ocl, avg(d) AS md FROM pairs GROUP BY sid, scl, ocl
+),
+aa AS (SELECT sid, md AS a FROM per_cell WHERE scl = ocl),
+bb AS (SELECT sid, min(md) AS b FROM per_cell WHERE scl <> ocl
+       GROUP BY sid),
+sil AS (
+  SELECT s.scl AS cl, (bb.b - aa.a) / greatest(aa.a, bb.b) AS s
+  FROM sample s JOIN aa ON s.sid = aa.sid JOIN bb ON s.sid = bb.sid
+)
+SELECT cl, CAST(count(*) AS BIGINT) AS n_sampled,
+       round(avg(s), 4) AS mean_silhouette
+FROM sil GROUP BY cl ORDER BY cl"""
+
+
+# ---------------------------------------------------------------------------
+# Tail-at-scale fan-out amplification (Dean & Barroso, CACM 2013)
+# ---------------------------------------------------------------------------
+
+_TAS_FANOUTS = (1, 10, 100)
+
+
+def q_tail_at_scale(spark, sf_dir):
+    """"The tail at scale" (Dean & Barroso, CACM 2013) fan-out
+    arithmetic on the empirical latency distribution (event values,
+    the latency_quantiles population): a request that fans out to K
+    shards completes at the MAX of K draws, so its median is the
+    per-shard quantile 0.5^(1/K) and its p99 the quantile
+    0.99^(1/K) — at K=100 the fan-out median sits at the per-shard
+    p99.3, the number that justifies hedged requests and tied
+    requests.  One row per K with both implied levels and latencies.
+
+    Determinism: the implied levels are python-literal doubles
+    identical in both engines; exact interpolated percentile is the
+    latency_quantiles-proven pairing.  Scale shape: one exact
+    percentile aggregate over the value column — a single reduce; the
+    K table is 3 broadcast rows.
+    """
+    lv = {
+        k: (0.5 ** (1.0 / k), 0.99 ** (1.0 / k)) for k in _TAS_FANOUTS
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    levels = sorted({x for pair in lv.values() for x in pair})
+    arr = ", ".join(repr(x) for x in levels)
+    q = ev.agg(
+        F.expr(f"percentile(value, array({arr}))").alias("q")
+    )
+    idx = {x: i for i, x in enumerate(levels)}
+    rows = None
+    for k in _TAS_FANOUTS:
+        m, p = lv[k]
+        r = q.select(
+            F.lit(k).cast("long").alias("fanout"),
+            F.round(F.lit(m), 6).alias("median_level"),
+            _r4(F.col("q")[idx[m]]).alias("median_latency"),
+            F.round(F.lit(p), 6).alias("p99_level"),
+            _r4(F.col("q")[idx[p]]).alias("p99_latency"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("fanout")
+
+
+def _tas_sql() -> str:
+    parts = []
+    for k in _TAS_FANOUTS:
+        m, p = 0.5 ** (1.0 / k), 0.99 ** (1.0 / k)
+        parts.append(f"""
+  SELECT {k} AS fanout, round({m!r}, 6) AS median_level,
+         round(quantile_cont(value, {m!r}), 4) AS median_latency,
+         round({p!r}, 6) AS p99_level,
+         round(quantile_cont(value, {p!r}), 4) AS p99_latency
+  FROM events""")
+    return "SELECT * FROM (" + " UNION ALL".join(parts) + ") ORDER BY fanout"
+
+
+SQL_TAIL_AT_SCALE = _tas_sql()
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation of OPIC vs PageRank (the crawler's shortcut QA)
+# ---------------------------------------------------------------------------
+
+
+def q_spearman_pr_opic(spark, sf_dir):
+    """Spearman rank correlation between OPIC importance and PageRank
+    over ALL nodes — the validation Abiteboul's crawler shortcut lives
+    or dies by: OPIC exists to approximate PageRank's ORDERING while
+    crawling, so the number that matters is rank agreement, not value
+    agreement; ρ = 1 − 6·Σd²/(n(n²−1)) with d the per-node rank gap
+    (kendall_tau/rbo_overlap read top-10 lists; this reads the full
+    vectors).
+
+    Determinism: both vectors are the hash-green 8-decimal iterations;
+    ranks break ties by doc_id; Σd² is a pure integer.  Scale shape:
+    two rank windows over the |nodes|-row vectors and one integer
+    reduce — nothing touches the edge table beyond what the two
+    (already Pregel-shaped) iterations shuffle.
+    """
+    from pyspark.sql import Window
+
+    pr = q_pagerank(spark, sf_dir)
+    op = q_opic_priority(spark, sf_dir).select("doc_id", "importance")
+    j = pr.join(op, "doc_id")
+    rp = F.row_number().over(
+        Window.orderBy(F.col("pr").desc(), F.col("doc_id").asc())
+    )
+    ro = F.row_number().over(
+        Window.orderBy(F.col("importance").desc(), F.col("doc_id").asc())
+    )
+    ranked = j.select(
+        "doc_id", rp.alias("rp"), ro.alias("ro")
+    ).withColumn("d2", (F.col("rp") - F.col("ro"))
+                 * (F.col("rp") - F.col("ro")))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d2").cast("long").alias("sum_d2"),
+    ).select(
+        "n", "sum_d2",
+        _r4(
+            F.lit(1.0)
+            - F.lit(6.0) * F.col("sum_d2")
+            / (F.col("n") * (F.col("n") * F.col("n") - 1))
+        ).alias("spearman_rho"),
+    )
+
+
+SQL_SPEARMAN_PR_OPIC = f"""WITH pr AS ({SQL_PAGERANK}),
+op AS ({SQL_OPIC_PRIORITY}),
+ranked AS (
+  SELECT pr.doc_id,
+         row_number() OVER (ORDER BY pr.pr DESC, pr.doc_id ASC) AS rp,
+         row_number() OVER (ORDER BY op.importance DESC, op.doc_id ASC)
+           AS ro
+  FROM pr JOIN op ON pr.doc_id = op.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((rp - ro) * (rp - ro)) AS BIGINT) AS sum_d2,
+       round(1.0 - 6.0 * sum((rp - ro) * (rp - ro))
+             / (count(*) * (count(*) * count(*) - 1.0)), 4)
+         AS spearman_rho
+FROM ranked"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (the metric-robustness standard; Tukey/Dixon 1960s)
+# ---------------------------------------------------------------------------
+
+_WINS_LO, _WINS_HI = 0.01, 0.99
+
+
+def q_winsorized_mean(spark, sf_dir):
+    """Winsorized mean of event value per event type — cap at the exact
+    p{lo}/p{hi} percentiles instead of dropping (Tukey's robustification;
+    what every experimentation platform applies to revenue-style
+    metrics before delta_method_ratio/cuped touch them, because one
+    whale user otherwise owns the variance): per type, the raw mean,
+    the winsorized mean, both caps, and the fraction of values capped.
+
+    Determinism: caps are the exact-percentile pairing over the per-type
+    group; capping is least/greatest; capped counts are integers; means
+    round once.  Scale shape: one per-type percentile aggregate
+    broadcast back into a narrow capped re-aggregate — two passes,
+    both map-side-combinable, |types| output rows.
+    """.format(lo=int(_WINS_LO * 100), hi=int(_WINS_HI * 100))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    caps = ev.groupBy("event_type").agg(
+        F.expr(
+            f"percentile(value, array({_WINS_LO!r}, {_WINS_HI!r}))"
+        ).alias("q")
+    ).select(
+        "event_type", F.col("q")[0].alias("lo"), F.col("q")[1].alias("hi")
+    )
+    capped = ev.join(F.broadcast(caps), "event_type").select(
+        "event_type", "value", "lo", "hi",
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+        .alias("w"),
+    )
+    return (
+        capped.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            _r4(F.avg("value")).alias("raw_mean"),
+            _r4(F.avg("w")).alias("winsorized_mean"),
+            _r4(F.max("lo")).alias("cap_lo"),
+            _r4(F.max("hi")).alias("cap_hi"),
+            _r4(
+                F.sum(
+                    (F.col("value") != F.col("w")).cast("int")
+                ) / F.count("*")
+            ).alias("frac_capped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_WINSORIZED_MEAN = f"""WITH caps AS (
+  SELECT event_type,
+         quantile_cont(value, {_WINS_LO!r}) AS lo,
+         quantile_cont(value, {_WINS_HI!r}) AS hi
+  FROM events GROUP BY event_type
+),
+capped AS (
+  SELECT e.event_type, e.value, c.lo, c.hi,
+         greatest(c.lo, least(c.hi, e.value)) AS w
+  FROM events e JOIN caps c USING (event_type)
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 4) AS raw_mean,
+       round(avg(w), 4) AS winsorized_mean,
+       round(max(lo), 4) AS cap_lo,
+       round(max(hi), 4) AS cap_hi,
+       round(sum(CASE WHEN value <> w THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS frac_capped
+FROM capped GROUP BY event_type ORDER BY event_type"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -17555,4 +17857,8 @@ QUERIES = {
     "distinct_ngrams": (q_distinct_ngrams, SQL_DISTINCT_NGRAMS),
     "rich_club": (q_rich_club, SQL_RICH_CLUB),
     "lang_homophily": (q_lang_homophily, SQL_LANG_HOMOPHILY),
+    "ivf_silhouette": (q_ivf_silhouette, SQL_IVF_SILHOUETTE),
+    "tail_at_scale": (q_tail_at_scale, SQL_TAIL_AT_SCALE),
+    "spearman_pr_opic": (q_spearman_pr_opic, SQL_SPEARMAN_PR_OPIC),
+    "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
 }
