@@ -17639,6 +17639,250 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
 FROM capped GROUP BY event_type ORDER BY event_type"""
 
 
+# ---------------------------------------------------------------------------
+# Cardinality-estimation q-error (Leis et al., VLDB 2015 framing)
+# ---------------------------------------------------------------------------
+
+
+def q_cardinality_estimation(spark, sf_dir):
+    """Join/conjunction cardinality estimation under the independence
+    assumption — the query-optimizer staple whose failure Leis et al.
+    ("How good are query optimizers, really?", VLDB 2015) measured
+    with the q-error: for each AND pair, the estimated intersection
+    df̂ = df_a·df_b/N versus the TRUE intersection, and q-error =
+    max(df̂/df, df/df̂) — the multiplicative miss a WAND/routing cost
+    model inherits when terms correlate (our skip_cost_model and
+    partition_cost consume exactly these df's).
+
+    Determinism: integer counts; the estimate and q-error are single
+    divisions.  Scale shape: true intersections come from one
+    self-semi-join of the |pairs| posting lists (rarest-first, the
+    bm25_and shape); estimates are |pairs| arithmetic rows.
+    """
+    terms = sorted({t for p in _SKIP_PAIRS for t in p})
+    tf = _tokens(spark, sf_dir).filter(F.col("term").isin(terms)).select(
+        "term", "doc_id"
+    ).distinct()
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    nd = _dl(spark, sf_dir).agg(F.count("*").cast("long").alias("n"))
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in _SKIP_PAIRS], "qa string, qb string"
+    )
+    inter = (
+        tf.alias("x")
+        .join(
+            tf.alias("y"),
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.term") < F.col("y.term")),
+        )
+        .groupBy(
+            F.col("x.term").alias("ta"), F.col("y.term").alias("tb")
+        )
+        .agg(F.count("*").cast("long").alias("actual"))
+    )
+    j = (
+        pairs.withColumn(
+            "ta", F.least("qa", "qb")
+        ).withColumn("tb", F.greatest("qa", "qb"))
+        .join(F.broadcast(df.select(F.col("term").alias("qa"),
+                                    F.col("df").alias("df_a"))), "qa")
+        .join(F.broadcast(df.select(F.col("term").alias("qb"),
+                                    F.col("df").alias("df_b"))), "qb")
+        .join(inter, ["ta", "tb"], "left")
+        .crossJoin(F.broadcast(nd))
+    )
+    est = F.col("df_a") * F.col("df_b") / F.col("n")
+    act = F.coalesce("actual", F.lit(0)).cast("long")
+    return j.select(
+        "qa", "qb", "df_a", "df_b",
+        act.alias("actual"),
+        _r4(est).alias("estimated"),
+        _r4(F.greatest(est / act, act / est)).alias("q_error"),
+    ).orderBy("qa", "qb")
+
+
+SQL_CARDINALITY_ESTIMATION = f"""WITH {_TOKS_SQL},
+tf AS (SELECT DISTINCT term, doc_id FROM toks
+       WHERE term IN ({", ".join(f"'{t}'" for t in sorted({t for p in _SKIP_PAIRS for t in p}))})),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+pairs AS (SELECT * FROM (VALUES {", ".join(f"('{a}', '{b}')" for a, b in _SKIP_PAIRS)}) AS t(qa, qb)),
+inter AS (
+  SELECT x.term AS ta, y.term AS tb, count(*) AS actual
+  FROM tf x JOIN tf y ON x.doc_id = y.doc_id AND x.term < y.term
+  GROUP BY x.term, y.term
+)
+SELECT p.qa, p.qb, CAST(a.df AS BIGINT) AS df_a,
+       CAST(b.df AS BIGINT) AS df_b,
+       CAST(coalesce(i.actual, 0) AS BIGINT) AS actual,
+       round(a.df * b.df * 1.0 / nd.n, 4) AS estimated,
+       round(greatest((a.df * b.df * 1.0 / nd.n)
+                      / coalesce(i.actual, 0),
+                      coalesce(i.actual, 0)
+                      / (a.df * b.df * 1.0 / nd.n)), 4) AS q_error
+FROM pairs p
+JOIN df a ON p.qa = a.term JOIN df b ON p.qb = b.term
+LEFT JOIN inter i ON least(p.qa, p.qb) = i.ta
+                 AND greatest(p.qa, p.qb) = i.tb
+CROSS JOIN nd
+ORDER BY p.qa, p.qb"""
+
+
+# ---------------------------------------------------------------------------
+# Chao1 vocabulary estimation (Chao, Scand. J. Statist. 1984)
+# ---------------------------------------------------------------------------
+
+
+def q_chao1_vocab(spark, sf_dir):
+    """Chao1 unseen-species estimation (Chao 1984; the ecology
+    estimator IR borrowed for vocabulary and NDV prediction, the
+    nonparametric cousin of heaps_law's power-law fit): from the
+    half-corpus sample (even doc_ids), estimate the total BIGRAM vocabulary
+    (the unigram vocab is tiny and fully seen here; bigrams have the
+    long singleton tail the estimator needs) as Ŝ = d + f1²/(2·f2) where f1/f2 are the counts of terms seen
+    once/twice in the sample (good_turing's frequency-of-frequencies),
+    then compare against the full corpus' actual distinct-term count —
+    the estimator a pipeline uses to size dictionaries and NDV sketches
+    BEFORE paying the full scan.
+
+    Determinism: all integer counts; Ŝ and the error ratio are single
+    divisions.  Scale shape: one tf aggregate on the sampled half, a
+    ≤2-row frequency-of-frequency rollup, and one exact distinct on
+    the full corpus as the ground truth (the part Chao1 exists to
+    avoid at 10^12 tokens).
+    """
+    grams = _word_grams(spark, sf_dir, 2).select("doc_id", "g")
+    sample = grams.filter(F.col("doc_id") % 2 == 0)
+    sc = sample.groupBy("g").agg(F.count("*").alias("c"))
+    fof = sc.agg(
+        F.count("*").cast("long").alias("d_sample"),
+        F.sum((F.col("c") == 1).cast("int")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("long").alias("f2"),
+    )
+    truth = grams.agg(
+        F.count_distinct("g").cast("long").alias("d_full")
+    )
+    est = F.col("d_sample") + (
+        F.col("f1") * F.col("f1")
+        / (2.0 * F.greatest(F.col("f2"), F.lit(1)))
+    )
+    return (
+        fof.crossJoin(F.broadcast(truth))
+        .select(
+            "d_sample", "f1", "f2", "d_full",
+            _r4(est).alias("chao1_est"),
+            _r4(est / F.col("d_full")).alias("est_over_truth"),
+        )
+    )
+
+
+SQL_CHAO1_VOCAB = f"""WITH grams AS (
+  SELECT doc_id, unnest(CASE WHEN len(a) >= 2
+                 THEN list_transform(range(1, len(a)),
+                                     i -> a[i] || ' ' || a[i + 1])
+                 ELSE [] END) AS g
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                                   '[^a-z0-9]+'), x -> x <> '') AS a
+        FROM documents)
+),
+sc AS (
+  SELECT g, count(*) AS c FROM grams WHERE doc_id % 2 = 0
+  GROUP BY g
+),
+fof AS (
+  SELECT count(*) AS d_sample,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+  FROM sc
+),
+truth AS (SELECT count(DISTINCT g) AS d_full FROM grams)
+SELECT CAST(d_sample AS BIGINT) AS d_sample, CAST(f1 AS BIGINT) AS f1,
+       CAST(f2 AS BIGINT) AS f2, CAST(d_full AS BIGINT) AS d_full,
+       round(d_sample + f1 * f1 / (2.0 * greatest(f2, 1)), 4)
+         AS chao1_est,
+       round((d_sample + f1 * f1 / (2.0 * greatest(f2, 1))) / d_full, 4)
+         AS est_over_truth
+FROM fof CROSS JOIN truth"""
+
+
+# ---------------------------------------------------------------------------
+# Sample-ratio-mismatch guardrail (Fabijan et al., KDD 2019 diagnostics)
+# ---------------------------------------------------------------------------
+
+_SRM_BUCKETS = 2
+
+
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check (Fabijan et al., "Diagnosing sample
+    ratio mismatch in online controlled experiments", KDD 2019) — the
+    guardrail every A/B platform runs before reading any metric: hash
+    users into {b} buckets (engine-portable md5, the assignment a real
+    platform would ship), and test the observed split against the
+    expected uniform ratio with the χ² statistic Σ(o−e)²/e; χ² > 3.84
+    (α=0.05, 1 dof) means the assignment itself is broken and every
+    downstream readout (cuped_adjustment, delta_method_ratio,
+    permutation_sigtest) is void.
+
+    Determinism: bucket counts are integers; e = n/{b} and the χ² are
+    single expressions.  Scale shape: one distinct-user aggregate and
+    a {b}-row rollup — the check costs one pass regardless of event
+    volume.
+    """.format(b=_SRM_BUCKETS)
+    users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct()
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    per = users.select(
+        F.pmod(h, F.lit(_SRM_BUCKETS)).alias("bucket")
+    ).groupBy("bucket").agg(F.count("*").cast("long").alias("n"))
+    tot = per.agg(F.sum("n").alias("_t"))
+    chi = per.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n",
+        (F.col("_t") / F.lit(float(_SRM_BUCKETS))).alias("_e"),
+    )
+    stat = chi.agg(
+        F.sum(
+            (F.col("n") - F.col("_e")) * (F.col("n") - F.col("_e"))
+            / F.col("_e")
+        ).alias("_chi2")
+    )
+    return (
+        chi.crossJoin(F.broadcast(stat))
+        .select(
+            "bucket", "n",
+            _r4("_e").alias("expected"),
+            _r4("_chi2").alias("chi2"),
+            (F.col("_chi2") > 3.841).alias("srm_flag"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_SRM_CHECK = f"""WITH users AS (
+  SELECT DISTINCT user_id FROM events
+),
+per AS (
+  SELECT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                          1, 8)) AS BIGINT) % {_SRM_BUCKETS} AS BIGINT)
+           AS bucket,
+         count(*) AS n
+  FROM users GROUP BY 1
+),
+tot AS (SELECT sum(n) AS t FROM per),
+chi AS (
+  SELECT bucket, n, tot.t / {float(_SRM_BUCKETS)} AS e
+  FROM per CROSS JOIN tot
+),
+stat AS (SELECT sum((n - e) * (n - e) / e) AS chi2 FROM chi)
+SELECT bucket, CAST(n AS BIGINT) AS n, round(e, 4) AS expected,
+       round(stat.chi2, 4) AS chi2,
+       (stat.chi2 > 3.841) AS srm_flag
+FROM chi CROSS JOIN stat ORDER BY bucket"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -17861,4 +18105,8 @@ QUERIES = {
     "tail_at_scale": (q_tail_at_scale, SQL_TAIL_AT_SCALE),
     "spearman_pr_opic": (q_spearman_pr_opic, SQL_SPEARMAN_PR_OPIC),
     "winsorized_mean": (q_winsorized_mean, SQL_WINSORIZED_MEAN),
+    "cardinality_estimation": (q_cardinality_estimation,
+                               SQL_CARDINALITY_ESTIMATION),
+    "chao1_vocab": (q_chao1_vocab, SQL_CHAO1_VOCAB),
+    "srm_check": (q_srm_check, SQL_SRM_CHECK),
 }
