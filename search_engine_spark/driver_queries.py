@@ -17883,6 +17883,269 @@ SELECT bucket, CAST(n AS BIGINT) AS n, round(e, 4) AS expected,
 FROM chi CROSS JOIN stat ORDER BY bucket"""
 
 
+# ---------------------------------------------------------------------------
+# Watermark late-arrival accounting (the streaming-semantics batch mirror)
+# ---------------------------------------------------------------------------
+
+_LATE_WM_US = 3_600_000_000      # 1h watermark, in microseconds
+_LATE_JIT_S = 7200               # deterministic arrival jitter bound (2h)
+
+
+def q_late_arrival_stats(spark, sf_dir):
+    """Watermark late-data accounting — the batch mirror of Structured
+    Streaming's `withWatermark` drop rule: replaying each event_type's
+    stream in arrival order (event time plus a deterministic 0-2h
+    per-event jitter — the synthetic log is time-sorted, so the jitter
+    IS the simulated network reordering), an event is LATE if its event time trails the
+    max event time seen so far by more than the 1h watermark — exactly
+    the rows a streaming aggregation would silently drop, which is why
+    platforms ship this count as a data-quality metric next to every
+    windowed job.  Per type: events, late events, late fraction, and
+    the worst lateness seen (the number that sizes the watermark).
+
+    Determinism: all integer microsecond arithmetic (unix_micros — the
+    same exact-µs idiom sessionize uses).  Scale shape: one running-max
+    window per event_type partition — in the streaming engine this is
+    ONE max-timestamp value of state per key; the batch window exists
+    to backfill and to verify that state, like ewma_forecast.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).withColumn(
+        # deterministic bounded network jitter (0..2h) so the replay is
+        # genuinely out of order — the synthetic log is time-sorted
+        "arr",
+        F.col("us")
+        + F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(_LATE_JIT_S))
+        * 1_000_000,
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lab = ev.withColumn("hwm", F.max("us").over(w)).withColumn(
+        "late_by",
+        F.greatest(
+            F.coalesce(F.col("hwm") - F.col("us"), F.lit(0)), F.lit(0)
+        ),
+    )
+    return (
+        lab.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(
+                (F.col("late_by") > _LATE_WM_US).cast("int")
+            ).cast("long").alias("n_late"),
+            F.max("late_by").cast("long").alias("max_late_us"),
+        )
+        .withColumn(
+            "late_frac", _r4(F.col("n_late") / F.col("n_events"))
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_LATE_ARRIVAL_STATS = f"""WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS us,
+         epoch_us(ts) + ((event_id * 2654435761) % {_LATE_JIT_S})
+           * 1000000 AS arr
+  FROM events
+),
+lab AS (
+  SELECT event_type,
+         greatest(coalesce(max(us) OVER (PARTITION BY event_type
+                    ORDER BY arr, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  - us, 0), 0) AS late_by
+  FROM ev
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN late_by > {_LATE_WM_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(max(late_by) AS BIGINT) AS max_late_us,
+       round(sum(CASE WHEN late_by > {_LATE_WM_US} THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 4) AS late_frac
+FROM lab GROUP BY event_type ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Conjunction processing-order cost (the rarest-first optimizer rule)
+# ---------------------------------------------------------------------------
+
+_ORD_TERMS = ("dup", "merge", "join")
+
+
+def q_intersection_order_cost(spark, sf_dir):
+    """Why rarest-first: the true-cardinality cost of every processing
+    order for the 3-term conjunction {ts} — the candidate-driven model
+    cost(t1→t2→t3) = df(t1) + |t1∩t2| (each intermediate result is
+    what probes the next list; the final intersection is
+    order-invariant).  One row per permutation with its cost and cost
+    rank — the ascending-df order must rank first, which is the rule
+    the X3 ISRAnd driver (`plans/wand.py` rarest-first) and every
+    Boolean optimizer hard-code.
+
+    Determinism: df's and pairwise intersections are integer counts;
+    the permutation table is a 6-row literal.  Scale shape: 3 posting
+    lists + 3 pairwise semi-joins (the bm25_and shuffle), then 6 rows
+    of arithmetic.
+    """.format(ts=list(_ORD_TERMS))
+    import itertools
+
+    tf = _tokens(spark, sf_dir).filter(
+        F.col("term").isin(list(_ORD_TERMS))
+    ).select("term", "doc_id").distinct()
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    inter = (
+        tf.alias("x")
+        .join(
+            tf.alias("y"),
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.term") < F.col("y.term")),
+        )
+        .groupBy(F.col("x.term").alias("ta"), F.col("y.term").alias("tb"))
+        .agg(F.count("*").cast("long").alias("i2"))
+    )
+    perms = spark.createDataFrame(
+        [
+            ("->".join(p), p[0], min(p[0], p[1]), max(p[0], p[1]))
+            for p in itertools.permutations(_ORD_TERMS)
+        ],
+        "ord string, t1 string, pa string, pb string",
+    )
+    j = (
+        perms.join(
+            F.broadcast(df.select(F.col("term").alias("t1"),
+                                  F.col("df").alias("df1"))), "t1"
+        )
+        .join(
+            F.broadcast(inter.select(F.col("ta").alias("pa"),
+                                     F.col("tb").alias("pb"), "i2")),
+            ["pa", "pb"],
+        )
+        .withColumn("cost", (F.col("df1") + F.col("i2")).cast("long"))
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.orderBy(F.col("cost").asc(), F.col("ord").asc())
+    )
+    return j.select(
+        "ord", "df1", F.col("i2").alias("first_intersection"), "cost",
+        rk.alias("cost_rank"),
+    ).orderBy("cost_rank")
+
+
+def _ord_sql() -> str:
+    import itertools
+
+    rows = ", ".join(
+        f"('{'->'.join(p)}', '{p[0]}', '{min(p[0], p[1])}',"
+        f" '{max(p[0], p[1])}')"
+        for p in itertools.permutations(_ORD_TERMS)
+    )
+    terms = ", ".join(f"'{t}'" for t in sorted(_ORD_TERMS))
+    return f"""WITH {_TOKS_SQL},
+tf AS (SELECT DISTINCT term, doc_id FROM toks WHERE term IN ({terms})),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+inter AS (
+  SELECT x.term AS ta, y.term AS tb, count(*) AS i2
+  FROM tf x JOIN tf y ON x.doc_id = y.doc_id AND x.term < y.term
+  GROUP BY x.term, y.term
+),
+perms AS (SELECT * FROM (VALUES {rows}) AS t(ord, t1, pa, pb)),
+costed AS (
+  SELECT p.ord, df.df AS df1, i.i2 AS first_intersection,
+         df.df + i.i2 AS cost
+  FROM perms p
+  JOIN df ON p.t1 = df.term
+  JOIN inter i ON p.pa = i.ta AND p.pb = i.tb
+)
+SELECT ord, CAST(df1 AS BIGINT) AS df1,
+       CAST(first_intersection AS BIGINT) AS first_intersection,
+       CAST(cost AS BIGINT) AS cost,
+       CAST(row_number() OVER (ORDER BY cost ASC, ord ASC) AS BIGINT)
+         AS cost_rank
+FROM costed ORDER BY cost_rank"""
+
+
+SQL_INTERSECTION_ORDER_COST = _ord_sql()
+
+
+# ---------------------------------------------------------------------------
+# Minimum detectable effect / power analysis (the experiment sizing formula)
+# ---------------------------------------------------------------------------
+
+_MDE_Z_ALPHA = 1.959964        # two-sided α = 0.05
+_MDE_Z_BETA = 0.841621         # power = 0.80
+
+
+def q_mde_power(spark, sf_dir):
+    """Experiment sizing: the minimum detectable effect at α=0.05 /
+    power=0.80 for the per-user '{m}' count metric under a 50/50
+    split, MDE = (z_α/2 + z_β)·sqrt(2·var/n) — the formula every A/B
+    calculator implements, evaluated on the REAL metric variance (the
+    same per-user aggregate cuped_adjustment and delta_method_ratio
+    read; winsorized_mean is what you run first when this variance is
+    whale-dominated).  Output: n per arm, metric mean and variance,
+    absolute MDE, and relative MDE.
+
+    Determinism: per-user counts are integers, so the moment sums are
+    exact; the MDE is one sqrt expression with literal z constants.
+    Scale shape: one user-keyed count aggregate + a 1-row moment
+    reduce — the cuped shape.
+    """.format(m=_DM_NUM)
+    per = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == _DM_NUM)
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    m = per.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_users")
+    mean = F.col("sx") / n
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / n
+    half_n = n / 2.0
+    mde = (
+        F.lit(_MDE_Z_ALPHA + _MDE_Z_BETA)
+        * F.sqrt(2.0 * var / half_n)
+    )
+    return m.select(
+        F.floor(half_n).cast("long").alias("n_per_arm"),
+        _r4(mean).alias("metric_mean"),
+        _r4(var).alias("metric_var"),
+        _r4(mde).alias("mde_abs"),
+        _r4(mde / mean).alias("mde_rel"),
+    )
+
+
+SQL_MDE_POWER = f"""WITH per AS (
+  SELECT user_id, count(*) AS x FROM events
+  WHERE event_type = '{_DM_NUM}' GROUP BY user_id
+),
+m AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx FROM per
+)
+SELECT CAST(floor(n / 2.0) AS BIGINT) AS n_per_arm,
+       round(sx * 1.0 / n, 4) AS metric_mean,
+       round((sxx - sx * sx * 1.0 / n) / n, 4) AS metric_var,
+       round({_MDE_Z_ALPHA + _MDE_Z_BETA}
+             * sqrt(2.0 * ((sxx - sx * sx * 1.0 / n) / n) / (n / 2.0)),
+             4) AS mde_abs,
+       round({_MDE_Z_ALPHA + _MDE_Z_BETA}
+             * sqrt(2.0 * ((sxx - sx * sx * 1.0 / n) / n) / (n / 2.0))
+             / (sx * 1.0 / n), 4) AS mde_rel
+FROM m"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -18109,4 +18372,8 @@ QUERIES = {
                                SQL_CARDINALITY_ESTIMATION),
     "chao1_vocab": (q_chao1_vocab, SQL_CHAO1_VOCAB),
     "srm_check": (q_srm_check, SQL_SRM_CHECK),
+    "late_arrival_stats": (q_late_arrival_stats, SQL_LATE_ARRIVAL_STATS),
+    "intersection_order_cost": (q_intersection_order_cost,
+                                SQL_INTERSECTION_ORDER_COST),
+    "mde_power": (q_mde_power, SQL_MDE_POWER),
 }
