@@ -18146,6 +18146,210 @@ SELECT CAST(floor(n / 2.0) AS BIGINT) AS n_per_arm,
 FROM m"""
 
 
+# ---------------------------------------------------------------------------
+# Otsu automatic threshold (Otsu, IEEE TSMC 1979)
+# ---------------------------------------------------------------------------
+
+_OTSU_BINS = 100
+
+
+def q_otsu_threshold(spark, sf_dir):
+    """Otsu's automatic threshold (IEEE TSMC 1979 — the image-binarization
+    classic applied where a pipeline actually needs it: picking the
+    quality-score cutoff WITHOUT labels): over the {b}-bin histogram of
+    quality_classifier's p_keep, choose the threshold maximizing the
+    between-class variance ω₀ω₁(μ₀−μ₁)² — i.e. the split a 2-means on
+    the score axis would find.  Output: the argmax bin as a threshold,
+    its between-class variance, both class masses, and both class means
+    — the data-driven alternative to calibration_curve's fixed 0.5.
+
+    Determinism: the histogram is integer counts on the ROUNDED score;
+    per-candidate variances are single expressions over integer prefix
+    sums (scores enter as the exact 100·p integers); argmax breaks ties
+    toward the lower bin.  Scale shape: one score scan collapses
+    map-side to ≤{b} histogram rows; the threshold sweep is a window
+    over those {b} rows only.
+    """.format(b=_OTSU_BINS)
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    stops = [s.strip("'") for s in _EN_STOPS.strip("()").split(",")]
+    feats = toks.groupBy("doc_id").agg(
+        F.avg(F.length("term")).alias("_len"),
+        (F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0))
+         / F.count("*")).alias("_stop"),
+        (F.count_distinct("term") / F.count("*")).alias("_ttr"),
+    )
+    z = (
+        F.lit(_QC_W_LEN) * F.col("_len")
+        + F.lit(_QC_W_STOP) * F.col("_stop")
+        + F.lit(_QC_W_TTR) * F.col("_ttr")
+        + F.lit(_QC_BIAS)
+    )
+    p = _r4(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    hist = (
+        feats.select(
+            F.least(
+                F.floor(p * _OTSU_BINS), F.lit(_OTSU_BINS - 1)
+            ).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = hist.agg(
+        F.sum("c").alias("_n"), F.sum(F.col("bin") * F.col("c")).alias("_s")
+    )
+    cum = (
+        hist.withColumn("w0", F.sum("c").over(w))
+        .withColumn("s0", F.sum(F.col("bin") * F.col("c")).over(w))
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("w0") > 0) & (F.col("w0") < F.col("_n")))
+        .withColumn("w1", F.col("_n") - F.col("w0"))
+        .withColumn("mu0", F.col("s0") / F.col("w0"))
+        .withColumn("mu1", (F.col("_s") - F.col("s0")) / F.col("w1"))
+        .withColumn(
+            "bcv",
+            F.col("w0") * F.col("w1")
+            * (F.col("mu0") - F.col("mu1"))
+            * (F.col("mu0") - F.col("mu1"))
+            / (F.col("_n") * F.col("_n")),
+        )
+    )
+    best = cum.orderBy(
+        F.col("bcv").desc(), F.col("bin").asc()
+    ).limit(1)
+    return best.select(
+        _r4((F.col("bin") + 1) / F.lit(float(_OTSU_BINS)))
+        .alias("threshold"),
+        _r4("bcv").alias("between_var"),
+        F.col("w0").cast("long").alias("n_below"),
+        F.col("w1").cast("long").alias("n_above"),
+        _r4(F.col("mu0") / _OTSU_BINS).alias("mean_below"),
+        _r4(F.col("mu1") / _OTSU_BINS).alias("mean_above"),
+    )
+
+
+SQL_OTSU_THRESHOLD = f"""WITH {_TOKS_SQL},
+feats AS (
+  SELECT doc_id, avg(length(term)) AS len,
+         sum(CASE WHEN term IN {_EN_STOPS} THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS stop,
+         count(DISTINCT term) * 1.0 / count(*) AS ttr
+  FROM toks GROUP BY doc_id
+),
+hist AS (
+  SELECT least(CAST(floor(round(1.0 / (1.0 + exp(-({_QC_W_LEN} * len
+                    + {_QC_W_STOP} * stop + {_QC_W_TTR} * ttr
+                    + ({_QC_BIAS})))), 4) * {_OTSU_BINS}) AS BIGINT),
+               {_OTSU_BINS - 1}) AS bin,
+         count(*) AS c
+  FROM feats GROUP BY 1
+),
+tot AS (SELECT sum(c) AS n, sum(bin * c) AS s FROM hist),
+cum AS (
+  SELECT bin,
+         sum(c) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w0,
+         sum(bin * c) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0
+  FROM hist
+),
+scored2 AS (
+  SELECT bin, w0, tot.n - w0 AS w1,
+         s0 * 1.0 / w0 AS mu0,
+         (tot.s - s0) * 1.0 / (tot.n - w0) AS mu1,
+         w0 * (tot.n - w0)
+           * (s0 * 1.0 / w0 - (tot.s - s0) * 1.0 / (tot.n - w0))
+           * (s0 * 1.0 / w0 - (tot.s - s0) * 1.0 / (tot.n - w0))
+           / (tot.n * tot.n * 1.0) AS bcv
+  FROM cum CROSS JOIN tot
+  WHERE w0 > 0 AND w0 < tot.n
+)
+SELECT round((bin + 1) / {float(_OTSU_BINS)}, 4) AS threshold,
+       round(bcv, 4) AS between_var,
+       CAST(w0 AS BIGINT) AS n_below, CAST(w1 AS BIGINT) AS n_above,
+       round(mu0 / {_OTSU_BINS}, 4) AS mean_below,
+       round(mu1 / {_OTSU_BINS}, 4) AS mean_above
+FROM scored2 ORDER BY bcv DESC, bin ASC LIMIT 1"""
+
+
+# ---------------------------------------------------------------------------
+# Traffic concentration: Gini coefficient + top-20% share
+# ---------------------------------------------------------------------------
+
+
+def q_traffic_gini(spark, sf_dir):
+    """Traffic inequality over items: the Gini coefficient of per-item
+    click counts, G = Σ(2i − n − 1)·x_(i) / (n·Σx) over the ascending
+    sort, plus the classic Pareto readout (the click share of the
+    top-20% items) — the concentration numbers that decide cache sizes
+    (cache_selection), head/tail tiering (tier_split), and hot-shard
+    salting, all of which assume THIS skew exists.
+
+    Determinism: clicks are integers, so the weighted Gini numerator is
+    an exact integer; both outputs divide once.  Scale shape: one
+    per-item count aggregate, one rank window over the |items|-row
+    result, two integer reduces.
+    """
+    from pyspark.sql import Window
+
+    clicks = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.get_json_object("props", "$.k").cast("long").alias("item")
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    w = Window.orderBy(F.col("x").asc(), F.col("item").asc())
+    nrow = clicks.agg(F.count("*").cast("long").alias("nn"))
+    ranked = clicks.withColumn("i", F.row_number().over(w)).crossJoin(
+        F.broadcast(nrow)
+    )
+    agg = ranked.agg(
+        F.max("nn").alias("n_items"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum((2 * F.col("i") - F.col("nn") - 1) * F.col("x"))
+        .alias("_gnum"),
+        F.sum(
+            F.when(F.col("i") * 5 > F.col("nn") * 4, F.col("x"))
+            .otherwise(0)
+        ).cast("long").alias("_top"),
+    )
+    return agg.select(
+        "n_items", "total",
+        _r4(F.col("_gnum") / (F.col("n_items") * F.col("total")))
+        .alias("gini"),
+        _r4(F.col("_top") / F.col("total")).alias("top20_share"),
+    )
+
+
+SQL_TRAFFIC_GINI = """WITH clicks AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         count(*) AS x
+  FROM events WHERE event_type = 'click'
+    AND json_extract_string(props, '$.k') IS NOT NULL
+  GROUP BY 1
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, item ASC) AS i,
+         count(*) OVER () AS n
+  FROM clicks
+)
+SELECT CAST(max(n) AS BIGINT) AS n_items,
+       CAST(sum(x) AS BIGINT) AS total,
+       round(sum((2 * i - n - 1) * x) / (max(n) * 1.0 * sum(x)), 4)
+         AS gini,
+       round(sum(CASE WHEN i * 5 > n * 4 THEN x ELSE 0 END)
+             * 1.0 / sum(x), 4) AS top20_share
+FROM ranked"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -18376,4 +18580,6 @@ QUERIES = {
     "intersection_order_cost": (q_intersection_order_cost,
                                 SQL_INTERSECTION_ORDER_COST),
     "mde_power": (q_mde_power, SQL_MDE_POWER),
+    "otsu_threshold": (q_otsu_threshold, SQL_OTSU_THRESHOLD),
+    "traffic_gini": (q_traffic_gini, SQL_TRAFFIC_GINI),
 }
