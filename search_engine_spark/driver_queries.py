@@ -18350,6 +18350,187 @@ SELECT CAST(max(n) AS BIGINT) AS n_items,
 FROM ranked"""
 
 
+# ---------------------------------------------------------------------------
+# Empirical-Bayes CTR shrinkage (beta-binomial method of moments)
+# ---------------------------------------------------------------------------
+
+_EB_TOPK = 20
+
+
+def q_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes shrinkage of per-item CTR toward the corpus
+    prior (the beta-binomial method-of-moments construction — Robbins'
+    empirical Bayes as every "don't rank by raw ratio" guide applies
+    it): fit Beta(α, β) to the observed per-item CTR mean m and
+    variance v via α+β = m(1−m)/v − 1, then score each item by the
+    posterior mean (clicks + α)/(views + α+β) — small-sample items
+    shrink to the prior, high-volume items keep their data; the fix
+    for ips_ctr_estimate/coec's instability on single-digit counts.
+    Top-{k} items by shrunk CTR with raw CTR alongside.
+
+    Determinism: per-item counts are integers; m and v come from
+    integer moment sums; α/β and each posterior are single
+    expressions over those, rounded once.  Scale shape: one item-keyed
+    count aggregate, a 1-row moment reduce broadcast back, and a
+    distributed TakeOrdered cut.
+    """.format(k=_EB_TOPK)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    per = ev.groupBy("item").agg(
+        F.count("*").cast("long").alias("v"),        # trials: all interactions
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("c"),
+    ).filter(F.col("v") > 0)
+    mom = per.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col("c") / F.col("v")).alias("_s1"),
+        F.sum((F.col("c") / F.col("v")) * (F.col("c") / F.col("v")))
+        .alias("_s2"),
+    ).select(
+        (F.col("_s1") / F.col("_n")).alias("m"),
+        (
+            (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n"))
+            / F.col("_n")
+        ).alias("v2"),
+    ).select(
+        "m",
+        (F.col("m") * (1 - F.col("m")) / F.col("v2") - 1).alias("ab"),
+    ).select(
+        "m", "ab",
+        (F.col("m") * F.col("ab")).alias("alpha"),
+        ((1 - F.col("m")) * F.col("ab")).alias("beta"),
+    )
+    return (
+        per.crossJoin(F.broadcast(mom))
+        .select(
+            "item", F.col("c").alias("clicks"),
+            F.col("v").alias("interactions"),
+            _r4(F.col("c") / F.col("v")).alias("raw_ctr"),
+            _r4(
+                (F.col("c") + F.col("alpha"))
+                / (F.col("v") + F.col("ab"))
+            ).alias("eb_ctr"),
+        )
+        .orderBy(F.col("eb_ctr").desc(), F.col("item").asc())
+        .limit(_EB_TOPK)
+    )
+
+
+SQL_EB_SHRINKAGE = f"""WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type IN ('view', 'click')
+),
+per AS (
+  SELECT item,
+         count(*) AS v,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+  FROM ev WHERE item IS NOT NULL GROUP BY item
+),
+mom AS (
+  SELECT sum(c * 1.0 / v) / count(*) AS m,
+         (sum((c * 1.0 / v) * (c * 1.0 / v))
+          - sum(c * 1.0 / v) * sum(c * 1.0 / v) / count(*))
+           / count(*) AS v2
+  FROM per
+),
+pri AS (
+  SELECT m, (m * (1 - m) / v2 - 1) AS ab FROM mom
+)
+SELECT per.item, CAST(per.c AS BIGINT) AS clicks,
+       CAST(per.v AS BIGINT) AS interactions,
+       round(per.c * 1.0 / per.v, 4) AS raw_ctr,
+       round((per.c + pri.m * pri.ab) / (per.v + pri.ab), 4) AS eb_ctr
+FROM per CROSS JOIN pri
+ORDER BY eb_ctr DESC, per.item ASC LIMIT {_EB_TOPK}"""
+
+
+# ---------------------------------------------------------------------------
+# Column encoding decision model (the Parquet dictionary-vs-plain rule)
+# ---------------------------------------------------------------------------
+
+_ENC_COLS = ("lang", "source", "text")
+
+
+def q_column_encoding_model(spark, sf_dir):
+    """The columnar-storage twin of codec_cost: per string column of the
+    documents table, the Parquet-style dictionary-vs-plain decision —
+    plain bytes = Σ length, dictionary bytes = Σ distinct lengths +
+    n·⌈log2(ndv)⌉/8 index bits — and which encoding a writer should
+    pick.  lang (5 values) and source (tens) dictionary-encode to a
+    few percent; text (all-distinct) must stay plain — the NDV-driven
+    rule every lakehouse writer (and chao1_vocab's estimator, when NDV
+    is too big to count) feeds.
+
+    Determinism: byte counts and NDV are integers; the index-bit width
+    uses the bin-length idiom (no floating log2).  Scale shape: one
+    aggregate per column over the same scan (jointly planned), output
+    |columns| rows.
+    """
+    d = _docs(spark, sf_dir)
+    bitw = lambda c: F.length(F.bin(F.greatest(c - 1, F.lit(1))))  # noqa: E731
+    outs = []
+    for col in _ENC_COLS:
+        per = d.agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").cast("long").alias("n"),
+            F.count_distinct(F.col(col)).cast("long").alias("ndv"),
+            F.sum(F.length(F.col(col))).cast("long").alias("plain_bytes"),
+        )
+        uniq = (
+            d.select(F.col(col).alias("u")).distinct()
+            .agg(F.sum(F.length("u")).cast("long").alias("dict_values"))
+        )
+        outs.append(per.crossJoin(uniq))
+    out = outs[0]
+    for r in outs[1:]:
+        out = out.unionByName(r)
+    dict_bytes = (
+        F.col("dict_values")
+        + F.ceil(F.col("n") * bitw(F.col("ndv")) / 8.0).cast("long")
+    )
+    return out.select(
+        "col_name", "n", "ndv", "plain_bytes",
+        dict_bytes.alias("dict_bytes"),
+        _r4(dict_bytes / F.col("plain_bytes")).alias("ratio"),
+        (dict_bytes < F.col("plain_bytes")).alias("use_dictionary"),
+    ).orderBy("col_name")
+
+
+def _enc_sql() -> str:
+    parts = []
+    for col in _ENC_COLS:
+        parts.append(f"""
+  SELECT '{col}' AS col_name, count(*) AS n,
+         count(DISTINCT {col}) AS ndv,
+         sum(length({col})) AS plain_bytes,
+         (SELECT sum(length(u)) FROM
+            (SELECT DISTINCT {col} AS u FROM documents)) AS dict_values
+  FROM documents""")
+    body = " UNION ALL".join(parts)
+    return f"""WITH base AS ({body})
+SELECT col_name, CAST(n AS BIGINT) AS n, CAST(ndv AS BIGINT) AS ndv,
+       CAST(plain_bytes AS BIGINT) AS plain_bytes,
+       CAST(dict_values + ceil(n * length(bin(greatest(ndv - 1, 1)))
+                               / 8.0) AS BIGINT) AS dict_bytes,
+       round((dict_values + ceil(n * length(bin(greatest(ndv - 1, 1)))
+                                 / 8.0)) * 1.0 / plain_bytes, 4)
+         AS ratio,
+       (dict_values + ceil(n * length(bin(greatest(ndv - 1, 1))) / 8.0)
+        < plain_bytes) AS use_dictionary
+FROM base ORDER BY col_name"""
+
+
+SQL_COLUMN_ENCODING_MODEL = _enc_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -18582,4 +18763,7 @@ QUERIES = {
     "mde_power": (q_mde_power, SQL_MDE_POWER),
     "otsu_threshold": (q_otsu_threshold, SQL_OTSU_THRESHOLD),
     "traffic_gini": (q_traffic_gini, SQL_TRAFFIC_GINI),
+    "eb_shrinkage": (q_eb_shrinkage, SQL_EB_SHRINKAGE),
+    "column_encoding_model": (q_column_encoding_model,
+                              SQL_COLUMN_ENCODING_MODEL),
 }
