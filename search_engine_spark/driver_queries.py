@@ -18531,6 +18531,184 @@ FROM base ORDER BY col_name"""
 SQL_COLUMN_ENCODING_MODEL = _enc_sql()
 
 
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (Bar-Yossef et al., RANDOM 2002; Beyer 2007)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def q_kmv_sketch(spark, sf_dir):
+    """KMV / bottom-k distinct estimation (Bar-Yossef et al. 2002;
+    Beyer et al. SIGMOD 2007 — the mergeable NDV sketch DataSketches
+    ships as theta): hash every bigram with the portable md5-prefix
+    integer, keep the k={k} smallest, and estimate NDV as
+    (k−1)·2³²/h_(k) — the k-th smallest hash position tells you the
+    density.  Output: the estimate next to the exact distinct count
+    and the relative error (expected ~1/√k ≈ {e:.0%}), over the same
+    bigram universe chao1_vocab sizes by extrapolation — the two
+    estimators a pipeline cross-checks before trusting either.
+
+    Determinism: hashes are exact integers; the bottom-k is an exact
+    TakeOrdered; one final division.  Scale shape: the sketch is k
+    values REGARDLESS of corpus size (distinct-hash then TakeOrdered
+    k — map-side combinable); the exact count exists as ground truth
+    only, like distinct_ngrams.
+    """.format(k=_KMV_K, e=1 / _KMV_K ** 0.5)
+    grams = _word_grams(spark, sf_dir, 2).select("g").distinct()
+    h = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+    bottom = (
+        grams.select(h.alias("h"))
+        .orderBy(F.col("h").asc())
+        .limit(_KMV_K)
+    )
+    kth = bottom.agg(
+        F.max("h").alias("hk"), F.count("*").cast("long").alias("kk")
+    )
+    exact = grams.agg(F.count("*").cast("long").alias("d_exact"))
+    est = (F.col("kk") - 1) * F.lit(float(2 ** 32)) / F.col("hk")
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("kk").alias("k"),
+            F.col("hk").alias("kth_hash"),
+            "d_exact",
+            _r4(est).alias("kmv_est"),
+            _r4((est - F.col("d_exact")) / F.col("d_exact"))
+            .alias("rel_error"),
+        )
+    )
+
+
+SQL_KMV_SKETCH = f"""WITH grams AS (
+  SELECT DISTINCT unnest(CASE WHEN len(a) >= 2
+                 THEN list_transform(range(1, len(a)),
+                                     i -> a[i] || ' ' || a[i + 1])
+                 ELSE [] END) AS g
+  FROM (SELECT list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS a
+        FROM documents)
+),
+hashed AS (
+  SELECT CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS h
+  FROM grams
+),
+bottom AS (SELECT h FROM hashed ORDER BY h ASC LIMIT {_KMV_K}),
+kth AS (SELECT max(h) AS hk, count(*) AS kk FROM bottom),
+exact AS (SELECT count(*) AS d_exact FROM grams)
+SELECT CAST(kk AS BIGINT) AS k, CAST(hk AS BIGINT) AS kth_hash,
+       CAST(d_exact AS BIGINT) AS d_exact,
+       round((kk - 1) * {float(2 ** 32)} / hk, 4) AS kmv_est,
+       round(((kk - 1) * {float(2 ** 32)} / hk - d_exact)
+             * 1.0 / d_exact, 4) AS rel_error
+FROM kth CROSS JOIN exact"""
+
+
+# ---------------------------------------------------------------------------
+# Subsampling confidence interval (Politis & Romano, Ann. Stat. 1994)
+# ---------------------------------------------------------------------------
+
+_SUB_B = 64        # replicates
+_SUB_ALPHA = 0.05
+
+
+def q_subsample_ci(spark, sf_dir):
+    """Subsampling confidence interval for the mean event value
+    (Politis & Romano, Annals of Statistics 1994 — the resampling
+    scheme that, unlike the classic bootstrap, runs in ONE distributed
+    pass: replicate membership is a hash of (row, b), so no
+    with-replacement index join exists): B={b} half-samples via md5
+    parity, each replicate's mean, and the CI θ_n ± q_{{1−α}}/√n where
+    q is the empirical quantile of √m_b·|θ_b − θ_n| — the
+    root-n-rescaled subsampling pivot.  This is how you put error bars
+    on a 10^12-row metric without a second pass or shared state.
+
+    Determinism: membership is integer md5 parity; per-replicate sums
+    of the value column round at the very end (the cuped/coec float
+    precedent); the quantile runs over B={b} replicate rows exactly.
+    Scale shape: the replicate fan-out is a flatMap-style crossJoin
+    against a broadcast B-row table collapsing map-side to B partial
+    sums — one shuffle of B rows, however large the input.
+    """.format(b=_SUB_B)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "value"
+    )
+    full = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("value").alias("theta"),
+    )
+    bs = spark.createDataFrame([(b,) for b in range(_SUB_B)], "b long")
+    member = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", "event_id", "b")), 1, 8
+            ), 16, 10
+        ).cast("long"),
+        F.lit(2),
+    ) == 0
+    reps = (
+        ev.crossJoin(F.broadcast(bs))
+        .filter(member)
+        .groupBy("b")
+        .agg(
+            F.count("*").cast("long").alias("m"),
+            F.avg("value").alias("tb"),
+        )
+    )
+    piv = reps.crossJoin(F.broadcast(full)).select(
+        (F.sqrt(F.col("m").cast("double"))
+         * F.abs(F.col("tb") - F.col("theta"))).alias("p")
+    )
+    q = piv.agg(
+        F.expr(f"percentile(p, {1.0 - _SUB_ALPHA!r})").alias("q")
+    )
+    return (
+        full.crossJoin(F.broadcast(q))
+        .select(
+            "n",
+            _r4("theta").alias("mean"),
+            _r4(F.col("q") / F.sqrt(F.col("n").cast("double")))
+            .alias("half_width"),
+            _r4(
+                F.col("theta") - F.col("q") / F.sqrt(F.col("n").cast("double"))
+            ).alias("ci_lo"),
+            _r4(
+                F.col("theta") + F.col("q") / F.sqrt(F.col("n").cast("double"))
+            ).alias("ci_hi"),
+            F.lit(_SUB_B).cast("long").alias("n_replicates"),
+        )
+    )
+
+
+SQL_SUBSAMPLE_CI = f"""WITH ev AS (
+  SELECT event_id, value FROM events
+),
+full_ AS (SELECT count(*) AS n, avg(value) AS theta FROM ev),
+bs AS (SELECT * FROM range({_SUB_B}) AS t(b)),
+reps AS (
+  SELECT b, count(*) AS m, avg(value) AS tb
+  FROM ev CROSS JOIN bs
+  WHERE CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR),
+                    ':', CAST(b AS VARCHAR))), 1, 8)) AS BIGINT)
+        % 2 = 0
+  GROUP BY b
+),
+piv AS (
+  SELECT sqrt(CAST(m AS DOUBLE)) * abs(tb - full_.theta) AS p
+  FROM reps CROSS JOIN full_
+),
+q AS (SELECT quantile_cont(p, {1.0 - _SUB_ALPHA!r}) AS q FROM piv)
+SELECT CAST(full_.n AS BIGINT) AS n,
+       round(full_.theta, 4) AS mean,
+       round(q.q / sqrt(CAST(full_.n AS DOUBLE)), 4) AS half_width,
+       round(full_.theta - q.q / sqrt(CAST(full_.n AS DOUBLE)), 4)
+         AS ci_lo,
+       round(full_.theta + q.q / sqrt(CAST(full_.n AS DOUBLE)), 4)
+         AS ci_hi,
+       CAST({_SUB_B} AS BIGINT) AS n_replicates
+FROM full_ CROSS JOIN q"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -18766,4 +18944,6 @@ QUERIES = {
     "eb_shrinkage": (q_eb_shrinkage, SQL_EB_SHRINKAGE),
     "column_encoding_model": (q_column_encoding_model,
                               SQL_COLUMN_ENCODING_MODEL),
+    "kmv_sketch": (q_kmv_sketch, SQL_KMV_SKETCH),
+    "subsample_ci": (q_subsample_ci, SQL_SUBSAMPLE_CI),
 }
