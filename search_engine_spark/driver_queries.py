@@ -18709,6 +18709,316 @@ SELECT CAST(full_.n AS BIGINT) AS n,
 FROM full_ CROSS JOIN q"""
 
 
+# ---------------------------------------------------------------------------
+# kNN hubness (Radovanović, Nanopoulos & Ivanović, JMLR 2010)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_hubness(spark, sf_dir):
+    """Hubness diagnosis (Radovanović et al., "Hubs in space", JMLR
+    2010) of the embedding space: N_k(x) = how often x appears in other
+    vectors' cosine top-{k} lists; in high dimensions N_k skews right —
+    a few hub vectors show up everywhere and poison kNN dedup/search
+    (reciprocal_nn is the per-pair FILTER for this; this entry is the
+    corpus-level MEASUREMENT).  Output: the N_k histogram plus the
+    standardized third-moment skewness of N_k in every row — the
+    single number the paper proposes tracking.
+
+    Determinism: N_k counts are integers (ranks on rounded cosine with
+    id tiebreaks); the moment sums are integer; skewness is one
+    expression rounded once.  Scale shape: reuses the blocked top-{k}
+    list (rank window per source); N_k is one map-side count keyed by
+    the TARGET; moments reduce to 1 row.
+    """.format(k=_RNN_K)
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a = emb.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = a.join(b, F.col("va") != F.col("vb")).select(
+        "va", "vb",
+        _r4(dot / (nrm("ea") * nrm("eb"))).alias("cos"),
+    )
+    w = Window.partitionBy("va").orderBy(
+        F.col("cos").desc(), F.col("vb").asc()
+    )
+    topk = cos.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= _RNN_K
+    )
+    nk = (
+        emb.select(F.col("vec_id").alias("vb"))
+        .join(
+            topk.groupBy("vb").agg(F.count("*").cast("long").alias("nk")),
+            "vb", "left",
+        )
+        .select(F.coalesce("nk", F.lit(0)).cast("long").alias("nk"))
+    )
+    mom = nk.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("nk").alias("_s1"),
+        F.sum(F.col("nk") * F.col("nk")).alias("_s2"),
+        F.sum(F.col("nk") * F.col("nk") * F.col("nk")).alias("_s3"),
+    ).select(
+        "_n",
+        (F.col("_s1") / F.col("_n")).alias("m"),
+        (F.col("_s2") / F.col("_n")).alias("m2"),
+        (F.col("_s3") / F.col("_n")).alias("m3"),
+    ).select(
+        "_n", "m",
+        (F.col("m2") - F.col("m") * F.col("m")).alias("var"),
+        (
+            F.col("m3")
+            - 3 * F.col("m") * F.col("m2")
+            + 2 * F.col("m") * F.col("m") * F.col("m")
+        ).alias("mu3"),
+    ).select(
+        _r4(F.col("mu3") / F.pow(F.col("var"), 1.5)).alias("skewness")
+    )
+    hist = nk.groupBy("nk").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    return (
+        hist.crossJoin(F.broadcast(mom))
+        .select("nk", "n_vectors", "skewness")
+        .orderBy("nk")
+    )
+
+
+SQL_KNN_HUBNESS = f"""WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+cos AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 4) AS cos
+  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id
+),
+topk AS (
+  SELECT vb FROM (
+    SELECT va, vb, row_number() OVER (PARTITION BY va
+                     ORDER BY cos DESC, vb ASC) AS r
+    FROM cos) WHERE r <= {_RNN_K}
+),
+nk AS (
+  SELECT emb.vec_id, coalesce(t.nk, 0) AS nk
+  FROM emb LEFT JOIN (SELECT vb, count(*) AS nk FROM topk GROUP BY vb) t
+  ON emb.vec_id = t.vb
+),
+mom AS (
+  SELECT count(*) AS n, sum(nk) * 1.0 / count(*) AS m,
+         sum(nk * nk) * 1.0 / count(*) AS m2,
+         sum(nk * nk * nk) * 1.0 / count(*) AS m3
+  FROM nk
+),
+sk AS (
+  SELECT round((m3 - 3 * m * m2 + 2 * m * m * m)
+               / pow(m2 - m * m, 1.5), 4) AS skewness
+  FROM mom
+)
+SELECT CAST(nk.nk AS BIGINT) AS nk,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       sk.skewness
+FROM nk CROSS JOIN sk GROUP BY nk.nk, sk.skewness ORDER BY nk"""
+
+
+# ---------------------------------------------------------------------------
+# Single-feature ranking screen (the LTR ablation baseline table)
+# ---------------------------------------------------------------------------
+
+
+def q_feature_ndcg_screen(spark, sf_dir):
+    """Single-feature ranking screen — the first table of every
+    learning-to-rank study: rank each query's candidates by ONE feature
+    at a time (BM25 score, raw tf, inverse doc length) and report
+    NDCG@{k} per (query, feature) under the shared synthetic judgments
+    — the screen that says which ltr_features columns carry signal
+    before any model trains.  (On THIS corpus the judgments are a
+    doc_id hash, independent of every feature, so the per-feature
+    NDCGs are exchangeable noise — the entry verifies the screen's
+    mechanics; on real labels the ordering is the payload.)
+
+    Determinism: each feature key ranks on integers or the rounded
+    BM25 score with doc tiebreaks; gains/ideals follow ndcg_eval's
+    exact construction.  Scale shape: one scored scan feeds all
+    features (the feature table is a 3-row broadcast explode); per
+    (query, feature) rank windows over term-pruned candidates only.
+    """.format(k=_NDCG_K)
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, _NDCG_QS).filter(F.col("term").isin(_NDCG_QS))
+    tf = _tf(spark, sf_dir).filter(F.col("term").isin(_NDCG_QS))
+    dl = _dl(spark, sf_dir)
+    base = (
+        s.join(tf, ["term", "doc_id"])
+        .join(dl, "doc_id")
+        .select(
+            "term", "doc_id",
+            F.round("score", 4).alias("bm25"),
+            F.col("tf").cast("double").alias("ftf"),
+            (F.lit(1.0) / F.col("dl")).alias("invdl"),
+        )
+    )
+    feats = base.select(
+        "term", "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("bm25").alias("feature"),
+                         F.col("bm25").alias("v")),
+                F.struct(F.lit("tf").alias("feature"),
+                         F.col("ftf").alias("v")),
+                F.struct(F.lit("invdl").alias("feature"),
+                         F.col("invdl").alias("v")),
+            )
+        ).alias("f"),
+    ).select("term", "doc_id", "f.feature", "f.v")
+    w = Window.partitionBy("term", "feature").orderBy(
+        F.col("v").desc(), F.col("doc_id").asc()
+    )
+    top = (
+        feats.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NDCG_K)
+        .withColumn(
+            "rel",
+            F.pmod(
+                (F.col("doc_id") % _SPLIT_PRIME) * F.lit(2654435761),
+                F.lit(4),
+            ).cast("double"),
+        )
+        .withColumn(
+            "gain",
+            (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+            / (F.log(F.col("rank") + 1.0) / F.log(F.lit(2.0))),
+        )
+    )
+    iw = Window.partitionBy("term", "feature").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    ideal = top.withColumn("irank", F.row_number().over(iw)).withColumn(
+        "igain",
+        (F.pow(F.lit(2.0), F.col("rel")) - 1.0)
+        / (F.log(F.col("irank") + 1.0) / F.log(F.lit(2.0))),
+    )
+    return (
+        ideal.groupBy("term", "feature")
+        .agg(
+            _r4(
+                F.sum("gain") / F.greatest(F.sum("igain"), F.lit(1e-12))
+            ).alias("ndcg")
+        )
+        .orderBy("term", "feature")
+    )
+
+
+SQL_FEATURE_NDCG_SCREEN = f"""WITH {_BM25_CORE_SQL},
+base AS (
+  SELECT s.term, s.doc_id, round(s.score, 4) AS bm25,
+         CAST(tf.tf AS DOUBLE) AS ftf, 1.0 / dl.dl AS invdl
+  FROM scored s
+  JOIN tf ON s.term = tf.term AND s.doc_id = tf.doc_id
+  JOIN dl ON s.doc_id = dl.doc_id
+  WHERE s.term IN ('merge', 'join', 'scan')
+),
+feats AS (
+  SELECT term, doc_id, 'bm25' AS feature, bm25 AS v FROM base
+  UNION ALL SELECT term, doc_id, 'tf', ftf FROM base
+  UNION ALL SELECT term, doc_id, 'invdl', invdl FROM base
+),
+top AS (
+  SELECT term, feature, doc_id, rank,
+         CAST(((doc_id % {_SPLIT_PRIME}) * 2654435761) % 4 AS DOUBLE)
+           AS rel
+  FROM (
+    SELECT term, feature, doc_id, row_number() OVER (
+      PARTITION BY term, feature ORDER BY v DESC, doc_id ASC) AS rank
+    FROM feats)
+  WHERE rank <= {_NDCG_K}
+),
+gains AS (
+  SELECT term, feature, rel,
+         (pow(2.0, rel) - 1.0) / (ln(rank + 1.0) / ln(2.0)) AS gain,
+         row_number() OVER (PARTITION BY term, feature
+                            ORDER BY rel DESC, doc_id ASC) AS irank
+  FROM top
+)
+SELECT term, feature,
+       round(sum(gain)
+             / greatest(sum((pow(2.0, rel) - 1.0)
+                            / (ln(irank + 1.0) / ln(2.0))), 1e-12), 4)
+         AS ndcg
+FROM gains GROUP BY term, feature ORDER BY term, feature"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (Sweeney, IJUFKS 2002)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (Sweeney, IJUFKS 2002) of the documents table
+    under the quasi-identifier pair (lang, source) — the
+    data-governance pass that belongs next to pii_scrub in any corpus
+    release: per equivalence class its size, whether it violates
+    k ≥ {k}, and (in every row) the table's overall k (the smallest
+    class) plus the count of re-identifiable rows — the two numbers a
+    release checklist records.
+
+    Determinism: pure integer group sizes.  Scale shape: one map-side
+    aggregate on the quasi-identifier key; the audit rollup is a 1-row
+    broadcast joined back — |classes| output rows.
+    """.format(k=_KANON_K)
+    d = _docs(spark, sf_dir)
+    cls = d.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("class_size")
+    )
+    audit = cls.agg(
+        F.min("class_size").cast("long").alias("table_k"),
+        F.sum(
+            F.when(F.col("class_size") < _KANON_K, F.col("class_size"))
+            .otherwise(0)
+        ).cast("long").alias("n_reidentifiable"),
+    )
+    return (
+        cls.crossJoin(F.broadcast(audit))
+        .select(
+            "lang", "source", "class_size",
+            (F.col("class_size") < _KANON_K).alias("violates_k"),
+            "table_k", "n_reidentifiable",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+SQL_K_ANONYMITY = f"""WITH cls AS (
+  SELECT lang, source, count(*) AS class_size
+  FROM documents GROUP BY lang, source
+),
+audit AS (
+  SELECT min(class_size) AS table_k,
+         sum(CASE WHEN class_size < {_KANON_K} THEN class_size
+                  ELSE 0 END) AS n_reidentifiable
+  FROM cls
+)
+SELECT lang, source, CAST(class_size AS BIGINT) AS class_size,
+       (class_size < {_KANON_K}) AS violates_k,
+       CAST(audit.table_k AS BIGINT) AS table_k,
+       CAST(audit.n_reidentifiable AS BIGINT) AS n_reidentifiable
+FROM cls CROSS JOIN audit ORDER BY lang, source"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -18946,4 +19256,8 @@ QUERIES = {
                               SQL_COLUMN_ENCODING_MODEL),
     "kmv_sketch": (q_kmv_sketch, SQL_KMV_SKETCH),
     "subsample_ci": (q_subsample_ci, SQL_SUBSAMPLE_CI),
+    "knn_hubness": (q_knn_hubness, SQL_KNN_HUBNESS),
+    "feature_ndcg_screen": (q_feature_ndcg_screen,
+                            SQL_FEATURE_NDCG_SCREEN),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
 }
