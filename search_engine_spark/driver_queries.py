@@ -19019,6 +19019,217 @@ SELECT lang, source, CAST(class_size AS BIGINT) AS class_size,
 FROM cls CROSS JOIN audit ORDER BY lang, source"""
 
 
+# ---------------------------------------------------------------------------
+# OLAP CUBE (Gray et al., Data Mining & Knowledge Discovery 1997)
+# ---------------------------------------------------------------------------
+
+
+def q_olap_cube(spark, sf_dir):
+    """The data cube operator (Gray, Bosworth, Layman & Pirahesh 1997)
+    over (lang, source): all four grouping sets — (lang, source),
+    (lang), (source), and the grand total — in ONE pass with
+    grouping_id distinguishing the levels, plus doc and char measures.
+    This is Spark's native `cube()` (Catalyst Expand + one aggregate)
+    against DuckDB's GROUP BY CUBE — the reporting primitive every
+    dashboard over this corpus would hit, and facet_counts' superset.
+
+    Determinism: integer counts and sums; NULL level markers replaced
+    by the literal 'ALL' on both engines so the hash compare sees
+    identical strings.  Scale shape: Expand multiplies rows by the 4
+    grouping sets BEFORE one map-side-combinable aggregate — one
+    shuffle, |lang|·|source| + |lang| + |source| + 1 output rows, no
+    per-level rescans.
+    """
+    d = _docs(spark, sf_dir)
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "gid", "n_docs", "n_chars",
+        )
+        .orderBy("gid", "lang", "source")
+    )
+
+
+SQL_OLAP_CUBE = """SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY gid, lang, source"""
+
+
+# ---------------------------------------------------------------------------
+# Wilson score lower bound (Wilson, JASA 1927)
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.959964
+_WILSON_TOPK = 20
+
+
+def q_wilson_lower_bound(spark, sf_dir):
+    """Ranking proportions by the Wilson score interval's LOWER bound
+    (Wilson, JASA 1927 — the "how not to sort by average rating"
+    standard): for each item's click share p̂ of n interactions, LB =
+    (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) at z={z} —
+    the frequentist counterpart of eb_shrinkage's posterior mean; both
+    exist because raw ratios over small n lie.  Top-{k} items by LB.
+
+    Determinism: p̂ is one integer division; LB is a single closed
+    expression with a literal z, rounded once.  Scale shape: one
+    item-keyed count aggregate and a distributed TakeOrdered — no
+    prior fit pass needed (the advantage over EB this entry
+    demonstrates).
+    """.format(z=_WILSON_Z, k=_WILSON_TOPK)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    per = ev.groupBy("item").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("c"),
+    )
+    z = F.lit(_WILSON_Z)
+    p = F.col("c") / F.col("n")
+    nn = F.col("n")
+    lb = (
+        p + z * z / (2 * nn)
+        - z * F.sqrt(p * (1 - p) / nn + z * z / (4 * nn * nn))
+    ) / (1 + z * z / nn)
+    return (
+        per.select(
+            "item", F.col("c").alias("clicks"),
+            F.col("n").alias("interactions"),
+            _r4(p).alias("p_hat"),
+            _r4(lb).alias("wilson_lb"),
+        )
+        .orderBy(F.col("wilson_lb").desc(), F.col("item").asc())
+        .limit(_WILSON_TOPK)
+    )
+
+
+SQL_WILSON_LOWER_BOUND = f"""WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type IN ('view', 'click')
+),
+per AS (
+  SELECT item, count(*) AS n,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+  FROM ev WHERE item IS NOT NULL GROUP BY item
+)
+SELECT item, CAST(c AS BIGINT) AS clicks, CAST(n AS BIGINT)
+         AS interactions,
+       round(c * 1.0 / n, 4) AS p_hat,
+       round(((c * 1.0 / n) + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+              - {_WILSON_Z} * sqrt((c * 1.0 / n) * (1 - c * 1.0 / n) / n
+                    + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 4) AS wilson_lb
+FROM per ORDER BY wilson_lb DESC, item ASC LIMIT {_WILSON_TOPK}"""
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation (the robust scale; Hampel 1974)
+# ---------------------------------------------------------------------------
+
+
+def q_mad_scale(spark, sf_dir):
+    """Median absolute deviation per event type (Hampel 1974's robust
+    scale; the outlier fence 1.4826·MAD approximates σ under
+    normality) — the robust complement to winsorized_mean: median and
+    MAD survive arbitrary tail corruption that destroys mean/stddev,
+    which is why monitoring thresholds (spike_detect's z floor) prefer
+    them.  Per type: median, MAD, the normal-consistent sigma-hat, and
+    how many values sit beyond the 3·σ̂ Hampel fence.
+
+    Determinism: both medians are the exact-percentile pairing; the
+    fence count is an integer; one multiply by the literal 1.4826.
+    Scale shape: two per-type exact-percentile aggregates (the second
+    over |x − median|, with the median broadcast back) and a narrow
+    fence count — three passes, all map-side-combinable, |types| rows.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("median")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "median",
+        F.abs(F.col("value") - F.col("median")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("median").alias("median"),
+        F.expr("percentile(ad, 0.5)").alias("mad"),
+        F.count("*").cast("long").alias("n"),
+    ).withColumn("sigma_hat", F.col("mad") * 1.4826)
+    fenced = (
+        dev.join(
+            F.broadcast(mad.select("event_type", "sigma_hat")),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                (F.col("ad") > 3 * F.col("sigma_hat")).cast("int")
+            ).cast("long").alias("n_outliers")
+        )
+    )
+    return (
+        mad.join(fenced, "event_type")
+        .select(
+            "event_type", "n",
+            _r4("median").alias("median"),
+            _r4("mad").alias("mad"),
+            _r4("sigma_hat").alias("sigma_hat"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_MAD_SCALE = """WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.median,
+         abs(e.value - m.median) AS ad
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, max(median) AS median,
+         quantile_cont(ad, 0.5) AS mad, count(*) AS n,
+         quantile_cont(ad, 0.5) * 1.4826 AS sigma_hat
+  FROM dev GROUP BY event_type
+),
+fenced AS (
+  SELECT d.event_type,
+         sum(CASE WHEN d.ad > 3 * m.sigma_hat THEN 1 ELSE 0 END)
+           AS n_outliers
+  FROM dev d JOIN mad m USING (event_type) GROUP BY d.event_type
+)
+SELECT mad.event_type, CAST(mad.n AS BIGINT) AS n,
+       round(mad.median, 4) AS median, round(mad.mad, 4) AS mad,
+       round(mad.sigma_hat, 4) AS sigma_hat,
+       CAST(fenced.n_outliers AS BIGINT) AS n_outliers
+FROM mad JOIN fenced USING (event_type) ORDER BY event_type"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -19260,4 +19471,7 @@ QUERIES = {
     "feature_ndcg_screen": (q_feature_ndcg_screen,
                             SQL_FEATURE_NDCG_SCREEN),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "olap_cube": (q_olap_cube, SQL_OLAP_CUBE),
+    "wilson_lower_bound": (q_wilson_lower_bound, SQL_WILSON_LOWER_BOUND),
+    "mad_scale": (q_mad_scale, SQL_MAD_SCALE),
 }
