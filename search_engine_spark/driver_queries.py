@@ -19230,6 +19230,145 @@ SELECT mad.event_type, CAST(mad.n AS BIGINT) AS n,
 FROM mad JOIN fenced USING (event_type) ORDER BY event_type"""
 
 
+# ---------------------------------------------------------------------------
+# One-way ANOVA across languages (Fisher's F; the group-difference test)
+# ---------------------------------------------------------------------------
+
+
+def q_anova_length_by_lang(spark, sf_dir):
+    """One-way ANOVA of document length (tokens) across languages —
+    Fisher's F = (SSB/(k−1)) / (SSW/(n−k)): does the corpus' length
+    distribution differ by language more than within-language noise
+    explains?  The test a corpus-balance report runs before blaming a
+    language mix for a length skew (domain_mix reports the shares;
+    this tests the difference).  Output: one row with group count, n,
+    both mean squares, F, and whether F clears the α=0.05 critical
+    value for (k−1, ∞) dof (≈ 2.37 at k=5 — a literal, since the
+    engines ship no F-distribution CDF).
+
+    Determinism: token counts are integers, so SSB/SSW derive from
+    integer sums (Σx, Σx² per group) with single expressions.  Scale
+    shape: one per-(lang) moment aggregate over the per-doc lengths —
+    two map-side-combinable passes and a |langs|-row reduce.
+    """
+    dl = _dl(spark, sf_dir)
+    lang = _docs(spark, sf_dir).select("doc_id", "lang")
+    per = (
+        dl.join(lang, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("ni"),
+            F.sum("dl").alias("si"),
+            F.sum(F.col("dl") * F.col("dl")).alias("qi"),
+        )
+    )
+    m = per.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum("si").alias("s"),
+        F.sum("qi").alias("q"),
+        F.sum(F.col("si") * F.col("si") / F.col("ni")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sb")
+    msb = ssb / (F.col("k") - 1)
+    msw = ssw / (F.col("n") - F.col("k"))
+    f = msb / msw
+    return m.select(
+        "k", "n",
+        _r4(msb).alias("ms_between"),
+        _r4(msw).alias("ms_within"),
+        _r4(f).alias("f_stat"),
+        (f > 2.372).alias("significant"),
+    )
+
+
+SQL_ANOVA_LENGTH_BY_LANG = f"""WITH {_TOKS_SQL},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+per AS (
+  SELECT d.lang, count(*) AS ni, sum(dl.dl) AS si,
+         sum(dl.dl * dl.dl) AS qi
+  FROM dl JOIN documents d USING (doc_id) GROUP BY d.lang
+),
+m AS (
+  SELECT count(*) AS k, sum(ni) AS n, sum(si) AS s, sum(qi) AS q,
+         sum(si * si * 1.0 / ni) AS sb
+  FROM per
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       round((sb - s * s * 1.0 / n) / (k - 1), 4) AS ms_between,
+       round((q - sb) / (n - k), 4) AS ms_within,
+       round(((sb - s * s * 1.0 / n) / (k - 1))
+             / ((q - sb) / (n - k)), 4) AS f_stat,
+       (((sb - s * s * 1.0 / n) / (k - 1)) / ((q - sb) / (n - k))
+        > 2.372) AS significant
+FROM m"""
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator (Hill, Annals of Statistics 1975)
+# ---------------------------------------------------------------------------
+
+_HILL_TAIL_K = 50
+
+
+def q_hill_tail_index(spark, sf_dir):
+    """Hill estimator of the power-law tail index (Hill, Ann. Stat.
+    1975) for the in-degree distribution: over the {k} largest
+    in-degrees, α̂ = 1 + k / Σ ln(x_i / x_min) — the maximum-likelihood
+    tail exponent that complements zipf_fit's regression (terms) and
+    degree_histogram's binned view (links); web in-degrees classically
+    land near α ≈ 2.1 (Broder et al.), and the arithmetic graph's
+    concentrated residue classes give a heavier head this estimator
+    quantifies.  Output: k, x_min, α̂, and the implied P(X > 2·x_min)
+    = 2^(1−α̂).
+
+    Determinism: the tail cut is an exact TakeOrdered on integer
+    degrees with id tiebreaks; the log sum runs over exactly k values,
+    rounded once.  Scale shape: degrees are one map-side aggregate;
+    the tail is k rows, the reduce 1 row.
+    """.format(k=_HILL_TAIL_K)
+    _, edges = _link_edges(spark, sf_dir)
+    deg = edges.groupBy("dst").agg(F.count("*").cast("long").alias("d"))
+    tail = deg.orderBy(
+        F.col("d").desc(), F.col("dst").asc()
+    ).limit(_HILL_TAIL_K)
+    xmin = tail.agg(
+        F.min("d").alias("xmin"), F.count("*").cast("long").alias("kk")
+    )
+    s = (
+        tail.crossJoin(F.broadcast(xmin))
+        .agg(
+            F.max("kk").alias("kk"),
+            F.max("xmin").alias("xmin"),
+            F.sum(F.log(F.col("d") / F.col("xmin"))).alias("_ls"),
+        )
+    )
+    alpha = 1.0 + F.col("kk") / F.col("_ls")
+    return s.select(
+        F.col("kk").alias("k"),
+        F.col("xmin").cast("long").alias("x_min"),
+        _r4(alpha).alias("alpha"),
+        _r4(F.pow(F.lit(2.0), 1.0 - alpha)).alias("p_gt_2xmin"),
+    )
+
+
+SQL_HILL_TAIL_INDEX = f"""WITH {_edges_sql()},
+deg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst),
+tail AS (SELECT dst, d FROM deg ORDER BY d DESC, dst ASC
+         LIMIT {_HILL_TAIL_K}),
+xm AS (SELECT min(d) AS xmin, count(*) AS kk FROM tail),
+s AS (
+  SELECT max(xm.kk) AS kk, max(xm.xmin) AS xmin,
+         sum(ln(t.d * 1.0 / xm.xmin)) AS ls
+  FROM tail t CROSS JOIN xm
+)
+SELECT CAST(kk AS BIGINT) AS k, CAST(xmin AS BIGINT) AS x_min,
+       round(1.0 + kk / ls, 4) AS alpha,
+       round(pow(2.0, 1.0 - (1.0 + kk / ls)), 4) AS p_gt_2xmin
+FROM s"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -19474,4 +19613,7 @@ QUERIES = {
     "olap_cube": (q_olap_cube, SQL_OLAP_CUBE),
     "wilson_lower_bound": (q_wilson_lower_bound, SQL_WILSON_LOWER_BOUND),
     "mad_scale": (q_mad_scale, SQL_MAD_SCALE),
+    "anova_length_by_lang": (q_anova_length_by_lang,
+                             SQL_ANOVA_LENGTH_BY_LANG),
+    "hill_tail_index": (q_hill_tail_index, SQL_HILL_TAIL_INDEX),
 }
