@@ -19369,6 +19369,212 @@ SELECT CAST(kk AS BIGINT) AS k, CAST(xmin AS BIGINT) AS x_min,
 FROM s"""
 
 
+# ---------------------------------------------------------------------------
+# Classical additive time-series decomposition (Macaulay 1931 lineage)
+# ---------------------------------------------------------------------------
+
+
+def q_classical_decomposition(spark, sf_dir):
+    """Classical additive decomposition of the daily event volume —
+    x_t = trend + seasonal + residual (the moving-average construction
+    STL descends from): trend = centered 7-day moving average (defined
+    only where the full window exists), seasonal = the mean detrended
+    value of the day's weekday, residual = the rest.  ewma_forecast
+    smooths, weekday_seasonality profiles; this entry SPLITS the
+    series so alarms watch the residual only.
+
+    Determinism: daily counts are integers; the 7-day trend is one
+    division of an integer window sum; seasonal means average those
+    (identical) doubles per weekday; residual is a subtraction —
+    rounded once each.  Scale shape: everything after the one
+    events→days aggregate runs over the bounded day table (windows +
+    a 7-row weekday broadcast).
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    wc = Window.orderBy("day")
+    t = (
+        ev.withColumn("n7", F.count("*").over(w7))
+        .withColumn("s7", F.sum("x").over(w7))
+        .withColumn(
+            "trend",
+            F.when(F.col("n7") == 7, F.col("s7") / 7.0),
+        )
+        .withColumn("dow", (F.dayofweek("day") - 1).cast("long"))
+        .withColumn("det", F.col("x") - F.col("trend"))
+    )
+    seas = (
+        t.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(F.avg("det").alias("seasonal"))
+    )
+    return (
+        t.join(F.broadcast(seas), "dow", "left")
+        .select(
+            "day", "x",
+            _r4("trend").alias("trend"),
+            _r4("seasonal").alias("seasonal"),
+            _r4(
+                F.col("x") - F.col("trend") - F.col("seasonal")
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_CLASSICAL_DECOMPOSITION = """WITH ev AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS x
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT day, x,
+         CASE WHEN count(*) OVER w = 7
+              THEN sum(x) OVER w / 7.0 END AS trend,
+         dayofweek(day) AS dow
+  FROM ev WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                       AND 3 FOLLOWING)
+),
+seas AS (
+  SELECT dow, avg(x - trend) AS seasonal
+  FROM t WHERE trend IS NOT NULL GROUP BY dow
+)
+SELECT t.day, CAST(t.x AS BIGINT) AS x,
+       round(t.trend, 4) AS trend,
+       round(seas.seasonal, 4) AS seasonal,
+       round(t.x - t.trend - seas.seasonal, 4) AS residual
+FROM t LEFT JOIN seas ON t.dow = seas.dow
+ORDER BY t.day"""
+
+
+# ---------------------------------------------------------------------------
+# Head churn between time halves (the trending/decay ops readout)
+# ---------------------------------------------------------------------------
+
+_CHURN_TOPK = 20
+
+
+def q_head_churn(spark, sf_dir):
+    """Head churn: the top-{k} clicked items of the log's first half vs
+    its second half — Jaccard overlap plus per-item status (stayed /
+    entered / dropped) — the ops readout behind cache re-warming
+    policy and trending detection (a stable head keeps
+    cache_selection's static cache valid; high churn demands
+    admission like QtfDf).  The time split reuses cuped's midpoint
+    convention.
+
+    Determinism: per-half counts are integers; the top-k cuts are
+    exact TakeOrdered with id tiebreaks; Jaccard is one division of
+    set sizes.  Scale shape: one (half, item) count aggregate, two
+    k-row heads, a k-row full-outer join — output ≤ 2k rows, each
+    carrying the overall jaccard for auditability.
+    """.format(k=_CHURN_TOPK)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "ts",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    t0 = ev.agg(F.min(F.date_trunc("DAY", "ts")).alias("_t0"))
+    split = F.col("_t0") + F.expr(f"INTERVAL {_CUPED_SPLIT_DAYS} DAYS")
+    halves = ev.crossJoin(F.broadcast(t0)).select(
+        F.when(F.col("ts") < split, F.lit(1)).otherwise(2).alias("half"),
+        "item",
+    )
+    per = halves.groupBy("half", "item").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("half").orderBy(
+        F.col("n").desc(), F.col("item").asc()
+    )
+    top = per.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= _CHURN_TOPK
+    )
+    h1 = top.filter(F.col("half") == 1).select(
+        "item", F.col("n").alias("n_first")
+    )
+    h2 = top.filter(F.col("half") == 2).select(
+        "item", F.col("n").alias("n_second")
+    )
+    j = h1.join(h2, "item", "full_outer")
+    jac = j.agg(
+        (
+            F.sum(
+                (
+                    F.col("n_first").isNotNull()
+                    & F.col("n_second").isNotNull()
+                ).cast("int")
+            )
+            / F.count("*")
+        ).alias("_jac")
+    )
+    return (
+        j.crossJoin(F.broadcast(jac))
+        .select(
+            "item",
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+            F.coalesce("n_second", F.lit(0)).cast("long")
+            .alias("n_second"),
+            F.when(
+                F.col("n_first") > 0,
+                F.when(F.col("n_second") > 0, "stayed").otherwise("dropped"),
+            ).otherwise("entered").alias("status"),
+            _r4("_jac").alias("jaccard"),
+        )
+        .orderBy("item")
+    )
+
+
+SQL_HEAD_CHURN = f"""WITH ev AS (
+  SELECT ts, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'click'
+),
+t0 AS (SELECT min(date_trunc('day', ts)) AS t0 FROM ev),
+halves AS (
+  SELECT CASE WHEN ev.ts < t0.t0 + INTERVAL {_CUPED_SPLIT_DAYS} DAY
+              THEN 1 ELSE 2 END AS half, item
+  FROM ev CROSS JOIN t0 WHERE item IS NOT NULL
+),
+per AS (SELECT half, item, count(*) AS n FROM halves
+        GROUP BY half, item),
+top AS (
+  SELECT half, item, n FROM (
+    SELECT half, item, n, row_number() OVER (PARTITION BY half
+             ORDER BY n DESC, item ASC) AS r
+    FROM per) WHERE r <= {_CHURN_TOPK}
+),
+j AS (
+  SELECT coalesce(a.item, b.item) AS item, a.n AS n_first,
+         b.n AS n_second
+  FROM (SELECT item, n FROM top WHERE half = 1) a
+  FULL OUTER JOIN (SELECT item, n FROM top WHERE half = 2) b
+    ON a.item = b.item
+),
+jac AS (
+  SELECT sum(CASE WHEN n_first IS NOT NULL AND n_second IS NOT NULL
+                  THEN 1 ELSE 0 END) * 1.0 / count(*) AS jac
+  FROM j
+)
+SELECT j.item, CAST(coalesce(j.n_first, 0) AS BIGINT) AS n_first,
+       CAST(coalesce(j.n_second, 0) AS BIGINT) AS n_second,
+       CASE WHEN coalesce(j.n_first, 0) > 0
+            THEN CASE WHEN coalesce(j.n_second, 0) > 0 THEN 'stayed'
+                      ELSE 'dropped' END
+            ELSE 'entered' END AS status,
+       round(jac.jac, 4) AS jaccard
+FROM j CROSS JOIN jac ORDER BY j.item"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -19616,4 +19822,7 @@ QUERIES = {
     "anova_length_by_lang": (q_anova_length_by_lang,
                              SQL_ANOVA_LENGTH_BY_LANG),
     "hill_tail_index": (q_hill_tail_index, SQL_HILL_TAIL_INDEX),
+    "classical_decomposition": (q_classical_decomposition,
+                                SQL_CLASSICAL_DECOMPOSITION),
+    "head_churn": (q_head_churn, SQL_HEAD_CHURN),
 }
