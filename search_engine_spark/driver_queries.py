@@ -19575,6 +19575,221 @@ SELECT j.item, CAST(coalesce(j.n_first, 0) AS BIGINT) AS n_first,
 FROM j CROSS JOIN jac ORDER BY j.item"""
 
 
+# ---------------------------------------------------------------------------
+# Classifier precision-recall threshold sweep (vs the Gopher rule label)
+# ---------------------------------------------------------------------------
+
+_PRS_THRESHOLDS = (0.70, 0.75, 0.80, 0.85, 0.90, 0.95)
+
+
+def q_classifier_pr_sweep(spark, sf_dir):
+    """Operating-point selection for the quality classifier: precision /
+    recall / F1 of thresholding p_keep at each candidate cutoff,
+    against the gopher_quality rule label — the third leg of the
+    classifier-QA triptych (calibration_curve asks "is the probability
+    honest", otsu_threshold picks a cutoff without labels, this sweep
+    picks one WITH labels).  One row per threshold with the four
+    confusion counts and the three derived metrics.
+
+    Determinism: the confusion cells are integer counts over the
+    rounded score; P/R/F1 are single divisions (0-denominator guarded
+    to 0.0).  Scale shape: the per-doc score+label frame computes once
+    (the calibration_curve plan); the sweep joins it against a
+    |thresholds|-row broadcast and collapses map-side.
+    """
+    toks = _tokens(spark, sf_dir)
+    stops = [s.strip("'") for s in _EN_STOPS.strip("()").split(",")]
+    per = toks.groupBy("doc_id").agg(
+        F.avg(F.length("term")).alias("_len"),
+        (F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0))
+         / F.count("*")).alias("_stop"),
+        (F.count_distinct("term") / F.count("*")).alias("_ttr"),
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.length("term")).cast("long").alias("_chars"),
+        F.sum(F.when(F.col("term").rlike("[a-z]"), 1).otherwise(0))
+        .cast("long").alias("_alpha"),
+        F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0))
+        .cast("long").alias("_stopn"),
+    )
+    z = (
+        F.lit(_QC_W_LEN) * F.col("_len")
+        + F.lit(_QC_W_STOP) * F.col("_stop")
+        + F.lit(_QC_W_TTR) * F.col("_ttr")
+        + F.lit(_QC_BIAS)
+    )
+    n = F.col("_n")
+    keep = (
+        (n >= _GOPHER_MIN_WORDS) & (n <= _GOPHER_MAX_WORDS)
+        & (F.col("_chars") * 10 >= F.lit(int(_GOPHER_MIN_MWL * 10)) * n)
+        & (F.col("_chars") * 10 <= F.lit(int(_GOPHER_MAX_MWL * 10)) * n)
+        & (F.col("_alpha") * 5 >= n * 4)
+        & (F.col("_stopn") >= _GOPHER_MIN_STOPS)
+    )
+    scored = per.select(
+        _r4(F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("p"),
+        keep.cast("int").alias("y"),
+    )
+    ths = spark.createDataFrame(
+        [(t,) for t in _PRS_THRESHOLDS], "threshold double"
+    )
+    cells = (
+        scored.crossJoin(F.broadcast(ths))
+        .groupBy("threshold")
+        .agg(
+            F.sum(((F.col("p") >= F.col("threshold"))
+                   & (F.col("y") == 1)).cast("int"))
+            .cast("long").alias("tp"),
+            F.sum(((F.col("p") >= F.col("threshold"))
+                   & (F.col("y") == 0)).cast("int"))
+            .cast("long").alias("fp"),
+            F.sum(((F.col("p") < F.col("threshold"))
+                   & (F.col("y") == 1)).cast("int"))
+            .cast("long").alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    return cells.select(
+        "threshold", "tp", "fp", "fn",
+        _r4(prec).alias("precision"),
+        _r4(rec).alias("recall"),
+        _r4(
+            F.when(
+                prec + rec > 0, 2 * prec * rec / (prec + rec)
+            ).otherwise(F.lit(0.0))
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
+SQL_CLASSIFIER_PR_SWEEP = f"""WITH {_TOKS_SQL},
+per AS (
+  SELECT doc_id, avg(length(term)) AS len,
+         sum(CASE WHEN term IN {_EN_STOPS} THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS stop,
+         count(DISTINCT term) * 1.0 / count(*) AS ttr,
+         count(*) AS n, sum(length(term)) AS chars,
+         sum(CASE WHEN regexp_matches(term, '[a-z]') THEN 1 ELSE 0 END)
+           AS alpha,
+         sum(CASE WHEN term IN {_EN_STOPS} THEN 1 ELSE 0 END) AS stopn
+  FROM toks GROUP BY doc_id
+),
+scored AS (
+  SELECT round(1.0 / (1.0 + exp(-({_QC_W_LEN} * len + {_QC_W_STOP} * stop
+                                 + {_QC_W_TTR} * ttr + ({_QC_BIAS})))), 4)
+           AS p,
+         CASE WHEN n >= {_GOPHER_MIN_WORDS} AND n <= {_GOPHER_MAX_WORDS}
+                   AND chars * 10 >= {int(_GOPHER_MIN_MWL * 10)} * n
+                   AND chars * 10 <= {int(_GOPHER_MAX_MWL * 10)} * n
+                   AND alpha * 5 >= n * 4
+                   AND stopn >= {_GOPHER_MIN_STOPS}
+              THEN 1 ELSE 0 END AS y
+  FROM per
+),
+ths AS (SELECT * FROM (VALUES {", ".join(f"({t})" for t in _PRS_THRESHOLDS)}) AS t(threshold)),
+cells AS (
+  SELECT threshold,
+         sum(CASE WHEN p >= threshold AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN p >= threshold AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN p < threshold AND y = 1 THEN 1 ELSE 0 END) AS fn
+  FROM scored CROSS JOIN ths GROUP BY threshold
+)
+SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       round(CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp)
+                  ELSE 0.0 END, 4) AS precision,
+       round(CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn)
+                  ELSE 0.0 END, 4) AS recall,
+       round(CASE WHEN (CASE WHEN tp + fp > 0
+                             THEN tp * 1.0 / (tp + fp) ELSE 0 END
+                  + CASE WHEN tp + fn > 0
+                         THEN tp * 1.0 / (tp + fn) ELSE 0 END) > 0
+                  THEN 2 * (CASE WHEN tp + fp > 0
+                                 THEN tp * 1.0 / (tp + fp) ELSE 0 END)
+                         * (CASE WHEN tp + fn > 0
+                                 THEN tp * 1.0 / (tp + fn) ELSE 0 END)
+                       / ((CASE WHEN tp + fp > 0
+                                THEN tp * 1.0 / (tp + fp) ELSE 0 END)
+                          + (CASE WHEN tp + fn > 0
+                                  THEN tp * 1.0 / (tp + fn) ELSE 0 END))
+                  ELSE 0.0 END, 4) AS f1
+FROM cells ORDER BY threshold"""
+
+
+# ---------------------------------------------------------------------------
+# LSH (b, r) tuning curve (the MMDS S-curve, Leskovec-Rajaraman-Ullman)
+# ---------------------------------------------------------------------------
+
+_LSH_CONFIGS = ((32, 4), (16, 8), (8, 16))
+
+
+def q_lsh_tuning_curve(spark, sf_dir):
+    """The MinHash-LSH (bands, rows) tuning curve (the MMDS ch.3
+    S-curve): for each configuration with b·r = 128 hashes, the
+    50%-collision threshold s* = (1/b)^(1/r) and the EXPECTED number
+    of candidate collisions Σ_pairs 1 − (1 − s^r)^b over the measured
+    top Jaccard pairs (ngram_jaccard's output distribution) — the
+    table that picks (b, r) for a target dedup threshold BEFORE paying
+    a full LSH run, with minhash_lsh_pairs/lsh_recall as the realized
+    ground truth.
+
+    Determinism: the pair similarities are ngram_jaccard's 4-decimal
+    values; every probability is an identical double pow chain; one
+    rounded sum per config.  Scale shape: the pair sample is the
+    bounded top-k pair table; the config table is a 3-row broadcast —
+    the whole curve costs |pairs|·|configs| arithmetic rows.
+    """
+    pairs = q_ngram_jaccard(spark, sf_dir).select("jaccard")
+    cfgs = spark.createDataFrame(
+        [(b, r) for b, r in _LSH_CONFIGS], "b long, r long"
+    )
+    pcol = 1.0 - F.pow(
+        1.0 - F.pow(F.col("jaccard"), F.col("r")), F.col("b")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(cfgs))
+        .groupBy("b", "r")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            _r4(F.sum(pcol)).alias("expected_collisions"),
+            F.sum(
+                (
+                    F.col("jaccard")
+                    >= F.pow(
+                        1.0 / F.col("b"), 1.0 / F.col("r")
+                    )
+                ).cast("int")
+            ).cast("long").alias("n_above_s50"),
+        )
+        .withColumn(
+            "s50",
+            _r4(F.pow(1.0 / F.col("b"), 1.0 / F.col("r"))),
+        )
+        .select("b", "r", "s50", "n_pairs", "n_above_s50",
+                "expected_collisions")
+        .orderBy("b")
+    )
+
+
+SQL_LSH_TUNING_CURVE = f"""WITH pairs AS (
+  SELECT jaccard FROM ({SQL_NGRAM_JACCARD})
+),
+cfgs AS (SELECT * FROM (VALUES {", ".join(f"({b}, {r})" for b, r in _LSH_CONFIGS)}) AS t(b, r))
+SELECT b, r,
+       round(pow(1.0 / b, 1.0 / r), 4) AS s50,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN jaccard >= pow(1.0 / b, 1.0 / r)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above_s50,
+       round(sum(1.0 - pow(1.0 - pow(jaccard, r), b)), 4)
+         AS expected_collisions
+FROM pairs CROSS JOIN cfgs GROUP BY b, r ORDER BY b"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -19825,4 +20040,7 @@ QUERIES = {
     "classical_decomposition": (q_classical_decomposition,
                                 SQL_CLASSICAL_DECOMPOSITION),
     "head_churn": (q_head_churn, SQL_HEAD_CHURN),
+    "classifier_pr_sweep": (q_classifier_pr_sweep,
+                            SQL_CLASSIFIER_PR_SWEEP),
+    "lsh_tuning_curve": (q_lsh_tuning_curve, SQL_LSH_TUNING_CURVE),
 }
