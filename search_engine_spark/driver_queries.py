@@ -19790,6 +19790,143 @@ SELECT b, r,
 FROM pairs CROSS JOIN cfgs GROUP BY b, r ORDER BY b"""
 
 
+# ---------------------------------------------------------------------------
+# Fano factor / index of dispersion (Fano 1947; Cox's overdispersion test)
+# ---------------------------------------------------------------------------
+
+
+def q_fano_factor(spark, sf_dir):
+    """Index of dispersion (Fano factor) of hourly event counts per
+    type — var/mean of the count series: a Poisson process sits at
+    exactly 1, clustering (bursts, bots, batch jobs) pushes it above,
+    regularity (rate limiting) below.  The one-number burstiness test
+    that complements spike_detect's WHERE with a WHETHER (and
+    term_burstiness' document-side twin): alerting on a Fano≈1 stream
+    can use Poisson thresholds, an overdispersed one cannot.
+
+    Determinism: hourly counts are integers, so mean and variance come
+    from integer moment sums; the Poisson verdict compares against the
+    ±3·√(2/n) sampling band of the ratio under H₀ (a literal-free
+    integer-derived bound).  Scale shape: events collapse map-side to
+    |type|×|hours| rows, then a per-type moment reduce — |types|
+    output rows.
+    """
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "event_type",
+            F.date_trunc("HOUR", "ts").alias("h"),
+        )
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("x").alias("_s"),
+        F.sum(F.col("x") * F.col("x")).alias("_q"),
+    )
+    n = F.col("n_hours")
+    mean = F.col("_s") / n
+    var = (F.col("_q") - F.col("_s") * F.col("_s") / n) / n
+    fano = var / mean
+    band = 3.0 * F.sqrt(2.0 / n)
+    return m.select(
+        "event_type", "n_hours",
+        _r4(mean).alias("mean"),
+        _r4(var).alias("var"),
+        _r4(fano).alias("fano"),
+        F.when(fano > 1.0 + band, F.lit("overdispersed"))
+        .when(fano < 1.0 - band, F.lit("underdispersed"))
+        .otherwise(F.lit("poisson")).alias("verdict"),
+    ).orderBy("event_type")
+
+
+SQL_FANO_FACTOR = """WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, count(*) AS n, sum(x) AS s, sum(x * x) AS q
+  FROM ev GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+       round(s * 1.0 / n, 4) AS mean,
+       round((q - s * s * 1.0 / n) / n, 4) AS var,
+       round(((q - s * s * 1.0 / n) / n) / (s * 1.0 / n), 4) AS fano,
+       CASE WHEN ((q - s * s * 1.0 / n) / n) / (s * 1.0 / n)
+                 > 1.0 + 3.0 * sqrt(2.0 / n) THEN 'overdispersed'
+            WHEN ((q - s * s * 1.0 / n) / n) / (s * 1.0 / n)
+                 < 1.0 - 3.0 * sqrt(2.0 / n) THEN 'underdispersed'
+            ELSE 'poisson' END AS verdict
+FROM m ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Hill diversity numbers (Hill, Ecology 1973)
+# ---------------------------------------------------------------------------
+
+
+def q_hill_diversity(spark, sf_dir):
+    """Hill's diversity numbers (Ecology 1973) for the corpus' source
+    and language distributions — the "effective number" at three
+    orders:
+    ⁰D = richness (every host counts once), ¹D = exp(Shannon H)
+    (hosts weighted by share), ²D = inverse Simpson (dominant hosts
+    only) — ⁰D ≥ ¹D ≥ ²D always, and the GAP between them is the
+    imbalance (domain_mix lists the shares; this compresses them into
+    the three numbers a mixture plan compares across corpora — the
+    diversity twin of traffic_gini's inequality view).
+
+    Determinism: shares are integer-count ratios; H sums share·ln
+    terms over the bounded host table; each D is one expression,
+    rounded once.  Scale shape: one host-count aggregate, a 1-row
+    reduce.
+    """
+    outs = []
+    for dim in ("lang", "source"):
+        per = _docs(spark, sf_dir).groupBy(dim).agg(
+            F.count("*").cast("long").alias("c")
+        )
+        tot = per.agg(F.sum("c").alias("_t"))
+        p = F.col("c") / F.col("_t")
+        m = per.crossJoin(F.broadcast(tot)).agg(
+            F.lit(dim).alias("dimension"),
+            F.count("*").cast("long").alias("d0"),
+            F.sum(p * F.log(p)).alias("_h"),
+            F.sum(p * p).alias("_s2"),
+            F.max("_t").cast("long").alias("n_docs"),
+        )
+        outs.append(m)
+    out = outs[0].unionByName(outs[1])
+    return out.select(
+        "dimension", "n_docs", "d0",
+        _r4(F.exp(-F.col("_h"))).alias("d1"),
+        _r4(F.lit(1.0) / F.col("_s2")).alias("d2"),
+        _r4(F.exp(-F.col("_h")) / F.col("d0")).alias("evenness"),
+    ).orderBy("dimension")
+
+
+def _hill_sql() -> str:
+    parts = []
+    for dim in ("lang", "source"):
+        parts.append(f"""
+  SELECT '{dim}' AS dimension, count(*) AS d0,
+         sum((c * 1.0 / t) * ln(c * 1.0 / t)) AS h,
+         sum((c * 1.0 / t) * (c * 1.0 / t)) AS s2,
+         max(t) AS n_docs
+  FROM (SELECT {dim}, count(*) AS c FROM documents GROUP BY {dim})
+  CROSS JOIN (SELECT count(*) AS t FROM documents)""")
+    return f"""WITH m AS ({" UNION ALL".join(parts)})
+SELECT dimension, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(d0 AS BIGINT) AS d0,
+       round(exp(-h), 4) AS d1,
+       round(1.0 / s2, 4) AS d2,
+       round(exp(-h) / d0, 4) AS evenness
+FROM m ORDER BY dimension"""
+
+
+SQL_HILL_DIVERSITY = _hill_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -20043,4 +20180,6 @@ QUERIES = {
     "classifier_pr_sweep": (q_classifier_pr_sweep,
                             SQL_CLASSIFIER_PR_SWEEP),
     "lsh_tuning_curve": (q_lsh_tuning_curve, SQL_LSH_TUNING_CURVE),
+    "fano_factor": (q_fano_factor, SQL_FANO_FACTOR),
+    "hill_diversity": (q_hill_diversity, SQL_HILL_DIVERSITY),
 }
