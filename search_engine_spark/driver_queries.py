@@ -19927,6 +19927,199 @@ FROM m ORDER BY dimension"""
 SQL_HILL_DIVERSITY = _hill_sql()
 
 
+# ---------------------------------------------------------------------------
+# Conversion lag (time-to-event percentiles between funnel stages)
+# ---------------------------------------------------------------------------
+
+
+def q_conversion_lag(spark, sf_dir):
+    """Time-to-event between funnel stages: for each user with BOTH a
+    signup and a later purchase, the lag from FIRST signup to FIRST
+    subsequent purchase — conversion rate plus exact p50/p90 lag in
+    minutes (event_funnel counts who converts; this measures how LONG
+    conversion takes, the number attribution windows and retargeting
+    deadlines are set from).
+
+    Determinism: first-event picks are min(struct) with event_id
+    tiebreaks (the shapley/first_p idiom); lags are exact integer
+    microseconds; percentiles are the exact-interpolation pairing over
+    those integers.  Scale shape: two per-user min-aggregates and one
+    |converted|-row percentile reduce — 1 output row.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    first_s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("us", "event_id")).alias("_f"))
+        .select("user_id", F.col("_f.us").alias("sus"))
+    )
+    first_p_after = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_s, "user_id")
+        .filter(F.col("us") >= F.col("sus"))
+        .groupBy("user_id")
+        .agg(
+            F.max("sus").alias("sus"),
+            F.min("us").alias("pus"),
+        )
+        .select(
+            "user_id",
+            ((F.col("pus") - F.col("sus")) / 60_000_000.0).alias("lag_min"),
+        )
+    )
+    ns = first_s.agg(F.count("*").cast("long").alias("n_signup"))
+    return (
+        first_p_after.agg(
+            F.count("*").cast("long").alias("n_converted"),
+            F.expr("percentile(lag_min, array(0.5, 0.9))").alias("_q"),
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "n_signup", "n_converted",
+            _r4(F.col("n_converted") / F.col("n_signup"))
+            .alias("conversion_rate"),
+            _r4(F.col("_q")[0]).alias("p50_lag_min"),
+            _r4(F.col("_q")[1]).alias("p90_lag_min"),
+        )
+    )
+
+
+SQL_CONVERSION_LAG = """WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+first_s AS (
+  SELECT user_id, min(struct_pack(us := us, event_id := event_id)).us
+           AS sus
+  FROM ev WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id,
+         (min(e.us) - max(f.sus)) / 60000000.0 AS lag_min
+  FROM ev e JOIN first_s f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.us >= f.sus
+  GROUP BY e.user_id
+),
+ns AS (SELECT count(*) AS n_signup FROM first_s)
+SELECT CAST(ns.n_signup AS BIGINT) AS n_signup,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       round(count(*) * 1.0 / ns.n_signup, 4) AS conversion_rate,
+       round(quantile_cont(lag_min, 0.5), 4) AS p50_lag_min,
+       round(quantile_cont(lag_min, 0.9), 4) AS p90_lag_min
+FROM conv CROSS JOIN ns GROUP BY ns.n_signup"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank convergence diagnostics (the power-iteration L1 residual)
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank_convergence(spark, sf_dir):
+    """Power-iteration convergence diagnostics for PageRank: the L1
+    residual ‖r_t − r_{{t−1}}‖₁ after each of the {t} iterations and
+    its per-step contraction ratio — the classic result that the
+    residual shrinks geometrically at rate ≤ damping d={d} (Haveliwala's
+    convergence analysis), which is how production decides HOW MANY
+    iterations to pay for (pagerank itself fixes {t}; this entry shows
+    why that suffices).
+
+    Determinism: the iterates are the hash-green pagerank chain; each
+    residual sums |diffs| of identical doubles and rounds once; the
+    ratio divides consecutive rounded residuals.  Scale shape: one
+    extra |nodes|-row aggregate per iteration over the already-built
+    chain — same Pregel joins, plus K 1-row reduces.
+    """.format(t=_PR_ITERS, d=_PR_DAMP)
+    with_n, edges = _link_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src")
+    ranks = with_n.select("id", "n", (F.lit(1.0) / F.col("n")).alias("r"))
+    resids = []
+    for t in range(1, _PR_ITERS + 1):
+        contribs = (
+            ranks.join(e, ranks["id"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("c"))
+        )
+        nxt = (
+            with_n.join(contribs, with_n["id"] == contribs["dst"], "left")
+            .select(
+                "id", "n",
+                (
+                    F.lit(1.0 - _PR_DAMP) / F.col("n")
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+        both = ranks.select(
+            "id", F.col("r").alias("r0")
+        ).join(nxt.select("id", "r"), "id")
+        resids.append(
+            both.agg(
+                F.lit(t).cast("long").alias("iteration"),
+                _r4(F.sum(F.abs(F.col("r") - F.col("r0"))))
+                .alias("l1_residual"),
+            )
+        )
+        ranks = nxt
+    out = resids[0]
+    for r in resids[1:]:
+        out = out.unionByName(r)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("iteration")
+    return out.withColumn(
+        "contraction",
+        _r4(F.col("l1_residual") / F.lag("l1_residual").over(w)),
+    ).orderBy("iteration")
+
+
+def _pr_conv_sql() -> str:
+    rules = ", ".join(f"({m}, {b})" for m, b in _PR_RULES)
+    parts = [
+        f"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id AS src, (rules.m * id + rules.b) % nn.n AS dst
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (VALUES {rules}) AS rules(m, b)
+  ) WHERE src <> dst
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+e AS (SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)),
+r0 AS (SELECT id, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+c{t} AS (SELECT e.dst AS id, sum(r.r / e.deg) AS c
+         FROM r{t - 1} r JOIN e ON r.id = e.src GROUP BY e.dst),
+r{t} AS MATERIALIZED (SELECT nodes.id,
+                CAST({1.0 - _PR_DAMP} AS DOUBLE) / nn.n
+                + CAST({_PR_DAMP} AS DOUBLE) * coalesce(c{t}.c, 0) AS r
+         FROM nodes CROSS JOIN nn LEFT JOIN c{t} ON nodes.id = c{t}.id),
+d{t} AS (SELECT {t} AS iteration,
+                round(sum(abs(a.r - b.r)), 4) AS l1_residual
+         FROM r{t} a JOIN r{t - 1} b ON a.id = b.id)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM d{t}" for t in range(1, _PR_ITERS + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(iteration AS BIGINT) AS iteration, l1_residual,
+       round(l1_residual / lag(l1_residual)
+             OVER (ORDER BY iteration), 4) AS contraction
+FROM ({union}) ORDER BY iteration"""
+    )
+    return "".join(parts)
+
+
+SQL_PAGERANK_CONVERGENCE = _pr_conv_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -20182,4 +20375,7 @@ QUERIES = {
     "lsh_tuning_curve": (q_lsh_tuning_curve, SQL_LSH_TUNING_CURVE),
     "fano_factor": (q_fano_factor, SQL_FANO_FACTOR),
     "hill_diversity": (q_hill_diversity, SQL_HILL_DIVERSITY),
+    "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
+    "pagerank_convergence": (q_pagerank_convergence,
+                             SQL_PAGERANK_CONVERGENCE),
 }
