@@ -20120,6 +20120,107 @@ FROM ({union}) ORDER BY iteration"""
 SQL_PAGERANK_CONVERGENCE = _pr_conv_sql()
 
 
+# ---------------------------------------------------------------------------
+# ROC AUC via the Mann-Whitney U statistic (Hanley & McNeil 1982)
+# ---------------------------------------------------------------------------
+
+_AUC_CHURN_DAYS = 1
+
+
+def q_rfm_churn_auc(spark, sf_dir):
+    """Exact ROC AUC of a churn predictor, computed as the Mann-Whitney
+    U statistic (Hanley & McNeil, Radiology 1982: AUC = P(score of a
+    positive > score of a negative), = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)
+    from rank sums — no curve integration): the predictor is each
+    user's days-since-last-activity at the cutoff (rfm_scores' R
+    feature, measured on the log's first {d}-days-withheld prefix),
+    the label is churn = no activity in the final {d} day(s)
+    (sized so the synthetic per-user rates actually produce churners).  The
+    evaluation every lifecycle model starts from.  (The synthetic log
+    is a homogeneous process with no churn mechanism, so the honest
+    result is AUC ≈ 0.5 — the entry verifies the exact U-statistic
+    machinery; on real logs the R heuristic is the baseline to beat.)
+
+    Determinism: recency scores are integer microseconds; ranks use
+    (score, user) tiebreaks; U and AUC are exact integer arithmetic
+    with one final division (ties broken deterministically rather than
+    midranked — documented, twin-matched).  Scale shape: one per-user
+    max-ts aggregate, one rank window over |users| rows, a 1-row
+    reduce.
+    """.format(d=_AUC_CHURN_DAYS)
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    hor = ev.agg(F.max("us").alias("_end"))
+    cut = F.col("_end") - F.lit(_AUC_CHURN_DAYS * 86_400_000_000)
+    per = (
+        ev.crossJoin(F.broadcast(hor))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("us") < cut, F.col("us"))).alias("last_pre"),
+            F.max(
+                (F.col("us") >= cut).cast("int")
+            ).alias("_active_post"),
+            F.max("_end").alias("_end2"),
+        )
+        .filter(F.col("last_pre").isNotNull())
+        .select(
+            "user_id",
+            (F.col("_end2") - F.col("last_pre")).alias("recency_us"),
+            (F.col("_active_post") == 0).cast("int").alias("churned"),
+        )
+    )
+    w = Window.orderBy(F.col("recency_us").asc(), F.col("user_id").asc())
+    ranked = per.withColumn("rk", F.row_number().over(w))
+    m = ranked.agg(
+        F.sum("churned").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("churned")).cast("long").alias("n_neg"),
+        F.sum(F.col("churned") * F.col("rk")).cast("long").alias("r_pos"),
+    )
+    u = F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2
+    return m.select(
+        "n_pos", "n_neg",
+        u.cast("long").alias("u_stat"),
+        _r4(u / (F.col("n_pos") * F.col("n_neg"))).alias("auc"),
+    )
+
+
+SQL_RFM_CHURN_AUC = f"""WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+hor AS (SELECT max(us) AS e FROM ev),
+per AS (
+  SELECT user_id,
+         e - max(CASE WHEN us < e - {_AUC_CHURN_DAYS * 86_400_000_000}
+                      THEN us END) AS recency_us,
+         CASE WHEN max(CASE WHEN us >= e
+                            - {_AUC_CHURN_DAYS * 86_400_000_000}
+                            THEN 1 ELSE 0 END) = 0
+              THEN 1 ELSE 0 END AS churned
+  FROM ev CROSS JOIN hor GROUP BY user_id, e
+  HAVING max(CASE WHEN us < e - {_AUC_CHURN_DAYS * 86_400_000_000}
+                  THEN us END) IS NOT NULL
+),
+ranked AS (
+  SELECT churned,
+         row_number() OVER (ORDER BY recency_us ASC, user_id ASC) AS rk
+  FROM per
+),
+m AS (
+  SELECT sum(churned) AS n_pos, sum(1 - churned) AS n_neg,
+         sum(churned * rk) AS r_pos
+  FROM ranked
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(r_pos - n_pos * (n_pos + 1) / 2 AS BIGINT) AS u_stat,
+       round((r_pos - n_pos * (n_pos + 1) / 2.0)
+             / (n_pos * n_neg), 4) AS auc
+FROM m"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -20378,4 +20479,5 @@ QUERIES = {
     "conversion_lag": (q_conversion_lag, SQL_CONVERSION_LAG),
     "pagerank_convergence": (q_pagerank_convergence,
                              SQL_PAGERANK_CONVERGENCE),
+    "rfm_churn_auc": (q_rfm_churn_auc, SQL_RFM_CHURN_AUC),
 }
