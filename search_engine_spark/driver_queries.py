@@ -20221,6 +20221,431 @@ SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
 FROM m"""
 
 
+# ---------------------------------------------------------------------------
+# Inter-rater agreement: Cohen's kappa between the two quality rule sets
+# ---------------------------------------------------------------------------
+
+
+def q_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa (Cohen 1960) between the repo's two document-quality
+    labelers — rater A = the Gopher rule battery (q_gopher_quality's
+    keep), rater B = the corpus_pipeline stopword-density rule
+    (qual_ok: English wins the language vote, ≥ {mt} tokens, stopword
+    density ≥ 5%).  Raw percent agreement over-credits two filters that
+    both pass almost everything; kappa subtracts the agreement their
+    marginal keep-rates would produce by chance — THE number to report
+    before swapping one filter for the other in a training-data funnel
+    (Landis-Koch: ≥0.6 substantial, ≤0.2 slight).
+
+    Determinism: both labels come from one integer token aggregate
+    (counts compared against integer-scaled bounds — no float until the
+    final po/pe/kappa divisions, each rounded to 4).  Degenerate margins
+    (pe = 1: both raters constant) define kappa = 1 when po = 1, the
+    standard convention, guarded identically in both engines.
+
+    Scale shape: ONE narrow map-side aggregate per doc over the token
+    stream feeds both raters (no second text pass), then a 1-row
+    confusion reduce — no joins, no windows, no shuffle beyond the
+    per-doc groupBy.
+    """.format(mt=_PIPE_MIN_TOKENS)
+    toks = _tokens(spark, sf_dir)
+    stops = [s.strip("'") for s in _EN_STOPS.strip("()").split(",")]
+    per = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.length("term")).cast("long").alias("_chars"),
+        F.sum(F.when(F.col("term").rlike("[a-z]"), 1).otherwise(0))
+        .cast("long").alias("_alpha"),
+        F.sum(F.when(F.col("term").isin(stops), 1).otherwise(0))
+        .cast("long").alias("_stops"),
+        *[
+            F.sum(F.when(F.col("term").isin(*ws), 1).otherwise(0))
+            .cast("long").alias(f"_n_{lang}")
+            for lang, ws in _LANG_WORDS.items()
+        ],
+    )
+    n = F.col("n_words")
+    a = (
+        (n >= _GOPHER_MIN_WORDS) & (n <= _GOPHER_MAX_WORDS)
+        & (F.col("_chars") * 10 >= F.lit(int(_GOPHER_MIN_MWL * 10)) * n)
+        & (F.col("_chars") * 10 <= F.lit(int(_GOPHER_MAX_MWL * 10)) * n)
+        & (F.col("_alpha") * 5 >= n * 4)
+        & (F.col("_stops") >= _GOPHER_MIN_STOPS)
+    )
+    en, de, fr = F.col("_n_en"), F.col("_n_de"), F.col("_n_fr")
+    b = (
+        (en >= de) & (en >= fr) & (en > 0)
+        & (n >= _PIPE_MIN_TOKENS)
+        & (F.col("_stops") * 20 >= n)
+    )
+    lab = (
+        _docs(spark, sf_dir).select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            F.coalesce(a, F.lit(False)).cast("int").alias("a"),
+            F.coalesce(b, F.lit(False)).cast("int").alias("b"),
+        )
+    )
+    m = lab.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    nn = F.col("n_docs")
+    po = (F.col("n11") + F.col("n00")) / nn
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (nn * nn)
+    kappa = F.when(pe == 1.0, F.when(po == 1.0, 1.0).otherwise(0.0)).otherwise(
+        (po - pe) / (1.0 - pe)
+    )
+    return m.select(
+        "n_docs", "n11", "n10", "n01", "n00",
+        _r4(po).alias("po"), _r4(pe).alias("pe"), _r4(kappa).alias("kappa"),
+    )
+
+
+def _kappa_sql() -> str:
+    langs = ", ".join(
+        f"{_lang_sum_sql(lang)} AS n_{lang}" for lang in _LANG_WORDS
+    )
+    return f"""WITH {_TOKS_SQL},
+per AS (
+  SELECT doc_id, count(*) AS n_words, sum(length(term)) AS chars,
+         sum(CASE WHEN regexp_matches(term, '[a-z]') THEN 1 ELSE 0 END)
+           AS alpha,
+         sum(CASE WHEN term IN {_EN_STOPS} THEN 1 ELSE 0 END) AS stops,
+         {langs}
+  FROM toks GROUP BY doc_id
+),
+lab AS (
+  SELECT CAST(coalesce(
+           p.n_words >= {_GOPHER_MIN_WORDS}
+           AND p.n_words <= {_GOPHER_MAX_WORDS}
+           AND p.chars * 10 >= {int(_GOPHER_MIN_MWL * 10)} * p.n_words
+           AND p.chars * 10 <= {int(_GOPHER_MAX_MWL * 10)} * p.n_words
+           AND p.alpha * 5 >= p.n_words * 4
+           AND p.stops >= {_GOPHER_MIN_STOPS}, false) AS INT) AS a,
+         CAST(coalesce(
+           p.n_en >= p.n_de AND p.n_en >= p.n_fr AND p.n_en > 0
+           AND p.n_words >= {_PIPE_MIN_TOKENS}
+           AND p.stops * 20 >= p.n_words, false) AS INT) AS b
+  FROM documents d LEFT JOIN per p USING (doc_id)
+),
+m AS (
+  SELECT count(*) AS n_docs, sum(a * b) AS n11, sum(a * (1 - b)) AS n10,
+         sum((1 - a) * b) AS n01, sum((1 - a) * (1 - b)) AS n00
+  FROM lab
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n11,
+       CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+       CAST(n00 AS BIGINT) AS n00,
+       round((n11 + n00) * 1.0 / n_docs, 4) AS po,
+       round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+             * 1.0 / (n_docs * n_docs), 4) AS pe,
+       round(CASE
+         WHEN ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+              * 1.0 / (n_docs * n_docs) = 1.0
+         THEN CASE WHEN (n11 + n00) * 1.0 / n_docs = 1.0
+                   THEN 1.0 ELSE 0.0 END
+         ELSE ((n11 + n00) * 1.0 / n_docs
+               - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 * 1.0 / (n_docs * n_docs))
+              / (1.0 - ((n11 + n10) * (n11 + n01)
+                        + (n01 + n00) * (n10 + n00))
+                       * 1.0 / (n_docs * n_docs))
+       END, 4) AS kappa
+FROM m"""
+
+
+SQL_COHENS_KAPPA = _kappa_sql()
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimate of user lifetime
+# ---------------------------------------------------------------------------
+
+_KM_CENSOR_DAYS = 1
+_US_PER_DAY = 86_400_000_000
+
+
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier product-limit survival curve (Kaplan & Meier, JASA
+    1958) of user lifetime in the event log — the censoring-correct
+    companion to retention_cohorts (which ignores censoring) and the
+    lifetime distribution rfm_churn_auc's recency heuristic tries to
+    predict.  A user's lifetime is last-activity − first-activity in
+    whole days; users still active in the final {d}-day window are
+    right-CENSORED at their last observed activity (they exit the risk
+    set without an event — exactly the bias naive "average lifetime"
+    numbers get wrong).  S(t) = ∏_{{tᵢ ≤ t}} (1 − dᵢ/nᵢ) over event
+    times tᵢ, with nᵢ = users whose observation time ≥ tᵢ.
+
+    Determinism: durations are exact integer-microsecond differences
+    floor-divided into days; dᵢ/nᵢ ratios and the exp/ln product are the
+    only floats, rounded to 4.  If every at-risk user dies at some tᵢ
+    (dᵢ = nᵢ) the survival hits exact 0 there and stays 0, guarded with
+    an explicit flag instead of ln(0).
+
+    Scale shape: one per-user min/max aggregate (n-row shuffle), one
+    per-duration groupBy (≤ log-span-in-days rows), then windows over
+    that bounded relation — the heavy lifting is the first aggregate;
+    everything after is metadata-sized.
+    """.format(d=_KM_CENSOR_DAYS)
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    hor = ev.agg(F.max("us").alias("_end"))
+    cut = F.col("_end") - F.lit(_KM_CENSOR_DAYS * _US_PER_DAY)
+    per = (
+        ev.crossJoin(F.broadcast(hor))
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("first_us"),
+            F.max("us").alias("last_us"),
+            F.max("_end").alias("_end2"),
+        )
+        .select(
+            F.floor(
+                (F.col("last_us") - F.col("first_us")) / F.lit(_US_PER_DAY)
+            ).cast("long").alias("duration_days"),
+            (
+                F.col("last_us")
+                < F.col("_end2") - F.lit(_KM_CENSOR_DAYS * _US_PER_DAY)
+            ).cast("int").alias("churned"),
+        )
+    )
+    g = per.groupBy("duration_days").agg(
+        F.count("*").cast("long").alias("_n_all"),
+        F.sum("churned").cast("long").alias("n_events"),
+    )
+    w_risk = (
+        Window.orderBy(F.col("duration_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = g.withColumn("n_risk", F.sum("_n_all").over(w_risk))
+    evt = g.filter(F.col("n_events") > 0)
+    w_surv = (
+        Window.orderBy(F.col("duration_days").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    term = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("n_events") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        (F.col("n_events") == F.col("n_risk")).cast("int")
+    ).over(w_surv)
+    s_log = F.sum(term).over(w_surv)
+    return (
+        evt.withColumn(
+            "survival",
+            F.when(hit_zero == 1, F.lit(0.0)).otherwise(_r4(F.exp(s_log))),
+        )
+        .select("duration_days", "n_risk", "n_events", "survival")
+        .orderBy("duration_days")
+    )
+
+
+SQL_KAPLAN_MEIER = f"""WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+hor AS (SELECT max(us) AS e FROM ev),
+per AS (
+  SELECT CAST((max(us) - min(us)) // {_US_PER_DAY} AS BIGINT)
+           AS duration_days,
+         CASE WHEN max(us) < e - {_KM_CENSOR_DAYS * _US_PER_DAY}
+              THEN 1 ELSE 0 END AS churned
+  FROM ev CROSS JOIN hor GROUP BY user_id, e
+),
+g AS (
+  SELECT duration_days, count(*) AS n_all, sum(churned) AS n_events
+  FROM per GROUP BY duration_days
+),
+risk AS (
+  SELECT duration_days, n_events,
+         sum(n_all) OVER (ORDER BY duration_days DESC
+                          ROWS UNBOUNDED PRECEDING) AS n_risk
+  FROM g
+),
+evt AS (SELECT * FROM risk WHERE n_events > 0),
+surv AS (
+  SELECT duration_days, n_risk, n_events,
+         max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+           OVER w AS hit_zero,
+         sum(CASE WHEN n_events < n_risk
+                  THEN ln(1.0 - n_events * 1.0 / n_risk)
+                  ELSE 0.0 END) OVER w AS s_log
+  FROM evt
+  WINDOW w AS (ORDER BY duration_days ASC ROWS UNBOUNDED PRECEDING)
+)
+SELECT duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(exp(s_log), 4) END
+         AS survival
+FROM surv ORDER BY duration_days"""
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit audit of the event-value stream
+# ---------------------------------------------------------------------------
+
+
+def q_benford_digits(spark, sf_dir):
+    """Benford's-law leading-digit audit (Newcomb 1881 / Benford 1938;
+    Nigrini's forensic-accounting test battery) of the event value
+    stream — the cheap click-fraud / bot-traffic smell test: organic
+    multi-order-of-magnitude amounts follow P(d) = log₁₀(1 + 1/d),
+    synthetic or capped streams don't.  Output: per leading digit 1-9,
+    the observed count, observed vs expected proportion, and the
+    Pearson χ² contribution (sum them for the 8-df statistic; the twin
+    test pins the total).  Whether a given stream conforms is the
+    empirical readout — the sf0.001 synthetic amounts happen to land
+    χ² ≈ 8.4, under the 8-df 99% critical value 20.09, because they
+    span two orders of magnitude; a capped or botted stream would
+    blow past it.
+
+    Determinism: values are two-decimal amounts, lifted to exact
+    integer cents via round(value·100) before the digit is taken from
+    the integer's decimal string — no float log in the digit path; the
+    expected-proportion log₁₀ and χ² arithmetic are rounded to 4.
+    Digits with zero observations still appear (left join against the
+    literal 1-9 relation) so the χ² is over all 9 cells.
+
+    Scale shape: one narrow map + a 9-group aggregate; the digit table
+    and the 1-row total are broadcast — nothing shuffles but the
+    9-group combine."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).filter(F.col("cents") > 0)
+    obs = (
+        ev.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    digits = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    full = digits.join(obs, "digit", "left").select(
+        "digit", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")
+    )
+    tot = full.agg(F.sum("n").cast("long").alias("_t"))
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    expected = F.col("_t") * exp_p
+    return (
+        full.crossJoin(F.broadcast(tot))
+        .select(
+            "digit", "n",
+            _r4(F.col("n") / F.col("_t")).alias("obs_p"),
+            _r4(exp_p).alias("exp_p"),
+            _r4((F.col("n") - expected) * (F.col("n") - expected) / expected)
+            .alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+SQL_BENFORD_DIGITS = """WITH cents AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+  WHERE CAST(round(value * 100) AS BIGINT) > 0
+),
+obs AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM cents GROUP BY 1
+),
+filled AS (
+  SELECT d.digit, coalesce(obs.n, 0) AS n
+  FROM (SELECT unnest(range(1, 10)) AS digit) d
+  LEFT JOIN obs ON d.digit = obs.digit
+),
+tot AS (SELECT sum(n) AS t FROM filled)
+SELECT CAST(digit AS INT) AS digit, CAST(n AS BIGINT) AS n,
+       round(n * 1.0 / t, 4) AS obs_p,
+       round(log10(1.0 + 1.0 / digit), 4) AS exp_p,
+       round((n - t * log10(1.0 + 1.0 / digit))
+             * (n - t * log10(1.0 + 1.0 / digit))
+             / (t * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+FROM filled CROSS JOIN tot ORDER BY digit"""
+
+
+# ---------------------------------------------------------------------------
+# Head-term coverage curve (posting-cache / tiering sizing)
+# ---------------------------------------------------------------------------
+
+_COVERAGE_KS = (1, 2, 5, 10, 20, 30)
+
+
+def q_term_coverage(spark, sf_dir):
+    """Head-term coverage curve: for each k, the fraction of ALL token
+    occurrences covered by the k most frequent terms — the sizing curve
+    behind every head/tail split this repo models pointwise
+    (champion lists, tiered_index, cache_selection, stopword
+    induction): reading coverage(k) off this table is how you pick the
+    head size those operators then exploit.  Zipfian text concentrates
+    fast (top-10 terms often cover >50% of a web corpus); the curve
+    makes the knee explicit.
+
+    Determinism: integer occurrence counts, ties broken (count desc,
+    term asc), one final division rounded to 4.  Scale shape: the term
+    count is a map-side-combined aggregate; the head is taken with a
+    distributed TakeOrdered (orderBy.limit(max k) — never a full sort),
+    and the rank/cumsum windows then run over that ≤ max-k-row head;
+    the grand total is a 1-row broadcast side plan."""
+    from pyspark.sql import Window
+
+    counts = _tokens(spark, sf_dir).groupBy("term").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = counts.agg(F.sum("cnt").cast("long").alias("_t"))
+    head = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(
+        max(_COVERAGE_KS)
+    )
+    w = (
+        Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = head.select(
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+        ).alias("k"),
+        F.sum("cnt").over(w).alias("cum_tokens"),
+    )
+    return (
+        ranked.filter(F.col("k").isin(*_COVERAGE_KS))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.col("_t").alias("total_tokens"),
+            _r4(F.col("cum_tokens") / F.col("_t")).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+SQL_TERM_COVERAGE = f"""WITH {_TOKS_SQL},
+counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT sum(cnt) AS t FROM counts),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, term ASC) AS k,
+         sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM counts
+)
+SELECT CAST(k AS INT) AS k, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(t AS BIGINT) AS total_tokens,
+       round(cum_tokens * 1.0 / t, 4) AS coverage
+FROM ranked CROSS JOIN tot
+WHERE k IN {_COVERAGE_KS} ORDER BY k"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -20480,4 +20905,8 @@ QUERIES = {
     "pagerank_convergence": (q_pagerank_convergence,
                              SQL_PAGERANK_CONVERGENCE),
     "rfm_churn_auc": (q_rfm_churn_auc, SQL_RFM_CHURN_AUC),
+    "cohens_kappa": (q_cohens_kappa, SQL_COHENS_KAPPA),
+    "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
+    "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
+    "term_coverage": (q_term_coverage, SQL_TERM_COVERAGE),
 }
