@@ -20646,6 +20646,477 @@ FROM ranked CROSS JOIN tot
 WHERE k IN {_COVERAGE_KS} ORDER BY k"""
 
 
+# ---------------------------------------------------------------------------
+# Jensen-Shannon time-drift of the event-type mix
+# ---------------------------------------------------------------------------
+
+
+def q_jsd_drift(spark, sf_dir):
+    """Jensen-Shannon divergence (Lin 1991) between the event-type mix of
+    the log's first and second half (split at the exact midpoint
+    timestamp) — the BOUNDED, symmetric companion to q_kl_drift's
+    per-source KL: JSD never exceeds ln 2, needs no smoothing (the
+    mixture M = (P+Q)/2 is positive wherever either half has mass, and
+    0·ln 0 = 0 handles one-sided types exactly), and is the standard
+    drift alarm for monitoring dashboards precisely because a brand-new
+    event type yields a finite number instead of KL's ∞.  Output: per
+    event type, each half's count and proportion and the type's JSD
+    contribution ½(p·ln(p/m) + q·ln(q/m)); the twin test pins the total
+    and its ln 2 bound.
+
+    Determinism: the midpoint is exact integer-microsecond arithmetic;
+    proportions are count ratios; contributions round to 4.  Scale
+    shape: one narrow pass tags each event with its half (the 1-row
+    min/max side plan broadcasts), one event_type×half aggregate
+    (bounded groups), then arithmetic over the tiny grouped relation."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    span = ev.agg(
+        F.min("us").alias("_lo"), F.max("us").alias("_hi")
+    )
+    mid = (F.col("_lo") + F.col("_hi")) / 2
+    g = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("us") < mid).cast("int")).cast("long").alias("n_a"),
+            F.sum((F.col("us") >= mid).cast("int")).cast("long").alias("n_b"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_a").cast("long").alias("_ta"),
+        F.sum("n_b").cast("long").alias("_tb"),
+    )
+    p = F.col("n_a") / F.col("_ta")
+    q = F.col("n_b") / F.col("_tb")
+    m = (p + q) / 2
+    contrib = (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / 2
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "n_a", "n_b",
+            _r4(p).alias("p_a"), _r4(q).alias("p_b"),
+            _r4(contrib).alias("jsd_term"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSD_DRIFT = """WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS us FROM events
+),
+span AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+g AS (
+  SELECT event_type,
+         sum(CASE WHEN us < (lo + hi) / 2 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN us >= (lo + hi) / 2 THEN 1 ELSE 0 END) AS n_b
+  FROM ev CROSS JOIN span GROUP BY event_type
+),
+tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM g)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(n_a * 1.0 / ta, 4) AS p_a,
+       round(n_b * 1.0 / tb, 4) AS p_b,
+       round((CASE WHEN n_a > 0
+                   THEN (n_a * 1.0 / ta)
+                        * ln((n_a * 1.0 / ta)
+                             / ((n_a * 1.0 / ta + n_b * 1.0 / tb) / 2))
+                   ELSE 0.0 END
+              + CASE WHEN n_b > 0
+                     THEN (n_b * 1.0 / tb)
+                          * ln((n_b * 1.0 / tb)
+                               / ((n_a * 1.0 / ta + n_b * 1.0 / tb) / 2))
+                     ELSE 0.0 END) / 2, 4) AS jsd_term
+FROM g CROSS JOIN tot ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity of the LPA partition
+# ---------------------------------------------------------------------------
+
+
+def q_modularity(spark, sf_dir):
+    """Newman-Girvan modularity Q (Newman 2004) of the label-propagation
+    partition over the undirected link graph — the quality number that
+    turns q_label_propagation from "a labeling" into "a good/bad
+    clustering": Q = Σ_c [L_c/m − (D_c/2m)²] compares each community's
+    internal-edge fraction against the configuration-model expectation
+    from its degree mass (Q ≈ 0: no better than random; ≳ 0.3:
+    meaningful structure).  One row: graph sizes, community count, and
+    Q — the acceptance gate before LPA labels feed host-crowding or
+    crawl partitioning downstream.
+
+    Determinism: L_c, D_c, m are exact integer counts (LPA itself is
+    the deterministic synchronous variant); Q's divisions are the only
+    floats, rounded to 4.  Scale shape: the partition reuses LPA's
+    Pregel-shaped rounds; modularity then costs one edge-to-label join
+    keyed by node (the graph's own partitioning), a per-community
+    aggregate, and a 1-row reduce — no new quadratic anything."""
+    lbl = q_label_propagation(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "community"
+    )
+    with_n, edges = _link_edges(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    ).distinct()
+    m_edges = und.agg(F.count("*").cast("long").alias("_m"))
+    deg = (
+        und.select(F.col("lo").alias("id"))
+        .unionAll(und.select(F.col("hi").alias("id")))
+        .groupBy("id").agg(F.count("*").cast("long").alias("deg"))
+    )
+    la = lbl.select(F.col("id").alias("lo"), F.col("community").alias("ca"))
+    lb = lbl.select(F.col("id").alias("hi"), F.col("community").alias("cb"))
+    within = (
+        und.join(la, "lo").join(lb, "hi")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").cast("long").alias("l_c"))
+    )
+    degmass = (
+        lbl.join(deg, "id", "left")
+        .groupBy("community")
+        .agg(F.sum(F.coalesce(F.col("deg"), F.lit(0))).cast("long")
+             .alias("d_c"))
+    )
+    percom = degmass.join(within, "community", "left").select(
+        "community",
+        F.coalesce(F.col("l_c"), F.lit(0)).alias("l_c"),
+        "d_c",
+    )
+    return (
+        percom.crossJoin(F.broadcast(m_edges))
+        .agg(
+            F.count("*").cast("long").alias("n_communities"),
+            F.first("_m").alias("n_edges"),
+            _r4(
+                F.sum(
+                    F.col("l_c") / F.col("_m")
+                    - (F.col("d_c") / (2.0 * F.col("_m")))
+                    * (F.col("d_c") / (2.0 * F.col("_m")))
+                )
+            ).alias("modularity"),
+        )
+        .select("n_communities", F.col("n_edges").cast("long").alias("n_edges"),
+                "modularity")
+    )
+
+
+def _modularity_sql() -> str:
+    parts = [f"""WITH {_edges_sql()},
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges
+),
+nbr AS (
+  SELECT lo AS src, hi AS dst FROM und
+  UNION ALL SELECT hi AS src, lo AS dst FROM und
+),
+l0 AS (SELECT id, id AS lbl FROM nodes)"""]
+    for t in range(1, _LPA_ITERS + 1):
+        parts.append(
+            f""",
+c{t} AS (
+  SELECT n.dst AS id, l.lbl, count(*) AS c
+  FROM nbr n JOIN l{t - 1} l ON n.src = l.id GROUP BY n.dst, l.lbl
+),
+p{t} AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM c{t}
+  ) WHERE rn = 1
+),
+l{t} AS (
+  SELECT l.id, coalesce(p.lbl, l.lbl) AS lbl
+  FROM l{t - 1} l LEFT JOIN p{t} p ON l.id = p.id
+)"""
+        )
+    parts.append(f""",
+mm AS (SELECT count(*) AS m FROM und),
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT lo AS id FROM und UNION ALL SELECT hi AS id FROM und
+  ) GROUP BY id
+),
+within AS (
+  SELECT la.lbl AS community, count(*) AS l_c
+  FROM und
+  JOIN l{_LPA_ITERS} la ON und.lo = la.id
+  JOIN l{_LPA_ITERS} lb ON und.hi = lb.id
+  WHERE la.lbl = lb.lbl GROUP BY la.lbl
+),
+degmass AS (
+  SELECT l.lbl AS community, sum(coalesce(deg.deg, 0)) AS d_c
+  FROM l{_LPA_ITERS} l LEFT JOIN deg ON l.id = deg.id GROUP BY l.lbl
+),
+percom AS (
+  SELECT dm.community, coalesce(w.l_c, 0) AS l_c, dm.d_c
+  FROM degmass dm LEFT JOIN within w ON dm.community = w.community
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(max(mm.m) AS BIGINT) AS n_edges,
+       round(sum(l_c * 1.0 / mm.m
+                 - (d_c / (2.0 * mm.m)) * (d_c / (2.0 * mm.m))), 4)
+         AS modularity
+FROM percom CROSS JOIN mm""")
+    return "".join(parts)
+
+
+SQL_MODULARITY = _modularity_sql()
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch vs exact quantiles
+# ---------------------------------------------------------------------------
+
+_QSKETCH_BUCKETS = 64
+_QSKETCH_PS = (0.5, 0.9, 0.95, 0.99)
+
+
+def q_quantile_sketch_error(spark, sf_dir):
+    """Measured accuracy of the one-pass equi-width-histogram quantile
+    sketch against the exact interpolated quantile — the same
+    accuracy-companion contract as lsh_recall/ann_ivf_recall, here for
+    the metrics path: a {b}-bucket histogram is what a per-partition
+    metrics table can afford at 100 TB (mergeable, constant size — the
+    cheap cousin of Greenwald-Khanna / t-digest), and this entry prints
+    exactly how much tail-quantile truth that buys.  Per p in
+    {ps}: the sketch estimate (linear interpolation inside the covering
+    bucket), the exact value, and absolute/relative error.
+
+    Determinism: both engines evaluate the same bucket-index expression
+    (IEEE double ops in the same order), the same cumulative window, and the
+    same exact-percentile definition (linear interpolation — already
+    relied on by latency_quantiles); outputs round to 4.  Scale shape:
+    the sketch is one narrow map + a {b}-group aggregate; the windows
+    and the p-sweep then run on the ≤{b}-row histogram, broadcast-sized;
+    the exact side is the engine's percentile aggregate, present only
+    because the entry's job is to measure the sketch against it.
+    """.format(b=_QSKETCH_BUCKETS, ps=_QSKETCH_PS)
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("value")
+    stats = ev.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.min("value").alias("_mn"),
+        F.max("value").alias("_mx"),
+        *[
+            F.expr(f"percentile(value, {p})").alias(f"_ex_{i}")
+            for i, p in enumerate(_QSKETCH_PS)
+        ],
+    )
+    bexpr = F.least(
+        F.floor(
+            (F.col("value") - F.col("_mn"))
+            / (F.col("_mx") - F.col("_mn"))
+            * _QSKETCH_BUCKETS
+        ),
+        F.lit(_QSKETCH_BUCKETS - 1),
+    ).cast("int")
+    hist = (
+        ev.crossJoin(F.broadcast(stats.select("_mn", "_mx")))
+        .select(bexpr.alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wcum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.withColumn("cum", F.sum("c").over(wcum))
+    ps = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(_QSKETCH_PS)], "i int, p double"
+    )
+    cand = (
+        ps.crossJoin(hist)
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("cum") >= F.col("p") * F.col("_n"))
+        .groupBy("i", "p").agg(F.min("b").alias("b"))
+    )
+    j = (
+        cand.join(hist, "b")
+        .crossJoin(F.broadcast(stats))
+    )
+    width = (F.col("_mx") - F.col("_mn")) / _QSKETCH_BUCKETS
+    approx = F.col("_mn") + width * (
+        F.col("b")
+        + (F.col("p") * F.col("_n") - (F.col("cum") - F.col("c")))
+        / F.col("c")
+    )
+    exact = F.coalesce(
+        *[
+            F.when(F.col("i") == i, F.col(f"_ex_{i}"))
+            for i in range(len(_QSKETCH_PS))
+        ]
+    )
+    return (
+        j.select(
+            F.col("p"),
+            _r4(exact).alias("exact"),
+            _r4(approx).alias("approx"),
+            _r4(F.abs(approx - exact)).alias("abs_err"),
+            _r4(F.abs(approx - exact) / exact).alias("rel_err"),
+        )
+        .orderBy("p")
+    )
+
+
+def _qsketch_sql() -> str:
+    b = _QSKETCH_BUCKETS
+    pvals = ", ".join(
+        f"({i}, CAST({p} AS DOUBLE))" for i, p in enumerate(_QSKETCH_PS)
+    )
+    exacts = ", ".join(
+        f"quantile_cont(value, {p}) AS ex_{i}"
+        for i, p in enumerate(_QSKETCH_PS)
+    )
+    excase = " ".join(
+        f"WHEN ps.i = {i} THEN stats.ex_{i}"
+        for i in range(len(_QSKETCH_PS))
+    )
+    return f"""WITH stats AS (
+  SELECT count(*) AS n, min(value) AS mn, max(value) AS mx, {exacts}
+  FROM events
+),
+hist AS (
+  SELECT CAST(least(floor((value - mn) / (mx - mn) * {b}),
+                    {b - 1}) AS INT) AS b,
+         count(*) AS c
+  FROM events CROSS JOIN stats GROUP BY 1
+),
+cum AS (
+  SELECT b, c, sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+ps AS (SELECT * FROM (VALUES {pvals}) AS t(i, p)),
+cand AS (
+  SELECT ps.i, ps.p, min(cum.b) AS b
+  FROM ps CROSS JOIN stats JOIN cum ON cum.cum >= ps.p * stats.n
+  GROUP BY ps.i, ps.p
+)
+SELECT ps.p,
+       round(CASE {excase} END, 4) AS exact,
+       round(stats.mn + (stats.mx - stats.mn) / {b}
+             * (cum.b + (ps.p * stats.n - (cum.cum - cum.c)) / cum.c), 4)
+         AS approx,
+       round(abs(stats.mn + (stats.mx - stats.mn) / {b}
+                 * (cum.b + (ps.p * stats.n - (cum.cum - cum.c)) / cum.c)
+                 - (CASE {excase} END)), 4) AS abs_err,
+       round(abs(stats.mn + (stats.mx - stats.mn) / {b}
+                 * (cum.b + (ps.p * stats.n - (cum.cum - cum.c)) / cum.c)
+                 - (CASE {excase} END)) / (CASE {excase} END), 4) AS rel_err
+FROM cand ps
+JOIN cum ON ps.b = cum.b
+CROSS JOIN stats
+ORDER BY ps.p"""
+
+
+SQL_QUANTILE_SKETCH_ERROR = _qsketch_sql()
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture corpus-size estimation (Bharat-Broder)
+# ---------------------------------------------------------------------------
+
+_CAPTURE_RATE_A = 60   # percent
+_CAPTURE_RATE_B = 50
+
+
+def q_corpus_size_estimate(spark, sf_dir):
+    """Capture-recapture estimate of corpus size from two overlapping
+    samples — the Lincoln-Petersen index N̂ = n₁n₂/m plus Chapman's
+    small-sample correction N̂ = (n₁+1)(n₂+1)/(m+1) − 1, the technique
+    Bharat & Broder (WWW 1998) used to estimate the indexable web from
+    two engines' overlap, and Lawrence & Giles repeated in Science.
+    Here the two "crawls" are deterministic salted-hash samples (md5 of
+    'a'/'b' + doc_id, {ra}%/{rb}% — independent because the salts make
+    the two hash streams unrelated), so the entry measures the
+    estimator's machinery against the KNOWN corpus size: the relative
+    error column is the honest readout.
+
+    Determinism: sample membership is a pure function of doc_id via the
+    engine-portable md5-prefix hash (the _hash16 pattern); all counts
+    integer; the two estimates and the error are the only divisions,
+    rounded to 4.  Scale shape: one narrow pass computes both flags,
+    one 1-row reduce — no join at all (overlap is flag conjunction, not
+    a set intersection).
+    """.format(ra=_CAPTURE_RATE_A, rb=_CAPTURE_RATE_B)
+    def flag(salt: str, rate: int) -> F.Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1, 4,
+            ),
+            16, 10,
+        ).cast("int")
+        return ((h % 100) < rate).cast("int")
+
+    d = _docs(spark, sf_dir).select(
+        flag("a", _CAPTURE_RATE_A).alias("a"),
+        flag("b", _CAPTURE_RATE_B).alias("b"),
+    )
+    m = d.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("b").cast("long").alias("n2"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n_overlap"),
+    )
+    petersen = F.when(
+        F.col("n_overlap") > 0,
+        _r4(F.col("n1") * F.col("n2") / F.col("n_overlap")),
+    )
+    chapman = _r4(
+        (F.col("n1") + 1) * (F.col("n2") + 1) / (F.col("n_overlap") + 1) - 1
+    )
+    return m.select(
+        "n_true", "n1", "n2", "n_overlap",
+        petersen.alias("petersen_est"),
+        chapman.alias("chapman_est"),
+        _r4(
+            F.abs(
+                (F.col("n1") + 1) * (F.col("n2") + 1)
+                / (F.col("n_overlap") + 1) - 1 - F.col("n_true")
+            ) / F.col("n_true")
+        ).alias("chapman_rel_err"),
+    )
+
+
+def _hash16_sql_of(expr: str) -> str:
+    return (
+        f"((strpos('0123456789abcdef', substr(md5({expr}), 1, 1)) - 1) * 4096"
+        f" + (strpos('0123456789abcdef', substr(md5({expr}), 2, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substr(md5({expr}), 3, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(md5({expr}), 4, 1)) - 1))"
+    )
+
+
+SQL_CORPUS_SIZE_ESTIMATE = f"""WITH d AS (
+  SELECT CASE WHEN {_hash16_sql_of("'a' || CAST(doc_id AS VARCHAR)")} % 100
+              < {_CAPTURE_RATE_A} THEN 1 ELSE 0 END AS a,
+         CASE WHEN {_hash16_sql_of("'b' || CAST(doc_id AS VARCHAR)")} % 100
+              < {_CAPTURE_RATE_B} THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+m AS (
+  SELECT count(*) AS n_true, sum(a) AS n1, sum(b) AS n2,
+         sum(a * b) AS n_overlap
+  FROM d
+)
+SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n1 AS BIGINT) AS n1,
+       CAST(n2 AS BIGINT) AS n2, CAST(n_overlap AS BIGINT) AS n_overlap,
+       CASE WHEN n_overlap > 0
+            THEN round(n1 * n2 * 1.0 / n_overlap, 4) END AS petersen_est,
+       round((n1 + 1) * (n2 + 1) * 1.0 / (n_overlap + 1) - 1, 4)
+         AS chapman_est,
+       round(abs((n1 + 1) * (n2 + 1) * 1.0 / (n_overlap + 1) - 1 - n_true)
+             / n_true, 4) AS chapman_rel_err
+FROM m"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -20909,4 +21380,10 @@ QUERIES = {
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     "benford_digits": (q_benford_digits, SQL_BENFORD_DIGITS),
     "term_coverage": (q_term_coverage, SQL_TERM_COVERAGE),
+    "jsd_drift": (q_jsd_drift, SQL_JSD_DRIFT),
+    "modularity": (q_modularity, SQL_MODULARITY),
+    "quantile_sketch_error": (q_quantile_sketch_error,
+                              SQL_QUANTILE_SKETCH_ERROR),
+    "corpus_size_estimate": (q_corpus_size_estimate,
+                             SQL_CORPUS_SIZE_ESTIMATE),
 }
