@@ -21117,6 +21117,293 @@ SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n1 AS BIGINT) AS n1,
 FROM m"""
 
 
+# ---------------------------------------------------------------------------
+# Click entropy (query ambiguity / personalization potential)
+# ---------------------------------------------------------------------------
+
+
+def q_click_entropy(spark, sf_dir):
+    """Click entropy per query (Dou, Song & Wen, WWW 2007; Teevan et
+    al.'s "potential for personalization"): H(q) = −Σ_item p·ln p over
+    the query's click distribution — the standard query-AMBIGUITY
+    score.  Low entropy = navigational (everyone clicks one result,
+    personalization can't help); high entropy = informational/ambiguous
+    (the re-ranking headroom personalization and diversification chase;
+    the selector MMR-style diversification should run behind).  Uses
+    the log's established pseudo-query convention (user_id % {q}, as
+    coclick_similarity/coec_model) and raw click counts, not distinct
+    items — repeat clicks are evidence of concentration.
+
+    Determinism: integer click counts; p and the entropy sum are the
+    only floats, rounded to 4.  Scale shape: one (query, item) count
+    aggregate (map-side combined), per-query totals via a second tiny
+    aggregate joined back — both keyed by query, the log's natural
+    partitioning; output is |Q| rows.
+    """.format(q=_COCLICK_Q)
+    cl = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.pmod(F.col("user_id"), F.lit(_COCLICK_Q)).cast("long")
+            .alias("q"),
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    qi = cl.groupBy("q", "item").agg(F.count("*").cast("long").alias("c"))
+    qt = qi.groupBy("q").agg(
+        F.sum("c").cast("long").alias("n_clicks"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+    p = F.col("c") / F.col("n_clicks")
+    return (
+        qi.join(F.broadcast(qt), "q")
+        .groupBy("q")
+        .agg(
+            F.first("n_clicks").alias("n_clicks"),
+            F.first("n_items").alias("n_items"),
+            _r4(-F.sum(p * F.log(p))).alias("click_entropy"),
+        )
+        .select("q", "n_clicks", "n_items", "click_entropy")
+        .orderBy("q")
+    )
+
+
+SQL_CLICK_ENTROPY = f"""WITH cl AS (
+  SELECT user_id % {_COCLICK_Q} AS q,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'click'
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+qi AS (SELECT q, item, count(*) AS c FROM cl GROUP BY q, item),
+qt AS (SELECT q, sum(c) AS n_clicks, count(*) AS n_items
+       FROM qi GROUP BY q)
+SELECT qi.q, CAST(qt.n_clicks AS BIGINT) AS n_clicks,
+       CAST(qt.n_items AS BIGINT) AS n_items,
+       round(-sum((qi.c * 1.0 / qt.n_clicks)
+                  * ln(qi.c * 1.0 / qt.n_clicks)), 4) AS click_entropy
+FROM qi JOIN qt ON qi.q = qt.q
+GROUP BY qi.q, qt.n_clicks, qt.n_items ORDER BY qi.q"""
+
+
+# ---------------------------------------------------------------------------
+# Goh-Barabasi burstiness of inter-event times
+# ---------------------------------------------------------------------------
+
+
+def q_interevent_burstiness(spark, sf_dir):
+    """Goh-Barabási burstiness coefficient (EPL 2008) of each event
+    type's inter-arrival times: B = (σ−μ)/(σ+μ) ∈ (−1, 1) — the
+    bot-vs-human traffic signature that complements fano_factor's
+    count dispersion with TIMING dispersion: B → −1 is clockwork
+    (scripted/bot), B ≈ 0 Poisson, B → 1 human-bursty.  Per event
+    type: gap count, mean and std of the gap in seconds, and B.
+    (Distinct from q_term_burstiness, which is Church-Gale DOCUMENT
+    burstiness of words.)
+
+    Determinism: gaps are exact integer-microsecond lag differences;
+    Σgap stays integer (≤ span·n < 2⁶³); only the second moment is a
+    double sum, and every reported number is scale-bounded before the
+    4-decimal round (gap seconds ~10³, B ∈ (−1,1)) so float summation
+    order is harmless at that precision.  Scale shape: one lag window
+    partitioned by event_type (the log's natural key), one map-side
+    moment aggregate; output is |event types| rows."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("us").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("event_type", (F.col("us") - F.col("prev")).alias("gap"))
+    )
+    m = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("_s1"),
+        F.sum(F.col("gap").cast("double") * F.col("gap").cast("double"))
+        .alias("_s2"),
+    )
+    mu = F.col("_s1") / F.col("n_gaps")
+    var = F.col("_s2") / F.col("n_gaps") - mu * mu
+    sig = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return m.select(
+        "event_type", "n_gaps",
+        _r4(mu / 1e6).alias("mean_gap_s"),
+        _r4(sig / 1e6).alias("std_gap_s"),
+        _r4((sig - mu) / (sig + mu)).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+SQL_INTEREVENT_BURSTINESS = """WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id FROM events
+),
+gaps AS (
+  SELECT event_type,
+         us - lag(us) OVER (PARTITION BY event_type
+                            ORDER BY us, event_id) AS gap
+  FROM ev
+),
+m AS (
+  SELECT event_type, count(*) AS n_gaps, sum(gap) AS s1,
+         sum(CAST(gap AS DOUBLE) * CAST(gap AS DOUBLE)) AS s2
+  FROM gaps WHERE gap IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, CAST(n_gaps AS BIGINT) AS n_gaps,
+       round(s1 * 1.0 / n_gaps / 1e6, 4) AS mean_gap_s,
+       round(sqrt(greatest(s2 / n_gaps
+                           - (s1 * 1.0 / n_gaps) * (s1 * 1.0 / n_gaps),
+                           0.0)) / 1e6, 4) AS std_gap_s,
+       round((sqrt(greatest(s2 / n_gaps
+                            - (s1 * 1.0 / n_gaps) * (s1 * 1.0 / n_gaps),
+                            0.0)) - s1 * 1.0 / n_gaps)
+             / (sqrt(greatest(s2 / n_gaps
+                              - (s1 * 1.0 / n_gaps) * (s1 * 1.0 / n_gaps),
+                              0.0)) + s1 * 1.0 / n_gaps), 4) AS burstiness
+FROM m ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space anisotropy via the sum-vector identity
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_anisotropy(spark, sf_dir):
+    """Anisotropy of the embedding space (Ethayarajh, EMNLP 2019; the
+    "narrow cone" diagnostic): the mean cosine between ALL pairs of
+    distinct vectors.  Near 0 = directions spread isotropically (cosine
+    retrieval is discriminative); near 1 = everything points the same
+    way (similarity scores compress and ANN contrast dies — the number
+    to check BEFORE trusting ann_cosine_topk's scores).  Computed
+    WITHOUT any pair join via the sum-vector identity on unit vectors:
+    Σ_{{i≠j}} cos(xᵢ,xⱼ) = ‖Σᵢuᵢ‖² − n, so
+    mean = (‖Σu‖² − n)/(n(n−1)) — the n²-pair statistic in ONE narrow
+    pass, the whole point at 10^12 vectors.
+
+    Determinism: per-row normalization is fixed-order float arithmetic;
+    the per-dimension sums are the only order-dependent float
+    aggregates, and the reported mean lives in [−1, 1] where 1e-13
+    summation jitter is invisible at the 4-decimal round.  Scale
+    shape: one posexplode + per-dimension aggregate (d groups,
+    map-side combined), one d-row reduce — no join, no window, no
+    pair blowup."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    nrm = F.sqrt(
+        F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform("e", lambda x: x / nrm).alias("u"),
+    )
+    dims = unit.select(F.posexplode("u").alias("dim", "v"))
+    persum = dims.groupBy("dim").agg(F.sum("v").alias("s"))
+    n1 = unit.agg(F.count("*").cast("long").alias("_n"))
+    return (
+        persum.agg(F.sum(F.col("s") * F.col("s")).alias("_ss"),
+                   F.count("*").cast("long").alias("n_dims"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("_n").alias("n_vecs"),
+            "n_dims",
+            _r4(
+                (F.col("_ss") - F.col("_n"))
+                / (F.col("_n") * (F.col("_n") - 1))
+            ).alias("mean_pairwise_cos"),
+        )
+    )
+
+
+SQL_EMBEDDING_ANISOTROPY = """WITH unit AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> x / sqrt(list_dot_product(
+                               embedding::DOUBLE[],
+                               embedding::DOUBLE[]))) AS u
+  FROM embeddings
+),
+dims AS (
+  SELECT t.v AS v, t.dim AS dim
+  FROM unit,
+       LATERAL (SELECT unnest(u) AS v,
+                       generate_subscripts(u, 1) AS dim) t
+),
+persum AS (SELECT dim, sum(v) AS s FROM dims GROUP BY dim),
+nn AS (SELECT count(*) AS n FROM unit)
+SELECT CAST(nn.n AS BIGINT) AS n_vecs,
+       CAST(count(*) AS BIGINT) AS n_dims,
+       round((sum(s * s) - max(nn.n)) * 1.0
+             / (max(nn.n) * (max(nn.n) - 1)), 4) AS mean_pairwise_cos
+FROM persum CROSS JOIN nn GROUP BY nn.n"""
+
+
+# ---------------------------------------------------------------------------
+# Item novelty rate (discovery-rate monitoring)
+# ---------------------------------------------------------------------------
+
+
+def q_item_novelty_rate(spark, sf_dir):
+    """Per-day item novelty rate of the click stream: the share of
+    clicks landing on items never clicked before that day — the
+    discovery-rate line every feed/crawl dashboard tracks (a healthy
+    crawl keeps surfacing new items; novelty → 0 means the frontier
+    stalled or ranking collapsed onto the head, the complement of
+    head_churn's top-k view).  Per day: total clicks, clicks on
+    first-seen items, novelty rate.
+
+    Determinism: "first seen" is the item's min click date — integer
+    date compare, no floats but the final rate.  Scale shape: one
+    per-item min-date aggregate (map-side combined, item-keyed), one
+    equi-join back on item (the log's hot key, but the join side is
+    distinct-items-sized), one per-day count aggregate."""
+    cl = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.to_date(F.col("ts")).alias("day"),
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    first = cl.groupBy("item").agg(F.min("day").alias("first_day"))
+    return (
+        cl.join(first, "item")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("n_clicks"),
+            F.sum((F.col("day") == F.col("first_day")).cast("int"))
+            .cast("long").alias("n_novel"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "n_clicks", "n_novel",
+            _r4(F.col("n_novel") / F.col("n_clicks")).alias("novelty_rate"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_ITEM_NOVELTY_RATE = """WITH cl AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type = 'click'
+    AND json_extract_string(props, '$.k') IS NOT NULL
+),
+first AS (SELECT item, min(day) AS first_day FROM cl GROUP BY item)
+SELECT CAST(cl.day AS VARCHAR) AS day,
+       count(*) AS n_clicks,
+       CAST(sum(CASE WHEN cl.day = first.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(sum(CASE WHEN cl.day = first.first_day THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 4) AS novelty_rate
+FROM cl JOIN first ON cl.item = first.item
+GROUP BY cl.day ORDER BY cl.day"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -21386,4 +21673,10 @@ QUERIES = {
                               SQL_QUANTILE_SKETCH_ERROR),
     "corpus_size_estimate": (q_corpus_size_estimate,
                              SQL_CORPUS_SIZE_ESTIMATE),
+    "click_entropy": (q_click_entropy, SQL_CLICK_ENTROPY),
+    "interevent_burstiness": (q_interevent_burstiness,
+                              SQL_INTEREVENT_BURSTINESS),
+    "embedding_anisotropy": (q_embedding_anisotropy,
+                             SQL_EMBEDDING_ANISOTROPY),
+    "item_novelty_rate": (q_item_novelty_rate, SQL_ITEM_NOVELTY_RATE),
 }
