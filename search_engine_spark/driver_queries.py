@@ -21404,6 +21404,317 @@ FROM cl JOIN first ON cl.item = first.item
 GROUP BY cl.day ORDER BY cl.day"""
 
 
+# ---------------------------------------------------------------------------
+# Wald SPRT sequential A/B stopping
+# ---------------------------------------------------------------------------
+
+_SPRT_P0, _SPRT_P1 = 0.15, 0.25
+_SPRT_ALPHA = _SPRT_BETA = 0.05
+
+
+def q_sprt_stopping(spark, sf_dir):
+    """Wald's sequential probability ratio test (Wald 1945) on the event
+    stream as a Bernoulli click process — the SEQUENTIAL counterpart to
+    the fixed-horizon battery (mde_power sizes the experiment up front,
+    srm_chisq guards the split, this entry answers "when could we have
+    STOPPED?"): H₀ p={p0} vs H₁ p={p1}, α=β={a}.  The cumulative
+    log-likelihood ratio walks ln(p₁/p₀) on a click and
+    ln((1−p₁)/(1−p₀)) otherwise; the test stops at the first crossing
+    of ±ln((1−β)/α).  One row: stream size, empirical click rate, the
+    stopping index and time fraction, the decision, and the boundary —
+    SPRT needs ~½ the samples of the fixed-horizon test at the same
+    error rates, which is why ramp frameworks run it.
+
+    Determinism: the walk adds one of two ln constants in exact
+    (ts, event_id) order — both engines sum the identical sequence in
+    the identical order, so the cumsum is bit-equal.  Scale shape: the
+    walk is a PREFIX SUM over the stream; expressed here as one ordered
+    cumulative window (single-pass), with the two-level distributed
+    prefix-sum pattern q_pack_sequences already implements being the
+    verbatim scale-out for it; the stopping row is a 1-row reduce over
+    the crossing flags — no join, no pair work.
+    """.format(p0=_SPRT_P0, p1=_SPRT_P1, a=_SPRT_ALPHA)
+    import math as _math
+
+    from pyspark.sql import Window
+
+    lr1 = _math.log(_SPRT_P1 / _SPRT_P0)
+    lr0 = _math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))
+    bound = _math.log((1 - _SPRT_BETA) / _SPRT_ALPHA)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        (F.col("event_type") == "click").cast("int").alias("x"),
+    )
+    w = Window.orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = ev.select(
+        "x",
+        F.row_number().over(Window.orderBy("us", "event_id")).alias("i"),
+        F.sum(
+            F.when(F.col("x") == 1, F.lit(lr1)).otherwise(F.lit(lr0))
+        ).over(w).alias("llr"),
+    )
+    agg = walk.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("x").cast("long").alias("_clicks"),
+        F.min(F.when(F.col("llr") >= bound, F.col("i")))
+        .alias("_up"),
+        F.min(F.when(F.col("llr") <= -bound, F.col("i")))
+        .alias("_dn"),
+        F.max(F.col("llr")).alias("_mx"),
+    )
+    stop = F.when(
+        F.col("_up").isNotNull() & (
+            F.col("_dn").isNull() | (F.col("_up") < F.col("_dn"))
+        ), F.col("_up")
+    ).otherwise(F.col("_dn"))
+    decision = F.when(stop.isNull(), F.lit("inconclusive")).when(
+        stop == F.col("_up"), F.lit("accept_p1")
+    ).otherwise(F.lit("accept_p0"))
+    return agg.select(
+        "n_total",
+        _r4(F.col("_clicks") / F.col("n_total")).alias("click_rate"),
+        stop.cast("long").alias("stop_n"),
+        _r4(stop / F.col("n_total")).alias("stop_frac"),
+        decision.alias("decision"),
+        _r4(F.lit(bound)).alias("boundary"),
+    )
+
+
+SQL_SPRT_STOPPING = f"""WITH ev AS (
+  SELECT epoch_us(ts) AS us, event_id,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS x
+  FROM events
+),
+walk AS (
+  SELECT x,
+         row_number() OVER (ORDER BY us, event_id) AS i,
+         sum(CASE WHEN x = 1 THEN ln({_SPRT_P1} / {_SPRT_P0})
+                  ELSE ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})) END)
+           OVER (ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS llr
+  FROM ev
+),
+agg AS (
+  SELECT count(*) AS n_total, sum(x) AS clicks,
+         min(CASE WHEN llr >= ln((1 - {_SPRT_BETA}) / {_SPRT_ALPHA})
+                  THEN i END) AS up,
+         min(CASE WHEN llr <= -ln((1 - {_SPRT_BETA}) / {_SPRT_ALPHA})
+                  THEN i END) AS dn
+  FROM walk
+),
+pick AS (
+  SELECT *, CASE WHEN up IS NOT NULL AND (dn IS NULL OR up < dn)
+                 THEN up ELSE dn END AS stop_n
+  FROM agg
+)
+SELECT CAST(n_total AS BIGINT) AS n_total,
+       round(clicks * 1.0 / n_total, 4) AS click_rate,
+       CAST(stop_n AS BIGINT) AS stop_n,
+       round(stop_n * 1.0 / n_total, 4) AS stop_frac,
+       CASE WHEN stop_n IS NULL THEN 'inconclusive'
+            WHEN stop_n = up THEN 'accept_p1'
+            ELSE 'accept_p0' END AS decision,
+       round(ln((1 - {_SPRT_BETA}) / {_SPRT_ALPHA}), 4) AS boundary
+FROM pick"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user event-type transition matrix (behavior Markov model)
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior: for each
+    (from_type → to_type) pair, the count of consecutive same-user
+    event pairs and the row-normalized transition probability — the
+    model behind next-action prediction, funnel-leak diagnosis
+    (complementing event_funnel's fixed ORDERED path with the full
+    matrix), and synthetic-log validation.  Rows ordered
+    (from_type, to_type).
+
+    Determinism: successor pairs come from a lag window ordered by
+    exact (ts, event_id) within user; counts integer; the row
+    probability is the single rounded division.  Scale shape: one
+    user-partitioned lead window (the log's natural partitioning — no
+    global order anywhere), one |types|² aggregate, row totals via a
+    broadcast-sized second aggregate."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), "to_type"
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("_row_n")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            _r4(F.col("n") / F.col("_row_n")).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) AS to_type
+  FROM ev
+),
+cnt AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, sum(n) AS row_n FROM cnt GROUP BY from_type)
+SELECT cnt.from_type, cnt.to_type, CAST(cnt.n AS BIGINT) AS n,
+       round(cnt.n * 1.0 / tot.row_n, 4) AS prob
+FROM cnt JOIN tot ON cnt.from_type = tot.from_type
+ORDER BY cnt.from_type, cnt.to_type"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard-estimate accuracy
+# ---------------------------------------------------------------------------
+
+_MHERR_MIN_J = 0.2
+
+
+def q_minhash_estimate_error(spark, sf_dir):
+    """Accuracy of the MinHash JACCARD ESTIMATE itself (Broder 1997:
+    P[min-hash collision] = J, so matches/k is an unbiased estimator
+    with std √(J(1−J)/k)) — the third leg of the MinHash accuracy
+    story: lsh_recall measures the BANDING's candidate recall,
+    lsh_tuning_curve predicts it, and this entry measures how well the
+    k={k} signature estimates J numerically, over the sharing pairs
+    with exact Jaccard ≥ {j}.  One row: pair count, mean true J, mean
+    estimate, mean |error|, signed bias.  The honest readout with k=4
+    (the oracle-imposed signature width): quantization to {{0,¼,…,1}}
+    makes |error| ~0.2 — the number that tells an engineer the 4-hash
+    signature is a BANDING key, not an estimator; the engine-scale
+    variant stores k=128 (std ≈ 0.04 at J=0.5) and this same entry
+    measures whatever k ships.
+
+    Determinism: signature match counts are integer; the four averaged
+    outputs round at 4.  Scale shape: reuses the df-capped sparse
+    shingle self-join (bounded like ngram_jaccard) and joins the
+    4-column signature table twice by doc id — no new quadratic
+    surface; the final reduce is 1 row.
+    """.format(k=4, j=_MHERR_MIN_J)
+    sh = _shingles(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh = sh.join(df_ok, "sh", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("da"), "sh")
+    b = sh.select(F.col("doc_id").alias("db"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("da"),
+                           F.col("sz").alias("sza")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"),
+                           F.col("sz").alias("szb")), "db")
+        .select(
+            "da", "db",
+            (
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("jtrue"),
+        )
+        .filter(F.col("jtrue") >= _MHERR_MIN_J)
+    )
+    sig = q_minhash_signature(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("da"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(4)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("db"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(4)],
+    )
+    est = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(4)
+    ) / 4.0
+    return (
+        pairs.join(sa, "da").join(sb, "db")
+        .select("jtrue", est.alias("jest"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            _r4(F.avg("jtrue")).alias("mean_true_j"),
+            _r4(F.avg("jest")).alias("mean_estimate"),
+            _r4(F.avg(F.abs(F.col("jest") - F.col("jtrue"))))
+            .alias("mean_abs_err"),
+            _r4(F.avg(F.col("jest") - F.col("jtrue"))).alias("bias"),
+        )
+    )
+
+
+SQL_MINHASH_ESTIMATE_ERROR = f"""WITH {_SHINGLES_SQL},
+capped AS (
+  SELECT s.doc_id, s.sh FROM shingles s
+  JOIN (SELECT sh FROM shingles GROUP BY sh
+        HAVING count(*) <= {_SHINGLE_DF_CAP}) ok ON s.sh = ok.sh
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+pairs AS (
+  SELECT da, db, jtrue FROM (
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           count(*) * 1.0
+           / (max(sa.sz) + max(sb.sz) - count(*)) AS jtrue
+    FROM capped a
+    JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    JOIN sizes sa ON sa.doc_id = a.doc_id
+    JOIN sizes sb ON sb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) WHERE jtrue >= {_MHERR_MIN_J}
+),
+sig AS (
+  SELECT doc_id,
+         min(md5('0:' || sh)) AS sig0, min(md5('1:' || sh)) AS sig1,
+         min(md5('2:' || sh)) AS sig2, min(md5('3:' || sh)) AS sig3
+  FROM shingles GROUP BY doc_id
+),
+scored AS (
+  SELECT p.jtrue,
+         ((CASE WHEN sa.sig0 = sb.sig0 THEN 1 ELSE 0 END)
+          + (CASE WHEN sa.sig1 = sb.sig1 THEN 1 ELSE 0 END)
+          + (CASE WHEN sa.sig2 = sb.sig2 THEN 1 ELSE 0 END)
+          + (CASE WHEN sa.sig3 = sb.sig3 THEN 1 ELSE 0 END)) / 4.0
+           AS jest
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.da
+  JOIN sig sb ON sb.doc_id = p.db
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(jtrue), 4) AS mean_true_j,
+       round(avg(jest), 4) AS mean_estimate,
+       round(avg(abs(jest - jtrue)), 4) AS mean_abs_err,
+       round(avg(jest - jtrue), 4) AS bias
+FROM scored"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -21679,4 +21990,8 @@ QUERIES = {
     "embedding_anisotropy": (q_embedding_anisotropy,
                              SQL_EMBEDDING_ANISOTROPY),
     "item_novelty_rate": (q_item_novelty_rate, SQL_ITEM_NOVELTY_RATE),
+    "sprt_stopping": (q_sprt_stopping, SQL_SPRT_STOPPING),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "minhash_estimate_error": (q_minhash_estimate_error,
+                               SQL_MINHASH_ESTIMATE_ERROR),
 }
