@@ -21715,6 +21715,258 @@ SELECT CAST(count(*) AS BIGINT) AS n_pairs,
 FROM scored"""
 
 
+# ---------------------------------------------------------------------------
+# Classifier gains chart (cumulative lift by score decile)
+# ---------------------------------------------------------------------------
+
+
+def q_classifier_gains(spark, sf_dir):
+    """Decile gains/lift chart of the quality classifier against the
+    Gopher label — the third leg of the classifier-QA triptych
+    (calibration_curve answers "are the probabilities honest?",
+    classifier_pr_sweep "where do I cut?", this chart "how much do I
+    capture if I can only afford the top X%?" — the budgeted-curation
+    question).  Docs rank by p_keep (ties → doc_id), split into 10
+    deciles; per decile: size, positives, cumulative capture rate
+    (gain) and cumulative lift over the base rate.
+
+    Determinism: the ranking ties on the 4-decimal p_keep are broken by
+    doc_id; ntile(10) has identical semantics in both engines; counts
+    are integer with two rounded divisions.  Scale shape: the decile
+    assignment is a global rank — stated plainly, like docid_remap, as
+    the oracle-parity form; the production path assigns deciles from
+    approx-quantile cutpoints of p_keep (one sketch pass + a narrow
+    map), which changes no downstream arithmetic.  Label and score
+    come from the same per-doc token aggregate, one pass."""
+    from pyspark.sql import Window
+
+    score = q_quality_classifier(spark, sf_dir).select("doc_id", "p_keep")
+    label = q_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("y")
+    )
+    ranked = score.join(label, "doc_id").withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.orderBy(F.col("p_keep").desc(), F.col("doc_id").asc())
+        ),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_tn"),
+        F.sum("n_pos").cast("long").alias("_tp"),
+    )
+    return (
+        per.withColumn("cum_n", F.sum("n").over(w))
+        .withColumn("cum_pos", F.sum("n_pos").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n", "n_pos",
+            _r4(F.col("cum_pos") / F.col("_tp")).alias("gain"),
+            _r4(
+                (F.col("cum_pos") / F.col("cum_n"))
+                / (F.col("_tp") / F.col("_tn"))
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _gains_sql() -> str:
+    qc = SQL_QUALITY_CLASSIFIER
+    gq = SQL_GOPHER_QUALITY
+    return f"""WITH score AS ({qc}),
+label AS ({gq}),
+ranked AS (
+  SELECT s.doc_id, s.p_keep, CAST(l.keep AS INT) AS y,
+         ntile(10) OVER (ORDER BY s.p_keep DESC, s.doc_id ASC) AS decile
+  FROM score s JOIN label l ON s.doc_id = l.doc_id
+),
+per AS (
+  SELECT decile, count(*) AS n, sum(y) AS n_pos
+  FROM ranked GROUP BY decile
+),
+tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM per),
+cum AS (
+  SELECT decile, n, n_pos,
+         sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cum_n,
+         sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+           AS cum_pos
+  FROM per
+)
+SELECT CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       round(cum_pos * 1.0 / tp, 4) AS gain,
+       round((cum_pos * 1.0 / cum_n) / (tp * 1.0 / tn), 4) AS cum_lift
+FROM cum CROSS JOIN tot ORDER BY decile"""
+
+
+SQL_CLASSIFIER_GAINS = _gains_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cross-source exact-duplicate contamination matrix
+# ---------------------------------------------------------------------------
+
+
+def q_source_overlap_matrix(spark, sf_dir):
+    """Cross-source contamination matrix at 3-gram granularity: for
+    every source pair, how many DISTINCT shingles they share, each
+    side's distinct-shingle count, and the pair Jaccard — the audit
+    that tells a corpus owner which dump copies from which BEFORE
+    mixture weights double-count the shared text (the pairwise-source
+    generalization of q_decontaminate's one-benchmark-vs-corpus check;
+    host_mirror_detection is the same question at host granularity,
+    and exact-dup spans across sources — zero on this corpus — would
+    show up here as near-1 Jaccard).
+
+    Determinism: set sizes and intersections are exact integer counts
+    over distinct shingles.  Scale shape: per-source DISTINCT shingles
+    first (map-side aggregate — the join sides are distinct-shingle-
+    sized, not corpus-sized), then a self-join keyed on shingle; after
+    the source-level distinct a shingle appears at most once PER
+    SOURCE, so even a boilerplate shingle in every doc emits at most
+    |sources|² pairs — no df cap needed, unlike the doc-level joins.
+    Output is |sources|² rows."""
+    sh = _shingles(spark, sf_dir)
+    dh = (
+        sh.join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
+        .select("source", F.col("sh").alias("h"))
+        .distinct()
+    )
+    sizes = dh.groupBy("source").agg(F.count("*").cast("long").alias("nh"))
+    a = dh.select(F.col("source").alias("src_a"), "h")
+    b = dh.select(F.col("source").alias("src_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("nh").alias("n_a"))), "src_a")
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("nh").alias("n_b"))), "src_b")
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "n_shared",
+            _r4(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SQL_SOURCE_OVERLAP_MATRIX = f"""WITH {_SHINGLES_SQL},
+dh AS (
+  SELECT DISTINCT d.source, s.sh AS h
+  FROM shingles s JOIN documents d ON s.doc_id = d.doc_id
+),
+sizes AS (SELECT source, count(*) AS nh FROM dh GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM dh a JOIN dh b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.src_a, s.src_b,
+       CAST(sa.nh AS BIGINT) AS n_a, CAST(sb.nh AS BIGINT) AS n_b,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       round(s.n_shared * 1.0 / (sa.nh + sb.nh - s.n_shared), 4)
+         AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.source = s.src_a
+JOIN sizes sb ON sb.source = s.src_b
+ORDER BY s.src_a, s.src_b"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup keeper-policy comparison (first-wins vs quality-wins)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_keeper_policy(spark, sf_dir):
+    """What first-wins dedup costs in kept quality: over the exact-dup
+    groups (md5, >1 member), compare keeper = min doc_id (first-wins,
+    what dedup_first_wins ships — order-dependent, crawl-arrival bias)
+    against keeper = max n_chars then min doc_id (quality-wins, the
+    CCNet/RefinedWeb-style choice).  One row: dup-group count, how many
+    groups pick a DIFFERENT keeper, and the mean kept n_chars under
+    each policy — the quality left on the table by arrival order.
+    (On a corpus whose exact dups are byte-identical the two means
+    coincide — the honest null result; the operator exists for corpora
+    where near-canonicalization upstream makes "same hash" groups span
+    different lengths, e.g. whitespace-normalized text columns.)
+
+    Determinism: both keepers are integer argmin/argmax with total tie
+    orders, expressed as one rank window per group (quality order
+    n_chars desc, doc_id asc) plus min/count over the same partition.
+    Scale shape: one hash-keyed window pass over (md5, doc_id,
+    n_chars) — the exact-dedup shuffle itself, nothing more; the
+    compare is a 1-row reduce."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "n_chars", F.md5("text").alias("h")
+    )
+    wp = Window.partitionBy("h")
+    wq = wp.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    grp = (
+        d.withColumn("_rn", F.row_number().over(wq))
+        .withColumn("_m", F.count("*").over(wp))
+        .withColumn("keep_first", F.min("doc_id").over(wp))
+        .filter((F.col("_rn") == 1) & (F.col("_m") > 1))
+        .select(
+            "h", "keep_first",
+            F.col("n_chars").alias("q_chars"),
+            F.col("doc_id").alias("keep_quality"),
+        )
+    )
+    first_chars = grp.join(
+        d.select(F.col("doc_id").alias("keep_first"),
+                 F.col("n_chars").alias("f_chars")),
+        "keep_first",
+    )
+    return first_chars.agg(
+        F.count("*").cast("long").alias("n_dup_groups"),
+        F.sum(
+            (F.col("keep_first") != F.col("keep_quality")).cast("int")
+        ).cast("long").alias("n_keeper_differs"),
+        _r4(F.avg("f_chars")).alias("mean_chars_first_wins"),
+        _r4(F.avg("q_chars")).alias("mean_chars_quality_wins"),
+    )
+
+
+SQL_DEDUP_KEEPER_POLICY = """WITH d AS (
+  SELECT doc_id, n_chars, md5(text) AS h FROM documents
+),
+grp AS (
+  SELECT h, keep_first, n_chars AS q_chars, doc_id AS keep_quality
+  FROM (
+    SELECT h, doc_id, n_chars,
+           row_number() OVER (PARTITION BY h
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY h) AS m,
+           min(doc_id) OVER (PARTITION BY h) AS keep_first
+    FROM d
+  ) WHERE rn = 1 AND m > 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+       CAST(sum(CASE WHEN g.keep_first <> g.keep_quality
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keeper_differs,
+       round(avg(f.n_chars), 4) AS mean_chars_first_wins,
+       round(avg(g.q_chars), 4) AS mean_chars_quality_wins
+FROM grp g JOIN d f ON f.doc_id = g.keep_first"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -21994,4 +22246,9 @@ QUERIES = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "minhash_estimate_error": (q_minhash_estimate_error,
                                SQL_MINHASH_ESTIMATE_ERROR),
+    "classifier_gains": (q_classifier_gains, SQL_CLASSIFIER_GAINS),
+    "source_overlap_matrix": (q_source_overlap_matrix,
+                              SQL_SOURCE_OVERLAP_MATRIX),
+    "dedup_keeper_policy": (q_dedup_keeper_policy,
+                            SQL_DEDUP_KEEPER_POLICY),
 }
