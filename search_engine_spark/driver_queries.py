@@ -21967,6 +21967,348 @@ SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
 FROM grp g JOIN d f ON f.doc_id = g.keep_first"""
 
 
+# ---------------------------------------------------------------------------
+# Per-community conductance (the cut-quality companion to modularity)
+# ---------------------------------------------------------------------------
+
+_COND_TOPK = 20
+
+
+def q_community_conductance(spark, sf_dir):
+    """Per-community conductance φ(C) = cut(C) / min(vol(C), 2m−vol(C))
+    (Shi-Malik / Kannan-Vempala-Vetta) for the {k} largest LPA
+    communities — the PER-COMMUNITY cut quality that q_modularity's one
+    global Q hides: a decent Q can coexist with individual communities
+    that leak half their edges (φ → 1) and would make terrible crawl
+    partitions or host-crowding groups; low φ identifies the ones safe
+    to treat as units.
+
+    Determinism: cut, volume and m are exact integer counts over the
+    undirected edge set; φ is the single rounded division; ties in the
+    size-ranked cut break on community id.  Scale shape: labels come
+    from the same Pregel-shaped LPA rounds; conductance costs ONE
+    edge-to-label join (each endpoint labeled, same node-keyed shuffle
+    as modularity), a per-community aggregate, and a top-{k} rank over
+    the community relation.
+    """.format(k=_COND_TOPK)
+    from pyspark.sql import Window
+
+    lbl = q_label_propagation(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "community"
+    )
+    _with_n, edges = _link_edges(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    ).distinct()
+    m_edges = und.agg(F.count("*").cast("long").alias("_m"))
+    la = lbl.select(F.col("id").alias("lo"), F.col("community").alias("ca"))
+    lb = lbl.select(F.col("id").alias("hi"), F.col("community").alias("cb"))
+    tagged = und.join(la, "lo").join(lb, "hi")
+    # vol(C) = sum of degrees in C: every edge endpoint in C contributes 1
+    vol = (
+        tagged.select(F.col("ca").alias("community"))
+        .unionAll(tagged.select(F.col("cb").alias("community")))
+        .groupBy("community").agg(F.count("*").cast("long").alias("vol"))
+    )
+    cut = (
+        tagged.filter(F.col("ca") != F.col("cb"))
+        .select(F.explode(F.array("ca", "cb")).alias("community"))
+        .groupBy("community").agg(F.count("*").cast("long").alias("cut"))
+    )
+    nsz = lbl.groupBy("community").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    per = (
+        nsz.join(vol, "community", "left")
+        .join(cut, "community", "left")
+        .select(
+            "community", "n_nodes",
+            F.coalesce("vol", F.lit(0)).alias("vol"),
+            F.coalesce("cut", F.lit(0)).alias("cut"),
+        )
+        .filter(F.col("vol") > 0)
+    )
+    w = Window.orderBy(F.col("n_nodes").desc(), F.col("community").asc())
+    return (
+        per.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _COND_TOPK)
+        .crossJoin(F.broadcast(m_edges))
+        .select(
+            "community", "n_nodes", "vol", "cut",
+            _r4(
+                F.col("cut")
+                / F.least(F.col("vol"), 2 * F.col("_m") - F.col("vol"))
+            ).alias("conductance"),
+        )
+        .orderBy(F.col("n_nodes").desc(), F.col("community").asc())
+    )
+
+
+def _conductance_sql() -> str:
+    lpa_body = SQL_LABEL_PROPAGATION.split("SELECT id AS doc_id")[0]
+    return f"""{lpa_body}, mm AS (SELECT count(*) AS m FROM und),
+tagged AS (
+  SELECT la.lbl AS ca, lb.lbl AS cb
+  FROM und
+  JOIN l{_LPA_ITERS} la ON und.lo = la.id
+  JOIN l{_LPA_ITERS} lb ON und.hi = lb.id
+),
+vol AS (
+  SELECT community, count(*) AS vol FROM (
+    SELECT ca AS community FROM tagged
+    UNION ALL SELECT cb FROM tagged
+  ) GROUP BY community
+),
+cut AS (
+  SELECT community, count(*) AS cut FROM (
+    SELECT ca AS community FROM tagged WHERE ca <> cb
+    UNION ALL SELECT cb FROM tagged WHERE ca <> cb
+  ) GROUP BY community
+),
+nsz AS (SELECT lbl AS community, count(*) AS n_nodes
+        FROM l{_LPA_ITERS} GROUP BY lbl),
+per AS (
+  SELECT n.community, n.n_nodes,
+         coalesce(v.vol, 0) AS vol, coalesce(c.cut, 0) AS cut
+  FROM nsz n
+  LEFT JOIN vol v ON n.community = v.community
+  LEFT JOIN cut c ON n.community = c.community
+  WHERE coalesce(v.vol, 0) > 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_nodes DESC, community ASC)
+            AS rk
+  FROM per
+)
+SELECT CAST(community AS BIGINT) AS community,
+       CAST(n_nodes AS BIGINT) AS n_nodes, CAST(vol AS BIGINT) AS vol,
+       CAST(cut AS BIGINT) AS cut,
+       round(cut * 1.0 / least(vol, 2 * mm.m - vol), 4) AS conductance
+FROM ranked CROSS JOIN mm
+WHERE rk <= {_COND_TOPK} ORDER BY n_nodes DESC, community ASC"""
+
+
+SQL_COMMUNITY_CONDUCTANCE = _conductance_sql()
+
+
+# ---------------------------------------------------------------------------
+# Local-vs-global IDF divergence across shards (federated scoring skew)
+# ---------------------------------------------------------------------------
+
+_SIDF_SHARDS = 4
+_SIDF_TOPK = 25
+
+
+def q_shard_idf_divergence(spark, sf_dir):
+    """Local-vs-global IDF divergence (Callan's distributed-IR problem;
+    the reason merged federated rankings mis-order): when each of
+    {s} document shards (doc_id % {s}) scores with its LOCAL
+    idf = ln(n_shard/df_shard) instead of the global one, per-shard
+    scores for the same term disagree.  Per term (top {k} by global
+    df): global idf, the min/max local idf across shards, and the
+    spread — the number that decides between broadcasting global stats
+    (this engine's choice: index_stats is a 1-row broadcast) and
+    accepting rank skew.  Terms missing from a shard take the shard's
+    df=0 smoothing idf = ln(n_shard/0.5).
+
+    Determinism: df counts are integer; idf values are single-ln
+    expressions rounded at 4; top-k ties break on term.  Scale shape:
+    one (term, shard) df aggregate (map-side combined) + a terms-sized
+    per-term min/max rollup; shard doc counts are a {s}-row broadcast;
+    the global top-k is a rank over the term relation (TakeOrdered at
+    scale).
+    """.format(s=_SIDF_SHARDS, k=_SIDF_TOPK)
+    from pyspark.sql import Window
+
+    tf = _tf(spark, sf_dir).select(
+        "term", "doc_id", (F.col("doc_id") % _SIDF_SHARDS).alias("shard")
+    )
+    gdf = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    sdf = tf.groupBy("term", "shard").agg(
+        F.count("*").cast("long").alias("sdf")
+    )
+    ndocs = _docs(spark, sf_dir).groupBy(
+        (F.col("doc_id") % _SIDF_SHARDS).alias("shard")
+    ).agg(F.count("*").cast("long").alias("ns"))
+    ntot = ndocs.agg(F.sum("ns").cast("long").alias("_n"))
+    # complete the (term x shard) grid so absent terms take the df=0 idf
+    grid = gdf.select("term").crossJoin(F.broadcast(ndocs))
+    full = grid.join(sdf, ["term", "shard"], "left").select(
+        "term", "shard", "ns",
+        F.coalesce("sdf", F.lit(0)).alias("sdf"),
+    )
+    lidf = F.log(
+        F.col("ns") / F.when(F.col("sdf") > 0, F.col("sdf")).otherwise(0.5)
+    )
+    per = full.groupBy("term").agg(
+        F.min(lidf).alias("_lo"), F.max(lidf).alias("_hi")
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        gdf.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _SIDF_TOPK)
+        .join(per, "term")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "term", "df",
+            _r4(F.log(F.col("_n") / F.col("df"))).alias("global_idf"),
+            _r4(F.col("_lo")).alias("min_local_idf"),
+            _r4(F.col("_hi")).alias("max_local_idf"),
+            _r4(F.col("_hi") - F.col("_lo")).alias("spread"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+    )
+
+
+SQL_SHARD_IDF_DIVERGENCE = f"""WITH {_TOKS_SQL},
+tf AS (
+  SELECT term, doc_id, doc_id % {_SIDF_SHARDS} AS shard
+  FROM (SELECT DISTINCT term, doc_id FROM toks)
+),
+gdf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sdf AS (SELECT term, shard, count(*) AS sdf FROM tf GROUP BY term, shard),
+ndocs AS (SELECT doc_id % {_SIDF_SHARDS} AS shard, count(*) AS ns
+          FROM documents GROUP BY 1),
+ntot AS (SELECT sum(ns) AS n FROM ndocs),
+grid AS (SELECT g.term, d.shard, d.ns FROM gdf g CROSS JOIN ndocs d),
+filled AS (
+  SELECT grid.term, grid.shard, grid.ns, coalesce(sdf.sdf, 0) AS sdf
+  FROM grid LEFT JOIN sdf ON grid.term = sdf.term
+                         AND grid.shard = sdf.shard
+),
+per AS (
+  SELECT term,
+         min(ln(ns / (CASE WHEN sdf > 0 THEN sdf ELSE 0.5 END))) AS lo,
+         max(ln(ns / (CASE WHEN sdf > 0 THEN sdf ELSE 0.5 END))) AS hi
+  FROM filled GROUP BY term
+),
+ranked AS (
+  SELECT term, df,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS rk
+  FROM gdf
+)
+SELECT r.term, CAST(r.df AS BIGINT) AS df,
+       round(ln(ntot.n * 1.0 / r.df), 4) AS global_idf,
+       round(per.lo, 4) AS min_local_idf,
+       round(per.hi, 4) AS max_local_idf,
+       round(per.hi - per.lo, 4) AS spread
+FROM ranked r JOIN per ON r.term = per.term CROSS JOIN ntot
+WHERE r.rk <= {_SIDF_TOPK} ORDER BY r.df DESC, r.term ASC"""
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding drift between corpus halves
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Per-label embedding drift: cosine between each label's centroid
+    computed on the first and second half of the table (vec_id split) —
+    the embedding-space counterpart of jsd_drift, and the monitor that
+    catches a re-embedded or model-upgraded slice before
+    ann_cosine_topk quietly degrades (centroid cosine < ~0.99 between
+    batches of the SAME model is the standard re-index alarm).  Per
+    label: half sizes and the centroid cosine.  (On THIS corpus the
+    embeddings are near-isotropic noise, so label centroids are
+    near-zero and the half-to-half cosine is honestly noise around 0 —
+    a true mean direction, as real model embeddings have, is exactly
+    what pushes it toward 1; the entry verifies the machinery.)
+
+    Determinism: the half split is vec_id median rank-free (vec_id <
+    max/2 arithmetic on the broadcast 1-row max); centroid sums are
+    per-dimension float aggregates whose order jitter is invisible at
+    the 4-decimal round of a [−1,1] cosine.  Scale shape: one
+    posexplode + (label, half, dim) aggregate — map-side combined,
+    bounded groups; the cosine combines the two centroid rows per
+    label, dimension-aligned arrays, no pair work."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    mid = emb.agg((F.max("vec_id") / 2).alias("_mid"))
+    tagged = emb.crossJoin(F.broadcast(mid)).select(
+        "label", "e",
+        (F.col("vec_id") < F.col("_mid")).cast("int").alias("half"),
+    )
+    dims = tagged.select(
+        "label", "half", F.posexplode("e").alias("dim", "v")
+    )
+    cent = (
+        dims.groupBy("label", "half", "dim").agg(F.avg("v").alias("c"))
+        .groupBy("label", "half")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cent"),
+            F.count("*").alias("_d"),
+        )
+    )
+    sizes = tagged.groupBy("label", "half").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a = cent.filter(F.col("half") == 1).select(
+        "label", F.col("cent").alias("ca")
+    ).join(sizes.filter(F.col("half") == 1)
+           .select("label", F.col("n").alias("n_first")), "label")
+    b = cent.filter(F.col("half") == 0).select(
+        "label", F.col("cent").alias("cb")
+    ).join(sizes.filter(F.col("half") == 0)
+           .select("label", F.col("n").alias("n_second")), "label")
+    dot = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = lambda col: F.sqrt(
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, "label")
+        .select(
+            "label", "n_first", "n_second",
+            _r4(dot / (nrm(F.col("ca")) * nrm(F.col("cb"))))
+            .alias("centroid_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_DRIFT = """WITH mid AS (
+  SELECT max(vec_id) / 2.0 AS m FROM embeddings
+),
+tagged AS (
+  SELECT label,
+         CASE WHEN vec_id < mid.m THEN 1 ELSE 0 END AS half,
+         embedding::DOUBLE[] AS e
+  FROM embeddings CROSS JOIN mid
+),
+dims AS (
+  SELECT label, half, u.dim AS dim, u.v AS v
+  FROM tagged,
+       LATERAL (SELECT unnest(e) AS v,
+                       generate_subscripts(e, 1) AS dim) u
+),
+cent AS (
+  SELECT label, half, list(c ORDER BY dim) AS cent
+  FROM (SELECT label, half, dim, avg(v) AS c
+        FROM dims GROUP BY label, half, dim)
+  GROUP BY label, half
+),
+sizes AS (SELECT label, half, count(*) AS n
+          FROM tagged GROUP BY label, half)
+SELECT a.label,
+       CAST(sa.n AS BIGINT) AS n_first,
+       CAST(sb.n AS BIGINT) AS n_second,
+       round(list_dot_product(a.cent, b.cent)
+             / (sqrt(list_dot_product(a.cent, a.cent))
+                * sqrt(list_dot_product(b.cent, b.cent))), 4)
+         AS centroid_cos
+FROM cent a
+JOIN cent b ON a.label = b.label AND a.half = 1 AND b.half = 0
+JOIN sizes sa ON sa.label = a.label AND sa.half = 1
+JOIN sizes sb ON sb.label = b.label AND sb.half = 0
+ORDER BY a.label"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -22251,4 +22593,9 @@ QUERIES = {
                               SQL_SOURCE_OVERLAP_MATRIX),
     "dedup_keeper_policy": (q_dedup_keeper_policy,
                             SQL_DEDUP_KEEPER_POLICY),
+    "community_conductance": (q_community_conductance,
+                              SQL_COMMUNITY_CONDUCTANCE),
+    "shard_idf_divergence": (q_shard_idf_divergence,
+                             SQL_SHARD_IDF_DIVERGENCE),
+    "embedding_drift": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
 }
