@@ -22309,6 +22309,363 @@ JOIN sizes sb ON sb.label = b.label AND sb.half = 0
 ORDER BY a.label"""
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary loss through the curation funnel
+# ---------------------------------------------------------------------------
+
+_VOCAB_STAGES = ("all", "lang_ok", "qual_ok", "uniq_ok", "keep")
+
+
+def q_filter_vocab_loss(spark, sf_dir):
+    """What the curation funnel does to the VOCABULARY: per cumulative
+    corpus_pipeline stage (all → lang_ok → qual_ok → uniq_ok → keep),
+    the surviving doc count, token count, distinct-term count, hapax
+    count, and hapax share — the side-effect audit behind the known
+    failure mode of aggressive filtering (rare terms, names and
+    code-switching die first; a funnel that keeps 90% of tokens can
+    still kill half the tail vocabulary, starving the tokenizer and
+    the LM's long tail).  Heaps-law expectation: vocab shrinks
+    sublinearly with tokens; a SUPERlinear drop at one stage fingers
+    that filter.
+
+    Determinism: every number is an integer count but the final hapax
+    share.  Scale shape: the funnel flags come from corpus_pipeline's
+    own one-pass plan (no second text scan); the stage rollup is one
+    per-term aggregate with 5 conditional sums (term-keyed, map-side
+    combined) + a 5-row unpivot — stages are columns until the last
+    tiny reshape, so the token stream is read ONCE."""
+    flags = q_corpus_pipeline(spark, sf_dir)
+    toks = _tokens(spark, sf_dir).join(flags, "doc_id")
+    stage_cond = {
+        "all": F.lit(True),
+        "lang_ok": F.col("lang_ok"),
+        "qual_ok": F.col("qual_ok"),
+        "uniq_ok": F.col("uniq_ok"),
+        "keep": F.col("keep"),
+    }
+    per_term = toks.groupBy("term").agg(
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"c_{s}")
+            for s, c in stage_cond.items()
+        ]
+    )
+    vocab = per_term.agg(
+        *[
+            F.sum((F.col(f"c_{s}") > 0).cast("int")).cast("long")
+            .alias(f"v_{s}")
+            for s in _VOCAB_STAGES
+        ],
+        *[
+            F.sum(F.col(f"c_{s}")).cast("long").alias(f"t_{s}")
+            for s in _VOCAB_STAGES
+        ],
+        *[
+            F.sum((F.col(f"c_{s}") == 1).cast("int")).cast("long")
+            .alias(f"h_{s}")
+            for s in _VOCAB_STAGES
+        ],
+    )
+    ndocs = flags.agg(
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"d_{s}")
+            for s, c in stage_cond.items()
+        ]
+    )
+    one = vocab.crossJoin(F.broadcast(ndocs))
+    rows = [
+        one.select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(s).alias("stage"),
+            F.col(f"d_{s}").alias("n_docs"),
+            F.col(f"t_{s}").alias("n_tokens"),
+            F.col(f"v_{s}").alias("n_terms"),
+            F.col(f"h_{s}").alias("n_hapax"),
+            _r4(F.col(f"h_{s}") / F.col(f"v_{s}")).alias("hapax_share"),
+        )
+        for i, s in enumerate(_VOCAB_STAGES)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage_idx")
+
+
+def _vocab_loss_sql() -> str:
+    conds = {
+        "all": "true", "lang_ok": "f.lang_ok", "qual_ok": "f.qual_ok",
+        "uniq_ok": "f.uniq_ok", "keep": "f.keep",
+    }
+    aggs = []
+    for s in _VOCAB_STAGES:
+        aggs += [
+            f"sum(CASE WHEN c_{s} > 0 THEN 1 ELSE 0 END) AS v_{s}",
+            f"sum(c_{s}) AS t_{s}",
+            f"sum(CASE WHEN c_{s} = 1 THEN 1 ELSE 0 END) AS h_{s}",
+        ]
+    tsums = ", ".join(
+        f"sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS c_{s}"
+        for s, c in conds.items()
+    )
+    dsums = ", ".join(
+        f"sum(CASE WHEN {c.replace('f.', '')} THEN 1 ELSE 0 END) AS d_{s}"
+        for s, c in conds.items()
+    )
+    stage_rows = " UNION ALL ".join(
+        f"SELECT {i} AS stage_idx, '{s}' AS stage, d_{s} AS n_docs, "
+        f"t_{s} AS n_tokens, v_{s} AS n_terms, h_{s} AS n_hapax, "
+        f"round(h_{s} * 1.0 / v_{s}, 4) AS hapax_share "
+        f"FROM vocab CROSS JOIN ndocs"
+        for i, s in enumerate(_VOCAB_STAGES)
+    )
+    return f"""WITH flags AS ({SQL_CORPUS_PIPELINE}),
+{_TOKS_SQL.lstrip()},
+per_term AS (
+  SELECT t.term, {tsums}
+  FROM toks t JOIN flags f ON t.doc_id = f.doc_id
+  GROUP BY t.term
+),
+vocab AS (SELECT {", ".join(aggs)} FROM per_term),
+ndocs AS (SELECT {dsums} FROM flags)
+SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_terms AS BIGINT) AS n_terms,
+       CAST(n_hapax AS BIGINT) AS n_hapax, hapax_share
+FROM ({stage_rows}) ORDER BY stage_idx"""
+
+
+SQL_FILTER_VOCAB_LOSS = _vocab_loss_sql()
+
+
+# ---------------------------------------------------------------------------
+# User-level jackknife variance of the CTR ratio metric
+# ---------------------------------------------------------------------------
+
+
+def q_jackknife_ctr(spark, sf_dir):
+    """Leave-one-USER-out jackknife standard error of the corpus CTR —
+    the industry-standard fix for the ratio-metric variance problem in
+    A/B analysis (Deng et al., WSDM 2017: users, not events, are the
+    i.i.d. units; the naive binomial SE over events understates
+    variance because one heavy user's events correlate): θ = X/Y over
+    all events, θ₍ᵢ₎ = (X−xᵢ)/(Y−yᵢ) per left-out user,
+    SE² = (n−1)/n · Σ(θ₍ᵢ₎−θ̄)².  One row: user count, totals, CTR,
+    jackknife SE, the 95% CI, and the naive binomial SE for contrast —
+    their RATIO is the design effect a correct experiment readout must
+    apply (cf. cuped_adjustment and delta_method_ratio, the other two
+    legs of the variance-correction toolkit).
+
+    Determinism: per-user counts are integer; the θ₍ᵢ₎ arithmetic is
+    fixed-form float per user and every reported value is O(1)-bounded
+    before the 4-decimal round.  Scale shape: one user-keyed count
+    aggregate, totals as a 1-row broadcast, one n-user reduce — the
+    jackknife needs NO resampling loop, the leave-one-out identity
+    makes it a single pass."""
+    per = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("y"),
+            F.sum((F.col("event_type") == "click").cast("int"))
+            .cast("long").alias("x"),
+        )
+    )
+    tot = per.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum("x").cast("long").alias("_x"),
+        F.sum("y").cast("long").alias("_y"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    theta_i = (F.col("_x") - F.col("x")) / (F.col("_y") - F.col("y"))
+    m = j.agg(
+        F.first("_n").alias("n_users"),
+        F.first("_x").alias("clicks"),
+        F.first("_y").alias("events"),
+        F.avg(theta_i).alias("_tbar"),
+        F.sum(theta_i * theta_i).alias("_tsq"),
+    )
+    n = F.col("n_users")
+    var = (n - 1) / n * (F.col("_tsq") - n * F.col("_tbar") * F.col("_tbar"))
+    se = F.sqrt(F.greatest(var, F.lit(0.0)))
+    ctr = F.col("clicks") / F.col("events")
+    naive = F.sqrt(ctr * (1 - ctr) / F.col("events"))
+    return m.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("clicks").cast("long").alias("clicks"),
+        F.col("events").cast("long").alias("events"),
+        _r4(ctr).alias("ctr"),
+        _r4(se).alias("jackknife_se"),
+        _r4(ctr - 1.96 * se).alias("ci_lo"),
+        _r4(ctr + 1.96 * se).alias("ci_hi"),
+        _r4(naive).alias("naive_se"),
+        _r4(se / naive).alias("design_effect"),
+    )
+
+
+SQL_JACKKNIFE_CTR = """WITH per AS (
+  SELECT user_id, count(*) AS y,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY user_id
+),
+tot AS (SELECT count(*) AS n, sum(x) AS tx, sum(y) AS ty FROM per),
+j AS (
+  SELECT per.x, per.y, tot.n, tot.tx, tot.ty,
+         (tot.tx - per.x) * 1.0 / (tot.ty - per.y) AS theta_i
+  FROM per CROSS JOIN tot
+),
+m AS (
+  SELECT max(n) AS n_users, max(tx) AS clicks, max(ty) AS events,
+         avg(theta_i) AS tbar, sum(theta_i * theta_i) AS tsq
+  FROM j
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       CAST(clicks AS BIGINT) AS clicks,
+       CAST(events AS BIGINT) AS events,
+       round(clicks * 1.0 / events, 4) AS ctr,
+       round(sqrt(greatest((n_users - 1.0) / n_users
+                           * (tsq - n_users * tbar * tbar), 0.0)), 4)
+         AS jackknife_se,
+       round(clicks * 1.0 / events
+             - 1.96 * sqrt(greatest((n_users - 1.0) / n_users
+                                    * (tsq - n_users * tbar * tbar),
+                                    0.0)), 4) AS ci_lo,
+       round(clicks * 1.0 / events
+             + 1.96 * sqrt(greatest((n_users - 1.0) / n_users
+                                    * (tsq - n_users * tbar * tbar),
+                                    0.0)), 4) AS ci_hi,
+       round(sqrt((clicks * 1.0 / events) * (1 - clicks * 1.0 / events)
+                  / events), 4) AS naive_se,
+       round(sqrt(greatest((n_users - 1.0) / n_users
+                           * (tsq - n_users * tbar * tbar), 0.0))
+             / sqrt((clicks * 1.0 / events)
+                    * (1 - clicks * 1.0 / events) / events), 4)
+         AS design_effect
+FROM m"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup threshold sensitivity (candidate volume vs Jaccard cut)
+# ---------------------------------------------------------------------------
+
+_DEDUP_TAUS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+def q_dedup_threshold_sensitivity(spark, sf_dir):
+    """Candidate volume vs the Jaccard threshold: for each τ, how many
+    shingle-sharing pairs and how many distinct documents clear it —
+    the curve a dedup owner reads BEFORE fixing τ (NearDup papers pick
+    0.8, SemDeDup-style pipelines go lower; the cost of each choice is
+    exactly this table: verifier pay = n_pairs, corpus loss upper
+    bound = n_docs), complementing lsh_tuning_curve's PROBABILITY
+    S-curve with the corpus' REALIZED volumes.
+
+    Determinism: pair Jaccards are exact rationals compared against
+    literal τs; counts integer.  Scale shape: the df-capped sparse
+    shingle join computes each pair's Jaccard ONCE; the τ sweep is a
+    crossJoin with the broadcast 8-row threshold table over the
+    bounded pair set (pairs × 8, never corpus × 8), with per-doc max-J
+    pre-reduced before its own sweep so the doc leg is distinct-doc
+    sized."""
+    sh = _shingles(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh = sh.join(df_ok, "sh", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("da"), "sh")
+    b = sh.select(F.col("doc_id").alias("db"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("da"),
+                           F.col("sz").alias("sza")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"),
+                           F.col("sz").alias("szb")), "db")
+        .select(
+            "da", "db",
+            (
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("j"),
+        )
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in _DEDUP_TAUS], "tau double"
+    )
+    npairs = (
+        pairs.crossJoin(F.broadcast(taus))
+        .filter(F.col("j") >= F.col("tau"))
+        .groupBy("tau").agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    permax = (
+        pairs.select(F.col("da").alias("doc"), "j")
+        .unionAll(pairs.select(F.col("db").alias("doc"), "j"))
+        .groupBy("doc").agg(F.max("j").alias("mj"))
+    )
+    ndocs = (
+        permax.crossJoin(F.broadcast(taus))
+        .filter(F.col("mj") >= F.col("tau"))
+        .groupBy("tau").agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return (
+        taus.join(npairs, "tau", "left")
+        .join(ndocs, "tau", "left")
+        .select(
+            "tau",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+        .orderBy("tau")
+    )
+
+
+def _dedup_taus_sql() -> str:
+    tvals = ", ".join(f"(CAST({t} AS DOUBLE))" for t in _DEDUP_TAUS)
+    return f"""WITH {_SHINGLES_SQL},
+capped AS (
+  SELECT s.doc_id, s.sh FROM shingles s
+  JOIN (SELECT sh FROM shingles GROUP BY sh
+        HAVING count(*) <= {_SHINGLE_DF_CAP}) ok ON s.sh = ok.sh
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         count(*) * 1.0 / (max(sa.sz) + max(sb.sz) - count(*)) AS j
+  FROM capped a
+  JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  JOIN sizes sa ON sa.doc_id = a.doc_id
+  JOIN sizes sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+taus AS (SELECT * FROM (VALUES {tvals}) AS t(tau)),
+np AS (
+  SELECT tau, count(*) AS n_pairs
+  FROM pairs CROSS JOIN taus WHERE j >= tau GROUP BY tau
+),
+permax AS (
+  SELECT doc, max(j) AS mj FROM (
+    SELECT da AS doc, j FROM pairs UNION ALL SELECT db, j FROM pairs
+  ) GROUP BY doc
+),
+nd AS (
+  SELECT tau, count(*) AS n_docs
+  FROM permax CROSS JOIN taus WHERE mj >= tau GROUP BY tau
+)
+SELECT taus.tau, CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+FROM taus
+LEFT JOIN np ON taus.tau = np.tau
+LEFT JOIN nd ON taus.tau = nd.tau
+ORDER BY taus.tau"""
+
+
+SQL_DEDUP_THRESHOLD_SENSITIVITY = _dedup_taus_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -22598,4 +22955,8 @@ QUERIES = {
     "shard_idf_divergence": (q_shard_idf_divergence,
                              SQL_SHARD_IDF_DIVERGENCE),
     "embedding_drift": (q_embedding_drift, SQL_EMBEDDING_DRIFT),
+    "filter_vocab_loss": (q_filter_vocab_loss, SQL_FILTER_VOCAB_LOSS),
+    "jackknife_ctr": (q_jackknife_ctr, SQL_JACKKNIFE_CTR),
+    "dedup_threshold_sensitivity": (q_dedup_threshold_sensitivity,
+                                    SQL_DEDUP_THRESHOLD_SENSITIVITY),
 }
