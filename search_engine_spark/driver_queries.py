@@ -22666,6 +22666,252 @@ ORDER BY taus.tau"""
 SQL_DEDUP_THRESHOLD_SENSITIVITY = _dedup_taus_sql()
 
 
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit of a pooled CTR comparison
+# ---------------------------------------------------------------------------
+
+
+def q_simpson_check(spark, sf_dir):
+    """Simpson's-paradox audit (Simpson 1951; Bickel's Berkeley case) of
+    a two-variant CTR comparison: variant = user_id parity, segment =
+    day-of-week — per segment the two CTRs and the sign of (B−A), plus
+    the POOLED row (segment −1), so a dashboard can see at a glance
+    whether the pooled winner loses inside every stratum (the
+    aggregation bias srm_chisq can't catch: the split is fine, the
+    MIXTURE differs).  The canonical guard before shipping any pooled
+    ratio comparison; segments here are the exposure strata a real
+    experiment would weight by.
+
+    Determinism: variant and segment are integer arithmetic (epoch-day
+    mod 7 — NOT the engines' dayofweek(), whose Sunday origin differs);
+    counts integer; CTRs are the only rounded divisions.  Scale shape:
+    one (segment, variant) count aggregate — 14 groups plus the pooled
+    2 — map-side combined; the pivot joins two broadcast-sized group
+    relations."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("variant"),
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(_US_PER_DAY)
+        ).cast("long").alias("_day"),
+        (F.col("event_type") == "click").cast("int").alias("x"),
+    ).select(
+        "variant", "x",
+        F.pmod(F.col("_day"), F.lit(7)).cast("int").alias("segment"),
+    )
+    seg = ev.groupBy("segment", "variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("c"),
+    )
+    pooled = ev.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("c"),
+    ).withColumn("segment", F.lit(-1).cast("int"))
+    both = seg.unionByName(pooled.select("segment", "variant", "n", "c"))
+    a = both.filter(F.col("variant") == 0).select(
+        "segment", F.col("n").alias("n_a"), F.col("c").alias("c_a")
+    )
+    b = both.filter(F.col("variant") == 1).select(
+        "segment", F.col("n").alias("n_b"), F.col("c").alias("c_b")
+    )
+    ctr_a = F.col("c_a") / F.col("n_a")
+    ctr_b = F.col("c_b") / F.col("n_b")
+    return (
+        a.join(b, "segment")
+        .select(
+            "segment", "n_a", "n_b",
+            _r4(ctr_a).alias("ctr_a"),
+            _r4(ctr_b).alias("ctr_b"),
+            F.signum(_r4(ctr_b) - _r4(ctr_a)).cast("int")
+            .alias("b_minus_a_sign"),
+        )
+        .orderBy("segment")
+    )
+
+
+SQL_SIMPSON_CHECK = f"""WITH ev AS (
+  SELECT user_id % 2 AS variant,
+         CAST((epoch_us(ts) // {_US_PER_DAY}) % 7 AS INT) AS segment,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS x
+  FROM events
+),
+seg AS (
+  SELECT segment, variant, count(*) AS n, sum(x) AS c
+  FROM ev GROUP BY segment, variant
+),
+pooled AS (
+  SELECT -1 AS segment, variant, count(*) AS n, sum(x) AS c
+  FROM ev GROUP BY variant
+),
+allv AS (SELECT * FROM seg UNION ALL SELECT * FROM pooled)
+SELECT a.segment,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       round(a.c * 1.0 / a.n, 4) AS ctr_a,
+       round(b.c * 1.0 / b.n, 4) AS ctr_b,
+       CAST(sign(round(b.c * 1.0 / b.n, 4)
+                 - round(a.c * 1.0 / a.n, 4)) AS INT) AS b_minus_a_sign
+FROM (SELECT * FROM allv WHERE variant = 0) a
+JOIN (SELECT * FROM allv WHERE variant = 1) b ON a.segment = b.segment
+ORDER BY a.segment"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language
+# ---------------------------------------------------------------------------
+
+
+def q_token_fertility(spark, sf_dir):
+    """Tokenizer fertility by language: chars per whitespace token,
+    chars per BPE-ish token, and the BPE/whitespace blow-up ratio, per
+    lang — the per-language cost sheet multilingual budget planning
+    reads (UniMax-style allocation counts TOKENS, so a language whose
+    fertility runs 1.4× effectively pays 1.4× per character of
+    content; complements token_count's per-doc raw counts and
+    unimax_allocation's budget math).
+
+    Determinism: all sums are integer (token counts, text lengths);
+    the three ratios round at 4.  Scale shape: one narrow per-doc map
+    (two regex token counts + length) into a per-lang aggregate —
+    map-side combined, |langs| output rows, no joins."""
+    txt = F.lower(F.col("text"))
+    ws = F.size(F.filter(F.split(txt, r"\s+"), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all(txt, F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
+    per = _docs(spark, sf_dir).select(
+        "lang",
+        ws.cast("long").alias("_ws"),
+        bpe.cast("long").alias("_bpe"),
+        F.length("text").cast("long").alias("_chars"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_ws").cast("long").alias("ws_tokens"),
+        F.sum("_bpe").cast("long").alias("bpe_tokens"),
+        F.sum("_chars").cast("long").alias("chars"),
+    )
+    return g.select(
+        "lang", "n_docs", "ws_tokens", "bpe_tokens",
+        _r4(F.col("chars") / F.col("ws_tokens")).alias("chars_per_ws"),
+        _r4(F.col("chars") / F.col("bpe_tokens")).alias("chars_per_bpe"),
+        _r4(F.col("bpe_tokens") / F.col("ws_tokens")).alias("fertility"),
+    ).orderBy("lang")
+
+
+SQL_TOKEN_FERTILITY = r"""WITH per AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> x <> '')) AS ws,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+           AS bpe,
+         length(text) AS chars
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       round(sum(chars) * 1.0 / sum(ws), 4) AS chars_per_ws,
+       round(sum(chars) * 1.0 / sum(bpe), 4) AS chars_per_bpe,
+       round(sum(bpe) * 1.0 / sum(ws), 4) AS fertility
+FROM per GROUP BY lang ORDER BY lang"""
+
+
+# ---------------------------------------------------------------------------
+# Phrase selectivity vs the AND approximation
+# ---------------------------------------------------------------------------
+
+_PSEL_TOPK = 10
+
+
+def q_phrase_selectivity(spark, sf_dir):
+    """Phrase selectivity: for the top-{k} bigrams, the documents
+    matching the exact PHRASE vs the documents containing BOTH terms
+    anywhere (the AND upper bound) and their ratio — the number that
+    decides whether a phrase needs positional evaluation at all: a
+    ratio near 1 means AND already answers it (skip the positions
+    decode, serve from the boolean index); near 0 means the phrase is
+    where a nextword index or positional block pays for itself (the
+    DECISION INPUT for q_nextword_index's storage and
+    bm25_phrase/X7's positional intersection cost).
+
+    Determinism: doc counts are integer; ratio is the single rounded
+    division; top-k ties break on the bigram.  Scale shape: phrase
+    counts come from one adjacent-position self-join per the shingle
+    pattern (narrow, position-keyed); AND counts join the two terms'
+    distinct-doc sets (term-keyed, df-bounded); the bigram head is a
+    TakeOrdered over the bigram relation.
+    """.format(k=_PSEL_TOPK)
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    a = toks.select("doc_id", F.col("pos").alias("p"),
+                    F.col("term").alias("t1"))
+    b = toks.select("doc_id", (F.col("pos") - 1).alias("p"),
+                    F.col("term").alias("t2"))
+    bg = a.join(b, ["doc_id", "p"]).select("doc_id", "t1", "t2")
+    phrase = bg.groupBy("t1", "t2").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.countDistinct("doc_id").cast("long").alias("n_phrase_docs"),
+    )
+    w = Window.orderBy(
+        F.col("n_occ").desc(), F.col("t1").asc(), F.col("t2").asc()
+    )
+    top = phrase.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= _PSEL_TOPK
+    )
+    td = toks.select("term", "doc_id").distinct()
+    d1 = td.select(F.col("term").alias("t1"), F.col("doc_id"))
+    d2 = td.select(F.col("term").alias("t2"), F.col("doc_id"))
+    and_docs = (
+        top.select("t1", "t2").join(d1, "t1").join(d2, ["t2", "doc_id"])
+        .groupBy("t1", "t2")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_and_docs"))
+    )
+    return (
+        top.join(and_docs, ["t1", "t2"])
+        .select(
+            F.concat_ws(" ", "t1", "t2").alias("bigram"),
+            "n_occ", "n_phrase_docs", "n_and_docs",
+            _r4(F.col("n_phrase_docs") / F.col("n_and_docs"))
+            .alias("selectivity"),
+        )
+        .orderBy(F.col("n_occ").desc(), F.col("bigram").asc())
+    )
+
+
+SQL_PHRASE_SELECTIVITY = f"""WITH {_TOKS_SQL},
+bg AS (
+  SELECT a.doc_id, a.term AS t1, b.term AS t2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+phrase AS (
+  SELECT t1, t2, count(*) AS n_occ,
+         count(DISTINCT doc_id) AS n_phrase_docs
+  FROM bg GROUP BY t1, t2
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY n_occ DESC, t1 ASC, t2 ASC)
+              AS rk
+    FROM phrase
+  ) WHERE rk <= {_PSEL_TOPK}
+),
+td AS (SELECT DISTINCT term, doc_id FROM toks),
+andd AS (
+  SELECT top.t1, top.t2, count(DISTINCT d1.doc_id) AS n_and_docs
+  FROM top
+  JOIN td d1 ON d1.term = top.t1
+  JOIN td d2 ON d2.term = top.t2 AND d2.doc_id = d1.doc_id
+  GROUP BY top.t1, top.t2
+)
+SELECT top.t1 || ' ' || top.t2 AS bigram,
+       CAST(top.n_occ AS BIGINT) AS n_occ,
+       CAST(top.n_phrase_docs AS BIGINT) AS n_phrase_docs,
+       CAST(andd.n_and_docs AS BIGINT) AS n_and_docs,
+       round(top.n_phrase_docs * 1.0 / andd.n_and_docs, 4) AS selectivity
+FROM top JOIN andd ON top.t1 = andd.t1 AND top.t2 = andd.t2
+ORDER BY top.n_occ DESC, bigram ASC"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -22959,4 +23205,7 @@ QUERIES = {
     "jackknife_ctr": (q_jackknife_ctr, SQL_JACKKNIFE_CTR),
     "dedup_threshold_sensitivity": (q_dedup_threshold_sensitivity,
                                     SQL_DEDUP_THRESHOLD_SENSITIVITY),
+    "simpson_check": (q_simpson_check, SQL_SIMPSON_CHECK),
+    "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),
+    "phrase_selectivity": (q_phrase_selectivity, SQL_PHRASE_SELECTIVITY),
 }
