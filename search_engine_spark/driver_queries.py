@@ -22372,8 +22372,11 @@ def q_filter_vocab_loss(spark, sf_dir):
         ]
     )
     one = vocab.crossJoin(F.broadcast(ndocs))
-    rows = [
-        one.select(
+    # unpivot by EXPLODING a struct array over the single aggregated row
+    # (a union of per-stage selects would replicate the whole aggregate
+    # lineage once per stage — 5 corpus passes at scale)
+    stages = F.array(*[
+        F.struct(
             F.lit(i).alias("stage_idx"),
             F.lit(s).alias("stage"),
             F.col(f"d_{s}").alias("n_docs"),
@@ -22383,11 +22386,12 @@ def q_filter_vocab_loss(spark, sf_dir):
             _r4(F.col(f"h_{s}") / F.col(f"v_{s}")).alias("hapax_share"),
         )
         for i, s in enumerate(_VOCAB_STAGES)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("stage_idx")
+    ])
+    return (
+        one.select(F.explode(stages).alias("r"))
+        .select("r.*")
+        .orderBy("stage_idx")
+    )
 
 
 def _vocab_loss_sql() -> str:
