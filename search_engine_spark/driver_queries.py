@@ -22916,6 +22916,362 @@ FROM top JOIN andd ON top.t1 = andd.t1 AND top.t2 = andd.t2
 ORDER BY top.n_occ DESC, bigram ASC"""
 
 
+# ---------------------------------------------------------------------------
+# Transitivity drift inside near-dup clusters
+# ---------------------------------------------------------------------------
+
+_CHAIN_TOPK = 20
+
+
+def q_dedup_chain_drift(spark, sf_dir):
+    """Transitivity audit of connected-components dedup: within each
+    LSH cluster, the EXACT pairwise Jaccard between all members — the
+    known failure mode of components-based consolidation (ExactSubstr/
+    NearDup papers call it chaining): A~B and B~C put A and C in one
+    cluster even when J(A,C) ≈ 0, so the keeper "represents" documents
+    it barely resembles.  Per cluster (top {k} by size): member and
+    pair counts, min/mean exact Jaccard, and the fraction of member
+    pairs below the τ={tau} the pipeline treats as "near-dup" — a high
+    fraction says split the cluster (or cap propagation rounds) before
+    trusting its keeper.
+
+    Determinism: membership comes from the deterministic min-label
+    components; Jaccards are exact rationals (pairs with NO shared
+    shingle enter as exact 0 — the strongest drift evidence); size
+    ranking ties on cluster id.  Scale shape: the within-cluster pair
+    join is keyed on the cluster label and bounded by cluster size² —
+    clusters are band-capped upstream, and a production run caps or
+    samples mega-clusters the same way semantic_dedup sub-buckets hot
+    cells; the Jaccard lookup is a left join against the df-capped
+    sharing-pair relation, never a new shingle pass per pair.
+    """.format(k=_CHAIN_TOPK, tau=_LSH_TRUE_TAU)
+    from pyspark.sql import Window
+
+    from search_engine_spark.operators.components import connected_components
+
+    clusters = connected_components(q_minhash_lsh_pairs(spark, sf_dir))
+    a = clusters.select(F.col("doc_id").alias("da"), "cluster")
+    b = clusters.select(F.col("doc_id").alias("db"), "cluster")
+    cpairs = a.join(b, "cluster").filter(F.col("da") < F.col("db"))
+    sh = _shingles(spark, sf_dir)
+    df_ok = (
+        sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh = sh.join(df_ok, "sh", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pj = (
+        sh.select(F.col("doc_id").alias("da"), "sh")
+        .join(sh.select(F.col("doc_id").alias("db"), "sh"), "sh")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("inter"))
+        .join(sizes.select(F.col("doc_id").alias("da"),
+                           F.col("sz").alias("sza")), "da")
+        .join(sizes.select(F.col("doc_id").alias("db"),
+                           F.col("sz").alias("szb")), "db")
+        .select(
+            "da", "db",
+            (
+                F.col("inter")
+                / (F.col("sza") + F.col("szb") - F.col("inter"))
+            ).alias("j"),
+        )
+    )
+    scored = cpairs.join(pj, ["da", "db"], "left").select(
+        "cluster", F.coalesce("j", F.lit(0.0)).alias("j")
+    )
+    per = scored.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("j").alias("_minj"),
+        F.avg("j").alias("_meanj"),
+        F.sum((F.col("j") < _LSH_TRUE_TAU).cast("int")).cast("long")
+        .alias("_below"),
+    )
+    nsz = clusters.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    w = Window.orderBy(F.col("n_members").desc(), F.col("cluster").asc())
+    return (
+        nsz.join(per, "cluster")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _CHAIN_TOPK)
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_members", "n_pairs",
+            _r4(F.col("_minj")).alias("min_jaccard"),
+            _r4(F.col("_meanj")).alias("mean_jaccard"),
+            _r4(F.col("_below") / F.col("n_pairs")).alias("frac_below_tau"),
+        )
+        .orderBy(F.col("n_members").desc(), F.col("cluster").asc())
+    )
+
+
+SQL_DEDUP_CHAIN_DRIFT = f"""WITH RECURSIVE {_SHINGLES_SQL},
+{_LSH_BANDS_SQL},
+lpairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM lpairs
+  UNION ALL SELECT db, da FROM lpairs
+),
+closure AS (
+  SELECT src AS doc, src AS reach FROM edges
+  UNION
+  SELECT c.doc, e.dst FROM closure c JOIN edges e ON e.src = c.reach
+),
+clusters AS (SELECT doc, min(reach) AS cluster FROM closure GROUP BY doc),
+cpairs AS (
+  SELECT a.cluster, a.doc AS da, b.doc AS db
+  FROM clusters a JOIN clusters b
+    ON a.cluster = b.cluster AND a.doc < b.doc
+),
+capped AS (
+  SELECT s.doc_id, s.sh FROM shingles s
+  JOIN (SELECT sh FROM shingles GROUP BY sh
+        HAVING count(*) <= {_SHINGLE_DF_CAP}) ok ON s.sh = ok.sh
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+pj AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         count(*) * 1.0 / (max(sa.sz) + max(sb.sz) - count(*)) AS j
+  FROM capped a
+  JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  JOIN sizes sa ON sa.doc_id = a.doc_id
+  JOIN sizes sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT cp.cluster, coalesce(pj.j, 0.0) AS j
+  FROM cpairs cp LEFT JOIN pj ON cp.da = pj.da AND cp.db = pj.db
+),
+per AS (
+  SELECT cluster, count(*) AS n_pairs, min(j) AS minj, avg(j) AS meanj,
+         sum(CASE WHEN j < {_LSH_TRUE_TAU} THEN 1 ELSE 0 END) AS below
+  FROM scored GROUP BY cluster
+),
+nsz AS (SELECT cluster, count(*) AS n_members FROM clusters GROUP BY cluster),
+ranked AS (
+  SELECT nsz.cluster, nsz.n_members, per.n_pairs, per.minj, per.meanj,
+         per.below,
+         row_number() OVER (ORDER BY nsz.n_members DESC, nsz.cluster ASC)
+           AS rk
+  FROM nsz JOIN per ON nsz.cluster = per.cluster
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(minj, 4) AS min_jaccard,
+       round(meanj, 4) AS mean_jaccard,
+       round(below * 1.0 / n_pairs, 4) AS frac_below_tau
+FROM ranked WHERE rk <= {_CHAIN_TOPK}
+ORDER BY n_members DESC, cluster ASC"""
+
+
+# ---------------------------------------------------------------------------
+# Ranking impact of dedup (BM25 before vs after the keep list)
+# ---------------------------------------------------------------------------
+
+_RANKIMPACT_TERMS = 5
+_RANKIMPACT_K = 10
+
+
+def q_dedup_rank_impact(spark, sf_dir):
+    """What dedup does to RANKING: for the {t} highest-df terms as
+    single-term queries, the BM25 top-{k} on the full corpus vs the
+    top-{k} recomputed on the post-dedup keep list (df, avgdl and
+    n_docs all shift when duplicates leave) — overlap@{k} plus how many
+    of the full-corpus top-{k} were REMOVED by dedup vs merely
+    re-ranked.  The audit that separates "dedup changed relevance"
+    from "dedup removed redundant copies of the same result" — the
+    difference between a ranking regression and the intended effect.
+
+    Determinism: both sides rank on 4-decimal-rounded scores with
+    doc_id tiebreaks; counts integer.  Scale shape: both BM25 passes
+    are the _scored plan (term filter pushed below the tf agg, 1-row
+    broadcast stats); the keep side pre-joins the keep list into the
+    token stream before aggregation (left_semi on doc_id, the dedup
+    anti-join's complement); top-{k}s are per-term rank windows and
+    the overlap join is {t}×{k}-row sized.
+    """.format(t=_RANKIMPACT_TERMS, k=_RANKIMPACT_K)
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    top_terms = [
+        r["term"]
+        for r in toks.select("term", "doc_id").distinct()
+        .groupBy("term").agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(_RANKIMPACT_TERMS).collect()
+    ]
+
+    def topk(scored_df):
+        w = Window.partitionBy("term").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            scored_df.withColumn("score", _r4(F.col("score")))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= _RANKIMPACT_K)
+            .select("term", "doc_id")
+        )
+
+    full_top = topk(_scored(spark, sf_dir, top_terms))
+
+    keep = q_dedup_keep(spark, sf_dir)
+    # dl/avgdl/df need ALL surviving tokens, so the keep filter applies
+    # to docs (left_semi), not terms
+    ktoks = toks.join(keep, "doc_id", "left_semi")
+    # recompute the whole BM25 core on the kept subset
+    ktf = ktoks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    kdl = ktoks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    kstats = kdl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    kdf = ktf.groupBy("term").agg(F.count("*").alias("df"))
+    ktf_q = ktf.filter(F.col("term").isin(*top_terms))
+    kscored = (
+        ktf_q.join(kdf, "term").join(kdl, "doc_id")
+        .crossJoin(F.broadcast(kstats))
+        .select(
+            "term", "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * (K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + K1 * (1.0 - B + B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score"),
+        )
+    )
+    keep_top = topk(kscored)
+
+    removed = full_top.join(keep, "doc_id", "left_anti").groupBy(
+        "term"
+    ).agg(F.count("*").cast("long").alias("n_removed"))
+    overlap = full_top.join(keep_top, ["term", "doc_id"]).groupBy(
+        "term"
+    ).agg(F.count("*").cast("long").alias("n_overlap"))
+    base = spark.createDataFrame(
+        [(t,) for t in top_terms], "term string"
+    )
+    return (
+        base.join(overlap, "term", "left")
+        .join(removed, "term", "left")
+        .select(
+            "term",
+            F.coalesce("n_overlap", F.lit(0)).alias("overlap_at_k"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed_by_dedup"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_DEDUP_RANK_IMPACT = f"""WITH RECURSIVE {_SHINGLES_SQL},
+{_LSH_BANDS_SQL},
+lpairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT da AS src, db AS dst FROM lpairs
+  UNION ALL SELECT db, da FROM lpairs
+),
+closure AS (
+  SELECT src AS doc, src AS reach FROM edges
+  UNION
+  SELECT c.doc, e.dst FROM closure c JOIN edges e ON e.src = c.reach
+),
+clusters AS (SELECT doc, min(reach) AS cluster FROM closure GROUP BY doc),
+keep AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc FROM clusters WHERE cluster <> doc)
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+top_terms AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rk
+    FROM df
+  ) WHERE rk <= {_RANKIMPACT_TERMS}
+),
+full_scored AS (
+  SELECT tf.term, tf.doc_id,
+         round(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({K1} + 1.0))
+               / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)),
+               4) AS score
+  FROM tf
+  JOIN top_terms USING (term)
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+full_top AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY score DESC, doc_id ASC) AS rk
+    FROM full_scored
+  ) WHERE rk <= {_RANKIMPACT_K}
+),
+ktoks AS (SELECT t.* FROM toks t JOIN keep k ON t.doc_id = k.doc_id),
+ktf AS (SELECT term, doc_id, count(*) AS tf FROM ktoks
+        GROUP BY term, doc_id),
+kdl AS (SELECT doc_id, count(*) AS dl FROM ktoks GROUP BY doc_id),
+kstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM kdl),
+kdf AS (SELECT term, count(*) AS df FROM ktf GROUP BY term),
+kscored AS (
+  SELECT ktf.term, ktf.doc_id,
+         round(ln((kstats.n_docs - kdf.df + 0.5) / (kdf.df + 0.5) + 1.0)
+               * (ktf.tf * ({K1} + 1.0))
+               / (ktf.tf + {K1}
+                  * (1.0 - {B} + {B} * kdl.dl / kstats.avgdl)),
+               4) AS score
+  FROM ktf
+  JOIN top_terms USING (term)
+  JOIN kdf ON ktf.term = kdf.term
+  JOIN kdl ON ktf.doc_id = kdl.doc_id
+  CROSS JOIN kstats
+),
+keep_top AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY score DESC, doc_id ASC) AS rk
+    FROM kscored
+  ) WHERE rk <= {_RANKIMPACT_K}
+),
+ov AS (
+  SELECT f.term, count(*) AS n_overlap
+  FROM full_top f JOIN keep_top k
+    ON f.term = k.term AND f.doc_id = k.doc_id
+  GROUP BY f.term
+),
+rm AS (
+  SELECT f.term, count(*) AS n_removed
+  FROM full_top f
+  WHERE f.doc_id NOT IN (SELECT doc_id FROM keep)
+  GROUP BY f.term
+)
+SELECT t.term,
+       CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS overlap_at_k,
+       CAST(coalesce(rm.n_removed, 0) AS BIGINT) AS n_removed_by_dedup
+FROM top_terms t
+LEFT JOIN ov ON t.term = ov.term
+LEFT JOIN rm ON t.term = rm.term
+ORDER BY t.term"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -23212,4 +23568,6 @@ QUERIES = {
     "simpson_check": (q_simpson_check, SQL_SIMPSON_CHECK),
     "token_fertility": (q_token_fertility, SQL_TOKEN_FERTILITY),
     "phrase_selectivity": (q_phrase_selectivity, SQL_PHRASE_SELECTIVITY),
+    "dedup_chain_drift": (q_dedup_chain_drift, SQL_DEDUP_CHAIN_DRIFT),
+    "dedup_rank_impact": (q_dedup_rank_impact, SQL_DEDUP_RANK_IMPACT),
 }
