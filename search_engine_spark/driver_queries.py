@@ -23272,6 +23272,119 @@ LEFT JOIN rm ON t.term = rm.term
 ORDER BY t.term"""
 
 
+# ---------------------------------------------------------------------------
+# Brier score with the Murphy reliability/resolution/uncertainty split
+# ---------------------------------------------------------------------------
+
+
+def q_brier_decomposition(spark, sf_dir):
+    """Brier score of the quality classifier against the Gopher label,
+    split by Murphy's (1973) decomposition over the same 10 confidence
+    bins calibration_curve uses: REL (how far bin confidence sits from
+    bin outcome — lower is better-calibrated), RES (how much the bins
+    separate outcomes — higher is a sharper classifier), UNC = ȳ(1−ȳ)
+    (the label's intrinsic difficulty, a floor no model beats), and the
+    residual the textbook identity hides: for continuous p,
+    Brier − (REL − RES + UNC) = within-bin variance of p minus twice
+    the within-bin p,y covariance (Stephenson et al. 2008's
+    generalized decomposition; the twin test pins that exact
+    identity).  One row —
+    the single-number companion to calibration_curve's per-bin table
+    and the proper-scoring complement to rfm_churn_auc's pure RANKING
+    view (AUC can't see miscalibration; Brier charges for it).
+
+    Determinism: p is the classifier's 4-decimal rounded output, bins
+    are integer cuts of it, counts integer; the squared-error sums are
+    O(1)-bounded means, rounded at 4.  Scale shape: score and label
+    come from one shared token aggregate (co-keyed doc_id join), the
+    bin rollup is ≤ 10 rows, the combine is a 1-row reduce."""
+    score = q_quality_classifier(spark, sf_dir).select("doc_id", "p_keep")
+    label = q_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("int").alias("y")
+    )
+    j = score.join(label, "doc_id").select(
+        "p_keep", "y",
+        F.least(F.floor(F.col("p_keep") * 10), F.lit(9)).cast("int")
+        .alias("bin"),
+    )
+    binned = j.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.avg("p_keep").alias("pbar"),
+        F.avg("y").alias("ybar"),
+    )
+    glob = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("y").alias("ybar_all"),
+        F.avg(
+            (F.col("p_keep") - F.col("y")) * (F.col("p_keep") - F.col("y"))
+        ).alias("brier"),
+    )
+    comb = binned.crossJoin(F.broadcast(glob))
+    rel = F.sum(
+        F.col("n_b") / F.col("n")
+        * (F.col("pbar") - F.col("ybar")) * (F.col("pbar") - F.col("ybar"))
+    )
+    res = F.sum(
+        F.col("n_b") / F.col("n")
+        * (F.col("ybar") - F.col("ybar_all"))
+        * (F.col("ybar") - F.col("ybar_all"))
+    )
+    return comb.groupBy().agg(
+        F.first("n").alias("n_docs"),
+        _r4(F.first("brier")).alias("brier"),
+        _r4(rel).alias("reliability"),
+        _r4(res).alias("resolution"),
+        _r4(
+            F.first("ybar_all") * (1.0 - F.first("ybar_all"))
+        ).alias("uncertainty"),
+        _r4(
+            F.first("brier")
+            - (
+                rel - res
+                + F.first("ybar_all") * (1.0 - F.first("ybar_all"))
+            )
+        ).alias("binning_residual"),
+    ).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "brier", "reliability", "resolution", "uncertainty",
+        "binning_residual",
+    )
+
+
+SQL_BRIER_DECOMPOSITION = f"""WITH score AS ({SQL_QUALITY_CLASSIFIER}),
+label AS ({SQL_GOPHER_QUALITY}),
+j AS (
+  SELECT s.p_keep, CAST(l.keep AS INT) AS y,
+         CAST(least(floor(s.p_keep * 10), 9) AS INT) AS bin
+  FROM score s JOIN label l ON s.doc_id = l.doc_id
+),
+binned AS (
+  SELECT bin, count(*) AS n_b, avg(p_keep) AS pbar, avg(y) AS ybar
+  FROM j GROUP BY bin
+),
+g AS (
+  SELECT count(*) AS n, avg(y) AS ybar_all,
+         avg((p_keep - y) * (p_keep - y)) AS brier
+  FROM j
+)
+SELECT CAST(max(g.n) AS BIGINT) AS n_docs,
+       round(max(g.brier), 4) AS brier,
+       round(sum(n_b * 1.0 / g.n * (pbar - ybar) * (pbar - ybar)), 4)
+         AS reliability,
+       round(sum(n_b * 1.0 / g.n * (ybar - g.ybar_all)
+                 * (ybar - g.ybar_all)), 4) AS resolution,
+       round(max(g.ybar_all) * (1.0 - max(g.ybar_all)), 4)
+         AS uncertainty,
+       round(max(g.brier)
+             - (sum(n_b * 1.0 / g.n * (pbar - ybar) * (pbar - ybar))
+                - sum(n_b * 1.0 / g.n * (ybar - g.ybar_all)
+                      * (ybar - g.ybar_all))
+                + max(g.ybar_all) * (1.0 - max(g.ybar_all))), 4)
+         AS binning_residual
+FROM binned CROSS JOIN g
+GROUP BY g.n"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -23570,4 +23683,6 @@ QUERIES = {
     "phrase_selectivity": (q_phrase_selectivity, SQL_PHRASE_SELECTIVITY),
     "dedup_chain_drift": (q_dedup_chain_drift, SQL_DEDUP_CHAIN_DRIFT),
     "dedup_rank_impact": (q_dedup_rank_impact, SQL_DEDUP_RANK_IMPACT),
+    "brier_decomposition": (q_brier_decomposition,
+                            SQL_BRIER_DECOMPOSITION),
 }
