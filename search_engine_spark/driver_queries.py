@@ -23385,6 +23385,136 @@ FROM binned CROSS JOIN g
 GROUP BY g.n"""
 
 
+# ---------------------------------------------------------------------------
+# Top principal component by unrolled power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 8
+
+
+def q_pca_top_component(spark, sf_dir):
+    """Explained-variance share of the TOP principal component of the
+    embedding table, by {t} unrolled power iterations on the exact
+    covariance matrix — the SPECTRAL effective-dimensionality
+    diagnostic completing the embedding-QA set (anisotropy asks "is
+    there a mean direction?", this asks "does one axis dominate the
+    VARIANCE?" — the rogue-dimension pathology of contextual embedders
+    (Timkey & van Schijndel 2021) that wrecks cosine retrieval even at
+    zero mean).  One row: sizes, the top eigenvalue, the trace, their
+    ratio (1/d ≈ isotropic, → 1 ≈ rank-collapsed), and the final
+    iterate's Rayleigh residual as convergence evidence.
+
+    Determinism: the covariance is exact moment arithmetic; the power
+    iteration starts from the fixed all-ones vector and runs on the
+    d×d matrix itself.  Scale shape: the DISTRIBUTED work is exactly
+    ONE pass building all d² second moments (posexplode×2 per row —
+    n·d² narrow rows, map-side combined; for d ≫ 10² the production
+    variant switches to a Gram treeAggregate, same downstream); the
+    d² = {dd} covariance values are then METADATA (a k-row collect,
+    same contract as the IVF centroid pulls) and the iteration is
+    driver-side arithmetic — re-deriving each matvec through Spark
+    lineage would recompute the moment pass {t}×.
+    """.format(t=_PCA_ITERS, dd="4096 for d=64")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("embedding").cast("array<double>").alias("e")
+    )
+    mu = emb.select(F.posexplode("e").alias("i", "x")).groupBy("i").agg(
+        F.avg("x").alias("m"), F.count("*").cast("long").alias("n")
+    )
+    pairs = emb.select(
+        F.posexplode("e").alias("i", "x"), F.col("e")
+    ).select("i", "x", F.posexplode("e").alias("jj", "y"))
+    raw = pairs.groupBy("i", "jj").agg(F.avg(F.col("x") * F.col("y"))
+                                       .alias("exy"))
+    cov_rows = (
+        raw.join(mu.select(F.col("i"), F.col("m").alias("mi")), "i")
+        .join(mu.select(F.col("i").alias("jj"), F.col("m").alias("mj")),
+              "jj")
+        .select(
+            "i", "jj",
+            (F.col("exy") - F.col("mi") * F.col("mj")).alias("c"),
+        )
+        .collect()
+    )
+    n_vecs = int(mu.limit(1).collect()[0]["n"])
+    d = max(r["i"] for r in cov_rows) + 1
+    cov = [[0.0] * d for _ in range(d)]
+    for r in cov_rows:
+        cov[r["i"]][r["jj"]] = r["c"]
+    import math as _math
+
+    v = [1.0] * d
+    for _ in range(_PCA_ITERS):
+        w = [sum(cov[i][j] * v[j] for j in range(d)) for i in range(d)]
+        z = _math.sqrt(sum(x * x for x in w))
+        v = [x / z for x in w]
+    cv = [sum(cov[i][j] * v[j] for j in range(d)) for i in range(d)]
+    lam = sum(cv[i] * v[i] for i in range(d))
+    res = _math.sqrt(sum((cv[i] - lam * v[i]) ** 2 for i in range(d)))
+    tr = sum(cov[i][i] for i in range(d))
+    return spark.createDataFrame(
+        [(n_vecs, d, round(lam, 4), round(tr, 4),
+          round(lam / tr, 4), round(res, 4))],
+        "n_vecs long, n_dims long, top_eigenvalue double, trace double, "
+        "explained_share double, rayleigh_residual double",
+    )
+
+
+def _pca_sql() -> str:
+    parts = [f"""WITH dims AS MATERIALIZED (
+  SELECT u.dim AS i, u.v AS x, rowid
+  FROM (SELECT embedding::DOUBLE[] AS e, row_number() OVER () AS rowid
+        FROM embeddings) t,
+       LATERAL (SELECT unnest(e) AS v,
+                       generate_subscripts(e, 1) AS dim) u
+),
+mu AS MATERIALIZED (SELECT i, avg(x) AS m FROM dims GROUP BY i),
+raw AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS jj, avg(a.x * b.x) AS exy
+  FROM dims a JOIN dims b ON a.rowid = b.rowid
+  GROUP BY a.i, b.i
+),
+cov AS MATERIALIZED (
+  SELECT raw.i, raw.jj, raw.exy - mi.m * mj.m AS c
+  FROM raw JOIN mu mi ON raw.i = mi.i JOIN mu mj ON raw.jj = mj.i
+),
+v0 AS (SELECT i, 1.0 AS v FROM mu)"""]
+    for t in range(1, _PCA_ITERS + 1):
+        parts.append(f""",
+w{t} AS MATERIALIZED (
+  SELECT cov.i, sum(cov.c * v{t - 1}.v) AS w
+  FROM cov JOIN v{t - 1} ON cov.jj = v{t - 1}.i GROUP BY cov.i
+),
+z{t} AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS z FROM w{t}),
+v{t} AS MATERIALIZED (SELECT i, w / z AS v
+                      FROM w{t} CROSS JOIN z{t})""")
+    parts.append(f""",
+cv AS (
+  SELECT cov.i, sum(cov.c * v{_PCA_ITERS}.v) AS cv
+  FROM cov JOIN v{_PCA_ITERS} ON cov.jj = v{_PCA_ITERS}.i GROUP BY cov.i
+),
+lam AS (SELECT sum(cv.cv * v.v) AS lam
+        FROM cv JOIN v{_PCA_ITERS} v ON cv.i = v.i),
+res AS (
+  SELECT sqrt(sum((cv.cv - lam.lam * v.v) * (cv.cv - lam.lam * v.v)))
+           AS r
+  FROM cv JOIN v{_PCA_ITERS} v ON cv.i = v.i CROSS JOIN lam
+),
+tr AS (SELECT sum(c) AS tr, count(*) AS n_dims FROM cov WHERE i = jj),
+nn AS (SELECT count(*) AS n FROM embeddings)
+SELECT CAST(nn.n AS BIGINT) AS n_vecs,
+       CAST(tr.n_dims AS BIGINT) AS n_dims,
+       round(lam.lam, 4) AS top_eigenvalue,
+       round(tr.tr, 4) AS trace,
+       round(lam.lam / tr.tr, 4) AS explained_share,
+       round(res.r, 4) AS rayleigh_residual
+FROM lam CROSS JOIN res CROSS JOIN tr CROSS JOIN nn""")
+    return "".join(parts)
+
+
+SQL_PCA_TOP_COMPONENT = _pca_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -23685,4 +23815,5 @@ QUERIES = {
     "dedup_rank_impact": (q_dedup_rank_impact, SQL_DEDUP_RANK_IMPACT),
     "brier_decomposition": (q_brier_decomposition,
                             SQL_BRIER_DECOMPOSITION),
+    "pca_top_component": (q_pca_top_component, SQL_PCA_TOP_COMPONENT),
 }
