@@ -23515,6 +23515,198 @@ FROM lam CROSS JOIN res CROSS JOIN tr CROSS JOIN nn""")
 SQL_PCA_TOP_COMPONENT = _pca_sql()
 
 
+# ---------------------------------------------------------------------------
+# Linear hybrid-fusion weight sweep
+# ---------------------------------------------------------------------------
+
+_HYBRID_LAMBDAS = (0.0, 0.25, 0.5, 0.75, 1.0)
+
+
+def q_hybrid_weight_sweep(spark, sf_dir):
+    """Linear score-fusion weight sweep for hybrid retrieval: fused =
+    λ·norm(BM25) + (1−λ)·norm(cosine) over min-max-normalized top-50
+    lists (the CombSUM-with-weights family rrf_fusion's rank-based
+    formula sidesteps), for λ ∈ {ls} — per λ, the fused top-1 and the
+    overlap of the fused top-10 with each PURE list's top-10.  This is
+    the tuning table a hybrid-search owner reads to pick λ (or to
+    decide the answer is "use RRF, the curve is too corpus-dependent"
+    — visible here as overlap jumping rather than interpolating).
+
+    Determinism: both lists rank on 4-decimal rounded scores with id
+    tiebreaks (the rrf_fusion precedent); min-max uses those rounded
+    scores; fused scores round at 6 to keep λ-scaled distinctions.
+    Scale shape: identical to rrf_fusion — each list is cut to top-50
+    by a distributed TakeOrdered first, so the normalization (1-row
+    broadcast min/max), the λ crossJoin (5-row broadcast), the rank
+    windows and the overlap flags all run over ≤ 50·|λ| rows; the
+    heavy lifting stays inside the two underlying retrieval plans.
+    """.format(ls=_HYBRID_LAMBDAS)
+    from pyspark.sql import Window
+
+    lex50 = (
+        _scored(spark, sf_dir, ["merge"])
+        .select("doc_id", _r4("score").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = lex50.select(
+        "doc_id", "score", F.row_number().over(wl).alias("lr")
+    )
+    lmm = lex.agg(F.min("score").alias("_lo"), F.max("score").alias("_hi"))
+    lex = lex.crossJoin(F.broadcast(lmm)).select(
+        "doc_id", "lr",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            (F.col("score") - F.col("_lo")) / (F.col("_hi") - F.col("_lo")),
+        ).otherwise(F.lit(1.0)).alias("nl"),
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sem50 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _r4(dot / (nrm("embedding") * nrm("qv"))).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+        .limit(_RRF_DEPTH)
+    )
+    ws = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    sem = sem50.select(
+        "doc_id", "cos", F.row_number().over(ws).alias("sr")
+    )
+    smm = sem.agg(F.min("cos").alias("_lo"), F.max("cos").alias("_hi"))
+    sem = sem.crossJoin(F.broadcast(smm)).select(
+        "doc_id", "sr",
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            (F.col("cos") - F.col("_lo")) / (F.col("_hi") - F.col("_lo")),
+        ).otherwise(F.lit(1.0)).alias("ns"),
+    )
+
+    joined = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("nl", F.lit(0.0)).alias("nl"),
+        F.coalesce("ns", F.lit(0.0)).alias("ns"),
+        (F.coalesce("lr", F.lit(99)) <= 10).alias("in_lex10"),
+        (F.coalesce("sr", F.lit(99)) <= 10).alias("in_sem10"),
+    )
+    lams = spark.createDataFrame(
+        [(l,) for l in _HYBRID_LAMBDAS], "lam double"
+    )
+    fused = joined.crossJoin(F.broadcast(lams)).select(
+        "lam", "doc_id", "in_lex10", "in_sem10",
+        F.round(
+            F.col("lam") * F.col("nl") + (1.0 - F.col("lam")) * F.col("ns"),
+            6,
+        ).alias("f"),
+    )
+    wf = Window.partitionBy("lam").orderBy(
+        F.col("f").desc(), F.col("doc_id").asc()
+    )
+    top = fused.withColumn("rk", F.row_number().over(wf)).filter(
+        F.col("rk") <= 10
+    )
+    return (
+        top.groupBy("lam")
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("long").alias("top1_doc"),
+            F.sum(F.col("in_lex10").cast("int")).cast("long")
+            .alias("overlap_lex10"),
+            F.sum(F.col("in_sem10").cast("int")).cast("long")
+            .alias("overlap_sem10"),
+        )
+        .orderBy("lam")
+    )
+
+
+SQL_HYBRID_WEIGHT_SWEEP = f"""WITH {_BM25_CORE_SQL},
+lex50 AS (
+  SELECT doc_id, round(score, 4) AS score FROM scored WHERE term = 'merge'
+  ORDER BY score DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+),
+lexr AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lr
+  FROM lex50
+),
+lmm AS (SELECT min(score) AS lo, max(score) AS hi FROM lexr),
+lex AS (
+  SELECT doc_id, lr,
+         CASE WHEN hi > lo THEN (score - lo) / (hi - lo)
+              ELSE 1.0 END AS nl
+  FROM lexr CROSS JOIN lmm
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+qv AS (SELECT embedding AS v FROM emb WHERE vec_id = 0),
+sem50 AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.embedding, q.v)
+               / (sqrt(list_dot_product(e.embedding, e.embedding))
+                  * sqrt(list_dot_product(q.v, q.v))), 4) AS cos
+  FROM emb e CROSS JOIN qv q WHERE e.vec_id <> 0
+  ORDER BY cos DESC, doc_id ASC LIMIT {_RRF_DEPTH}
+),
+semr AS (
+  SELECT doc_id, cos,
+         row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS sr
+  FROM sem50
+),
+smm AS (SELECT min(cos) AS lo, max(cos) AS hi FROM semr),
+sem AS (
+  SELECT doc_id, sr,
+         CASE WHEN hi > lo THEN (cos - lo) / (hi - lo)
+              ELSE 1.0 END AS ns
+  FROM semr CROSS JOIN smm
+),
+joined AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         coalesce(lex.nl, 0.0) AS nl, coalesce(sem.ns, 0.0) AS ns,
+         coalesce(lex.lr, 99) <= 10 AS in_lex10,
+         coalesce(sem.sr, 99) <= 10 AS in_sem10
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+),
+lams AS (SELECT * FROM (VALUES {", ".join(f"(CAST({l} AS DOUBLE))"
+                                          for l in _HYBRID_LAMBDAS)})
+                  AS t(lam)),
+fused AS (
+  SELECT lam, doc_id, in_lex10, in_sem10,
+         round(lam * nl + (1.0 - lam) * ns, 6) AS f
+  FROM joined CROSS JOIN lams
+),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY lam
+                                 ORDER BY f DESC, doc_id ASC) AS rk
+    FROM fused
+  ) WHERE rk <= 10
+)
+SELECT lam,
+       CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS top1_doc,
+       CAST(sum(CASE WHEN in_lex10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS overlap_lex10,
+       CAST(sum(CASE WHEN in_sem10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS overlap_sem10
+FROM top GROUP BY lam ORDER BY lam"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -23816,4 +24008,6 @@ QUERIES = {
     "brier_decomposition": (q_brier_decomposition,
                             SQL_BRIER_DECOMPOSITION),
     "pca_top_component": (q_pca_top_component, SQL_PCA_TOP_COMPONENT),
+    "hybrid_weight_sweep": (q_hybrid_weight_sweep,
+                            SQL_HYBRID_WEIGHT_SWEEP),
 }
