@@ -23707,6 +23707,220 @@ SELECT lam,
 FROM top GROUP BY lam ORDER BY lam"""
 
 
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov goodness-of-fit for the power-law tail
+# ---------------------------------------------------------------------------
+
+
+def q_ks_power_law(spark, sf_dir):
+    """Kolmogorov-Smirnov distance between the in-degree tail and the
+    Pareto law the Hill estimator fits — the Clauset-Shalizi-Newman
+    (SIAM Rev. 2009) discipline step hill_tail_index stops short of:
+    an α̂ always comes out, but only the KS distance says whether the
+    tail actually FOLLOWS the law (CSN's rule of thumb: D ≳ 0.1 on a
+    decent-sized tail means "stop quoting α").  Same tail and same
+    α̂ construction as hill_tail_index (top-{k} degrees, α̂ = 1 +
+    k/Σln(x/x_min)), then D = sup over tail steps of the two one-sided
+    gaps between the empirical CDF and F(x) = 1 − (x/x_min)^(1−α̂).
+
+    Determinism: the tail is the same exact TakeOrdered; the CDF steps
+    rank on (degree, node id); D is a max of rounded-stable O(1)
+    floats.  Scale shape: degrees are one map-side aggregate, the tail
+    is k rows, the step table a k-row window, the sup a 1-row reduce.
+    """.format(k=_HILL_TAIL_K)
+    from pyspark.sql import Window
+
+    _, edges = _link_edges(spark, sf_dir)
+    deg = edges.groupBy("dst").agg(F.count("*").cast("long").alias("d"))
+    tail = deg.orderBy(
+        F.col("d").desc(), F.col("dst").asc()
+    ).limit(_HILL_TAIL_K)
+    xmin = tail.agg(
+        F.min("d").alias("xmin"), F.count("*").cast("long").alias("kk")
+    )
+    t = tail.crossJoin(F.broadcast(xmin))
+    fit = t.agg(
+        F.max("kk").alias("kk"), F.max("xmin").alias("xmin"),
+        F.sum(F.log(F.col("d") / F.col("xmin"))).alias("_ls"),
+    )
+    alpha = 1.0 + F.col("kk") / F.col("_ls")
+    fit = fit.select("kk", "xmin", alpha.alias("al"))
+    w = Window.orderBy(F.col("d").asc(), F.col("dst").asc())
+    steps = (
+        t.select("d", "dst", "kk")
+        .withColumn("cum", F.row_number().over(w) / F.col("kk"))
+        .groupBy("d")
+        .agg(F.max("cum").alias("f_emp"), F.min("cum").alias("_flo"),
+             F.first("kk").alias("kk"))
+    )
+    j = steps.crossJoin(F.broadcast(fit.select("xmin", "al")))
+    fmod = 1.0 - F.pow(F.col("d") / F.col("xmin"), 1.0 - F.col("al"))
+    gaps = j.select(
+        F.greatest(
+            F.abs(F.col("f_emp") - fmod),
+            F.abs(fmod - (F.col("_flo") - 1.0 / F.col("kk"))),
+        ).alias("g")
+    )
+    dmax = gaps.agg(F.max("g").alias("_d"))
+    return (
+        fit.crossJoin(F.broadcast(dmax))
+        .select(
+            F.col("kk").alias("k"),
+            F.col("xmin").cast("long").alias("x_min"),
+            _r4(F.col("al")).alias("alpha"),
+            _r4(F.col("_d")).alias("ks_distance"),
+        )
+    )
+
+
+SQL_KS_POWER_LAW = f"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id AS src, (rules.m * id + rules.b) % nn.n AS dst
+    FROM nodes CROSS JOIN nn
+    CROSS JOIN (VALUES {", ".join(f"({m}, {b})" for m, b in _PR_RULES)})
+      AS rules(m, b)
+  ) WHERE src <> dst
+),
+deg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst),
+tail AS (
+  SELECT dst, d FROM deg ORDER BY d DESC, dst ASC LIMIT {_HILL_TAIL_K}
+),
+xmin AS (SELECT min(d) AS xmin, count(*) AS kk FROM tail),
+fit AS (
+  SELECT max(x.kk) AS kk, max(x.xmin) AS xmin,
+         1.0 + max(x.kk) / sum(ln(t.d * 1.0 / x.xmin)) AS al
+  FROM tail t CROSS JOIN xmin x
+),
+steps AS (
+  SELECT d, max(cum) AS f_emp, min(cum) AS flo, max(kk) AS kk
+  FROM (
+    SELECT t.d, x.kk,
+           row_number() OVER (ORDER BY t.d ASC, t.dst ASC) * 1.0 / x.kk
+             AS cum
+    FROM tail t CROSS JOIN xmin x
+  ) GROUP BY d
+),
+gaps AS (
+  SELECT greatest(
+           abs(f_emp - (1.0 - pow(d * 1.0 / fit.xmin, 1.0 - fit.al))),
+           abs((1.0 - pow(d * 1.0 / fit.xmin, 1.0 - fit.al))
+               - (flo - 1.0 / steps.kk))
+         ) AS g
+  FROM steps CROSS JOIN fit
+)
+SELECT CAST(fit.kk AS BIGINT) AS k, CAST(fit.xmin AS BIGINT) AS x_min,
+       round(fit.al, 4) AS alpha,
+       round((SELECT max(g) FROM gaps), 4) AS ks_distance
+FROM fit"""
+
+
+# ---------------------------------------------------------------------------
+# Erlang-C serving-capacity plan from the measured arrival rate
+# ---------------------------------------------------------------------------
+
+_ERLANG_SERVICE_S = 0.5      # per-query service time (the bench p50 scale)
+_ERLANG_MAX_C = 8
+
+
+def _fact(n: int) -> int:
+    out = 1
+    for i in range(2, n + 1):
+        out *= i
+    return out
+
+
+def q_erlang_capacity(spark, sf_dir):
+    """Erlang-C serving-capacity table from the log's MEASURED arrival
+    rate: λ = events/second over the log span, fixed service time
+    S = {s} s (the bench-p50 scale; a config literal), and for each
+    server count c ∈ 1..{c}: utilization ρ = λS/c, the Erlang-C
+    probability an arrival must queue, and the expected queue wait —
+    the M/M/c capacity plan that turns tail_at_scale's fan-out
+    arithmetic and the bench's latency into "how many query servers do
+    I actually need before p_wait collapses".  Under-provisioned rows
+    (ρ ≥ 1) report NULL wait — the queue diverges, the honest answer.
+
+    Determinism: λ is exact integer counts over exact integer
+    microseconds; each c's Erlang sums are fixed-degree polynomials in
+    a = λS with literal factorial denominators, unrolled identically
+    in both engines; outputs round at 4 (waits in ms).  Scale shape:
+    ONE 1-row aggregate over the log, then an 8-row explode with
+    closed-form arithmetic — no iteration, no join beyond the 1-row
+    broadcast.
+    """.format(s=_ERLANG_SERVICE_S, c=_ERLANG_MAX_C)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    base = ev.agg(
+        F.count("*").cast("long").alias("n"),
+        ((F.max("us") - F.min("us")) / 1e6).alias("span_s"),
+    ).select(
+        "n", "span_s",
+        (F.col("n") / F.col("span_s")).alias("lam"),
+        (F.col("n") / F.col("span_s") * _ERLANG_SERVICE_S).alias("a"),
+    )
+    a = F.col("a")
+    rows = []
+    for c in range(1, _ERLANG_MAX_C + 1):
+        rho = a / c
+        s0 = sum(
+            (a ** k) / F.lit(float(_fact(k))) for k in range(c)
+        )
+        top = (a ** c) / F.lit(float(_fact(c)))
+        pw = top / ((1.0 - rho) * s0 + top)
+        wq_ms = pw * _ERLANG_SERVICE_S / (c * (1.0 - rho)) * 1000.0
+        rows.append(
+            F.struct(
+                F.lit(c).alias("c"),
+                _r4(rho).alias("utilization"),
+                F.when(rho < 1.0, _r4(pw)).alias("p_wait"),
+                F.when(rho < 1.0, _r4(wq_ms)).alias("exp_wait_ms"),
+            )
+        )
+    return (
+        base.select(
+            _r4("lam").alias("lambda_qps"),
+            F.explode(F.array(*rows)).alias("r"),
+        )
+        .select("lambda_qps", "r.*")
+        .orderBy("c")
+    )
+
+
+def _erlang_sql() -> str:
+    rows = []
+    for c in range(1, _ERLANG_MAX_C + 1):
+        s0 = " + ".join(
+            f"pow(a, {k}) / {float(_fact(k))}" for k in range(c)
+        )
+        top = f"pow(a, {c}) / {float(_fact(c))}"
+        rho = f"(a / {c})"
+        pw = f"({top}) / ((1.0 - {rho}) * ({s0}) + ({top}))"
+        wq = (f"({pw}) * {_ERLANG_SERVICE_S} / ({c} * (1.0 - {rho}))"
+              f" * 1000.0")
+        rows.append(
+            f"SELECT round(lam, 4) AS lambda_qps, {c} AS c, "
+            f"round({rho}, 4) AS utilization, "
+            f"CASE WHEN {rho} < 1.0 THEN round({pw}, 4) END AS p_wait, "
+            f"CASE WHEN {rho} < 1.0 THEN round({wq}, 4) END "
+            f"AS exp_wait_ms FROM base"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""WITH ev AS (SELECT epoch_us(ts) AS us FROM events),
+base AS (
+  SELECT count(*) * 1e6 / (max(us) - min(us)) AS lam,
+         count(*) * 1e6 / (max(us) - min(us)) * {_ERLANG_SERVICE_S} AS a
+  FROM ev
+)
+SELECT CAST(c AS INT) AS c, lambda_qps, utilization, p_wait, exp_wait_ms
+FROM ({union}) ORDER BY c"""
+
+
+SQL_ERLANG_CAPACITY = _erlang_sql()
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -24010,4 +24224,6 @@ QUERIES = {
     "pca_top_component": (q_pca_top_component, SQL_PCA_TOP_COMPONENT),
     "hybrid_weight_sweep": (q_hybrid_weight_sweep,
                             SQL_HYBRID_WEIGHT_SWEEP),
+    "ks_power_law": (q_ks_power_law, SQL_KS_POWER_LAW),
+    "erlang_capacity": (q_erlang_capacity, SQL_ERLANG_CAPACITY),
 }
