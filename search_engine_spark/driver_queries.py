@@ -23921,6 +23921,86 @@ FROM ({union}) ORDER BY c"""
 SQL_ERLANG_CAPACITY = _erlang_sql()
 
 
+# ---------------------------------------------------------------------------
+# BM25 score attribution (per-term explain for the AND query)
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_explain(spark, sf_dir):
+    """Score ATTRIBUTION for the conjunctive query 'merge AND join':
+    for each of the top-10 documents, the per-term tf, the term's BM25
+    contribution, and its share of the doc's total — the "why is this
+    result here" explain surface every relevance-debugging session
+    starts from (and the per-feature twin of what ltr_features exports
+    wholesale).  A doc whose score is 95% one term is a different
+    relevance story than a balanced one; the share column makes that
+    difference a number.
+
+    Determinism: ranks use the same 4-decimal rounded total and doc_id
+    tiebreaks as bm25_and (whose top-10 this decomposes exactly);
+    contributions and shares round at 4.  Scale shape: the attribution
+    REUSES the same two-term _scored plan (term filter below the tf
+    agg, 1-row broadcast stats) plus one keyed join against the
+    per-(term, doc) tf relation restricted to the query terms — the
+    explain costs one extra bounded join over the top-10 docs, never a
+    second corpus pass."""
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir, ["merge", "join"])
+    a = s.filter(F.col("term") == "merge").select(
+        "doc_id", F.col("score").alias("sa")
+    )
+    b = s.filter(F.col("term") == "join").select(
+        "doc_id", F.col("score").alias("sb")
+    )
+    top = (
+        a.join(b, "doc_id")
+        .select("doc_id", _r4(F.col("sa") + F.col("sb")).alias("total"))
+        .orderBy(F.col("total").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("total").desc(), F.col("doc_id").asc())
+    top = top.withColumn("rank", F.row_number().over(w))
+    tf = _tf(spark, sf_dir).filter(F.col("term").isin("merge", "join"))
+    per = (
+        top.join(s, "doc_id")
+        .join(tf, ["term", "doc_id"])
+        .select(
+            "rank", "doc_id", "term",
+            F.col("tf").cast("long").alias("tf"),
+            _r4("score").alias("contribution"),
+            _r4(F.col("score") / F.col("total")).alias("share"),
+            "total",
+        )
+    )
+    return per.select(
+        "rank", "doc_id", "term", "tf", "contribution", "share",
+        F.col("total").alias("doc_score"),
+    ).orderBy("rank", "term")
+
+
+SQL_BM25_EXPLAIN = f"""WITH {_BM25_CORE_SQL},
+a AS (SELECT doc_id, score AS sa FROM scored WHERE term = 'merge'),
+b AS (SELECT doc_id, score AS sb FROM scored WHERE term = 'join'),
+top AS (
+  SELECT doc_id, total,
+         row_number() OVER (ORDER BY total DESC, doc_id ASC) AS rank
+  FROM (
+    SELECT a.doc_id, round(a.sa + b.sb, 4) AS total
+    FROM a JOIN b ON a.doc_id = b.doc_id
+    ORDER BY total DESC, a.doc_id ASC LIMIT 10
+  )
+)
+SELECT top.rank, top.doc_id, s.term, CAST(tf.tf AS BIGINT) AS tf,
+       round(s.score, 4) AS contribution,
+       round(s.score / top.total, 4) AS share,
+       top.total AS doc_score
+FROM top
+JOIN scored s ON s.doc_id = top.doc_id AND s.term IN ('merge', 'join')
+JOIN tf ON tf.term = s.term AND tf.doc_id = s.doc_id
+ORDER BY top.rank, s.term"""
+
+
 QUERIES = {
     "postings": (q_postings, SQL_POSTINGS),
     "term_df": (q_term_df, SQL_TERM_DF),
@@ -24226,4 +24306,5 @@ QUERIES = {
                             SQL_HYBRID_WEIGHT_SWEEP),
     "ks_power_law": (q_ks_power_law, SQL_KS_POWER_LAW),
     "erlang_capacity": (q_erlang_capacity, SQL_ERLANG_CAPACITY),
+    "bm25_explain": (q_bm25_explain, SQL_BM25_EXPLAIN),
 }
